@@ -1,13 +1,329 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.derive.Derive
+import graft.fold.EntityFold
+import graft.ingest.EventTasks
+import graft.query.Search
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each with a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism rules shared by every query/oracle pair:
+  *  - "today" is data-derived (max event date) so all trailing windows are
+  *    reproducible at any scale factor (SURVEY §7.3);
+  *  - doubles are rounded (HALF_UP on both engines) at the output edge;
+  *  - timestamps leave as epoch seconds or DATE (the parquet files store
+  *    nanoseconds, which Spark truncates to micros but DuckDB keeps);
+  *  - every result carries a total ORDER BY with a unique tiebreak.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared context (per sf dir), computed once per JVM ----
+  private val todayCache = new ConcurrentHashMap[String, String]()
+  private def today(spark: SparkSession, dir: String): String =
+    todayCache.computeIfAbsent(dir, _ =>
+      Tables.events(spark, dir).agg(max(to_date(col("ts")))).head.getDate(0).toString)
+
+  private def events(spark: SparkSession, dir: String): DataFrame = Tables.events(spark, dir)
+
+  /** Entity snapshot = counters ⋈ reputation, the materialized record table
+    * that the read-side query surface serves from.
+    */
+  private def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val t = today(spark, dir)
+    val ev = events(spark, dir)
+    val counters = Derive.eventCounter(ev, t)
+    val rep = Derive.reputationWarden(ev, t)
+    val types = ev
+      .filter(datediff(lit(t).cast("date"), to_date(col("ts"))) <= 30)
+      .groupBy(col("user_id").as("entity"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types_arr"))
+    counters.join(rep, Seq("entity")).join(types, Seq("entity"))
+      .withColumn("total", col("total30"))
+  }
+
+  // ---- oracle SQL building blocks (DuckDB dialect) ----
+  private val MX = "mx AS (SELECT max(CAST(ts AS DATE)) AS today FROM events)"
+  private val AGE = "date_diff('day', CAST(ts AS DATE), mx.today)"
+  private val REP_CTE =
+    s"""$MX,
+       |repd AS (
+       |  SELECT user_id AS entity, $AGE AS age, count(*) AS n,
+       |         count(DISTINCT event_type) AS det
+       |  FROM events, mx WHERE $AGE >= 0 AND $AGE < 14
+       |  GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT entity,
+       |         round(sum((CASE WHEN n/10.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n/10.0) END)
+       |                 * (CASE WHEN det/2.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, det/2.0) END)
+       |                 * (14 - age) / 14.0) / 7.5, 6) AS rep
+       |  FROM repd GROUP BY 1)""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: fold the event
+    * stream into entity records, join derived reputation, top-20 by score.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val folded = EntityFold
+      .applyTasks(EventTasks.preAggregated(events(spark, dir)), nowEpoch(spark, dir))(EventTasks.projectFolded)
+      .toDF()
+    val rep = Derive.reputationWarden(events(spark, dir), today(spark, dir))
+    folded.join(rep, Seq("entity")).orderBy(col("rep").desc, col("entity")).limit(20)
+  }
+
+  private def nowEpoch(spark: SparkSession, dir: String): Long =
+    java.time.LocalDate.parse(today(spark, dir)).plusDays(1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- TPC-H-style relational core (SURVEY §2.5/§2.6/§2.7) --
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- NERD write path: op-algebra fold (SURVEY §2.3, update_manager.py:83–231) --
+    "nerd_ingest_fold" -> ((s, dir) => {
+      import s.implicits._
+      EntityFold
+        .applyTasks(EventTasks.preAggregated(events(s, dir)), nowEpoch(s, dir))(EventTasks.projectFolded)
+        .toDF()
+        .withColumn("conns", round(col("conns"), 2))
+        .orderBy(col("entity"))
+    }),
+
+    // -- derivation stages (SURVEY §2.6) --
+    "nerd_event_counter" -> ((s, dir) => {
+      Derive.eventCounter(events(s, dir), today(s, dir))
+        .select(col("entity"), col("total1"), col("total7"), col("total30"),
+          col("nodes_1d").cast("long").as("nodes_1d"),
+          col("nodes_7d").cast("long").as("nodes_7d"),
+          col("nodes_30d").cast("long").as("nodes_30d"),
+          col("ewma"), col("bin_ewma"))
+        .orderBy(col("entity"))
+    }),
+
+    "nerd_reputation" -> ((s, dir) =>
+      Derive.reputationWarden(events(s, dir), today(s, dir)).orderBy(col("entity"))),
+
+    "nerd_type_shares" -> ((s, dir) =>
+      Derive.typeShares(events(s, dir), today(s, dir))
+        .orderBy(col("entity"), col("event_type"))),
+
+    "nerd_retention" -> ((s, dir) =>
+      Derive.retention(events(s, dir), today(s, dir))
+        .select(col("entity"), col("kept_total"), col("dropped_total"),
+          col("kept_days").cast("long").as("kept_days"))
+        .orderBy(col("entity"))),
+
+    "nerd_ttl_expiry" -> ((s, dir) =>
+      Derive.ttlExpiry(events(s, dir), today(s, dir))
+        .orderBy(col("entity"))),
+
+    // -- read-side query surface (SURVEY §2.4/§2.7) --
+    "nerd_search_topk" -> ((s, dir) => {
+      val f = Search.SearchFilter(minRep = Some(0.07), minTotal = Some(60),
+        typesAll = Some(Seq("error")))
+      Search.search(snapshot(s, dir), f, "rep", asc = false, limit = 20)
+        .select(col("entity"), col("rep"), col("total"))
+    }),
+
+    "nerd_facet_counts" -> ((s, dir) => Search.facetCounts(events(s, dir))),
+
+    "nerd_prefix_agg" -> ((s, dir) => {
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+      Search.prefixSummary(rep.withColumnRenamed("rep", "rep").select(col("entity"), col("rep")), 4)
+    }),
+
+    "nerd_bulk_lookup" -> ((s, dir) => {
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+      val maxId = events(s, dir).agg(max(col("user_id"))).head.getLong(0)
+      val requests = s.range(0, maxId + 20, 3).toDF("entity").withColumn("idx", col("entity"))
+      Search.bulkRep(rep, requests).select(col("entity"), round(col("rep"), 6).as("rep"))
+    }),
+
+    "nerd_event_listing" -> ((s, dir) => {
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir)).filter(col("rep") >= 0.10)
+      Search.eventListing(events(s, dir), rep, 100)
+        .select(col("event_id"), col("ts_sec"), col("user_id"),
+          col("event_type"), round(col("value"), 2).as("value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "nerd_ingest_fold" ->
+      """SELECT user_id AS entity,
+        |  count(*) AS total,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT CAST(ts AS DATE) || '|' || event_type) AS n_buckets,
+        |  round(sum(value), 2) AS conns,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
+
+    "nerd_event_counter" ->
+      s"""WITH $MX,
+         |e AS (SELECT user_id, event_type, $AGE AS age FROM events, mx
+         |      WHERE $AGE >= 0 AND $AGE <= 30),
+         |d AS (SELECT user_id, age, count(*) AS n FROM e GROUP BY 1, 2),
+         |agg1 AS (
+         |  SELECT user_id AS entity,
+         |    CAST(sum(CASE WHEN age <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS total1,
+         |    CAST(sum(CASE WHEN age <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7,
+         |    count(*) AS total30,
+         |    count(DISTINCT CASE WHEN age <= 1 THEN event_type END) AS nodes_1d,
+         |    count(DISTINCT CASE WHEN age <= 7 THEN event_type END) AS nodes_7d,
+         |    count(DISTINCT event_type) AS nodes_30d
+         |  FROM e GROUP BY 1),
+         |agg2 AS (
+         |  SELECT user_id AS entity,
+         |    round(coalesce(sum(CASE WHEN age < 7 THEN n * 0.25 * pow(0.75, age) END), 0), 6) AS ewma,
+         |    round(coalesce(sum(CASE WHEN age < 7 THEN 0.25 * pow(0.75, age) END), 0), 6) AS bin_ewma
+         |  FROM d GROUP BY 1)
+         |SELECT agg1.*, agg2.ewma, agg2.bin_ewma
+         |FROM agg1 JOIN agg2 USING (entity)
+         |ORDER BY entity""".stripMargin,
+
+    "nerd_reputation" ->
+      s"""WITH $REP_CTE
+         |SELECT entity, rep FROM rep ORDER BY entity""".stripMargin,
+
+    "nerd_type_shares" ->
+      s"""WITH $MX,
+         |t AS (SELECT user_id AS entity, event_type, count(*) AS n
+         |      FROM events, mx WHERE $AGE >= 0 AND $AGE <= 30 GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY entity) AS BIGINT) AS total FROM t)
+         |SELECT entity, event_type, n, total,
+         |       round(n * 100.0 / total, 4) AS share_pct
+         |FROM w
+         |WHERE total >= 10 AND n * 100.0 / total >= 5
+         |ORDER BY entity, event_type""".stripMargin,
+
+    "nerd_retention" ->
+      s"""WITH $MX
+         |SELECT user_id AS entity,
+         |  CAST(sum(CASE WHEN $AGE <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS kept_total,
+         |  CAST(sum(CASE WHEN $AGE > 14 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_total,
+         |  count(DISTINCT CASE WHEN $AGE <= 14 THEN CAST(ts AS DATE) END) AS kept_days
+         |FROM events, mx
+         |GROUP BY 1
+         |ORDER BY entity""".stripMargin,
+
+    "nerd_ttl_expiry" ->
+      s"""WITH $MX,
+         |p AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
+         |        CAST(sum(CASE WHEN $AGE <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7
+         |      FROM events, mx GROUP BY 1)
+         |SELECT entity, last_day, total7,
+         |  last_day + 14 AS ttl_warden,
+         |  CASE WHEN total7 > 50 THEN last_day + 30 END AS ttl_highly_active,
+         |  greatest(last_day + 14, coalesce(CASE WHEN total7 > 50 THEN last_day + 30 END, last_day + 14)) AS ttl_max,
+         |  CAST(greatest(last_day + 14, coalesce(CASE WHEN total7 > 50 THEN last_day + 30 END, last_day + 14))
+         |       < (SELECT today FROM mx) AS INT) AS expired
+         |FROM p
+         |ORDER BY entity""".stripMargin,
+
+    "nerd_search_topk" ->
+      s"""WITH $REP_CTE,
+         |tot AS (
+         |  SELECT user_id AS entity, count(*) AS total,
+         |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+         |  FROM events, mx WHERE $AGE >= 0 AND $AGE <= 30 GROUP BY 1)
+         |SELECT r.entity, r.rep, t.total
+         |FROM rep r JOIN tot t USING (entity)
+         |WHERE r.rep >= 0.07 AND t.total >= 60 AND t.has_error = 1
+         |ORDER BY r.rep DESC, r.entity
+         |LIMIT 20""".stripMargin,
+
+    "nerd_facet_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_entities, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "nerd_prefix_agg" ->
+      s"""WITH $REP_CTE
+         |SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
+         |       round(sum(rep) / 16, 6) AS prefix_rep,
+         |       count(*) AS n_members,
+         |       round(max(rep), 6) AS max_rep
+         |FROM rep
+         |GROUP BY 1
+         |ORDER BY prefix""".stripMargin,
+
+    "nerd_bulk_lookup" ->
+      s"""WITH $REP_CTE,
+         |req AS (SELECT unnest(generate_series(0, (SELECT max(user_id) + 19 FROM events), 3)) AS entity)
+         |SELECT req.entity, round(coalesce(rep.rep, 0.0), 6) AS rep
+         |FROM req LEFT JOIN rep USING (entity)
+         |ORDER BY entity""".stripMargin,
+
+    "nerd_event_listing" ->
+      s"""WITH $REP_CTE,
+         |sel AS (SELECT entity FROM rep WHERE rep >= 0.10)
+         |SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, user_id,
+         |       event_type, round(value, 2) AS value
+         |FROM events
+         |WHERE user_id IN (SELECT entity FROM sel)
+         |ORDER BY ts_sec DESC, event_id
+         |LIMIT 100""".stripMargin
+  )
 }

@@ -1,0 +1,123 @@
+package graft.derive
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** NERD's derivation modules re-expressed as declarative column transforms
+  * over the raw event table. The reference recomputes these per entity record
+  * from the embedded per-day counters each `!every1d` (SURVEY §2.6); here each
+  * stage is a `DataFrame => DataFrame` that Catalyst plans as partial-agg +
+  * final-agg (map-side combine), so the same formulas hold at 100 TB with one
+  * shuffle per stage keyed on the entity.
+  *
+  * All stages take `today` explicitly — every NERD window is relative to the
+  * processing day (`event_counter.py:77–105`), and determinism requires the
+  * caller to pin it (SURVEY §7.3).
+  */
+object Derive {
+
+  /** `1 - coef^(v/scale)`, capped to 1.0 above 20 scale units — the reference
+    * `nonlin` (`modules/reputation.py:16–21`).
+    */
+  def nonlin(v: Column, scale: Double, coef: Double = 0.5): Column =
+    when(v / scale > 20d, 1.0d).otherwise(lit(1.0d) - pow(lit(coef), v / scale))
+
+  private def withAge(events: DataFrame, today: String): DataFrame =
+    events.withColumn("age", datediff(lit(today).cast("date"), to_date(col("ts"))))
+
+  /** Event counters over 1/7/30-day trailing windows + EWMA / binary EWMA
+    * (`modules/event_counter.py:52–116`): windows are inclusive
+    * (`days_diff <= N`), EWMA weights `0.25 * 0.75^age` for `age < 7`, binary
+    * EWMA weights presence of any event that day. "Detector nodes" are played
+    * by `event_type` (TESTDATA mapping).
+    *
+    * Two-level aggregation: per (entity, age) day-buckets first — the exact
+    * shape the reference stores inside each record — then per entity.
+    */
+  def eventCounter(events: DataFrame, today: String): DataFrame = {
+    val perDay = withAge(events, today)
+      .filter(col("age") <= 30 && col("age") >= 0)
+      .groupBy(col("user_id").as("entity"), col("age"))
+      .agg(count(lit(1)).as("n"), collect_set(col("event_type")).as("types"))
+    val w = lit(0.25d) * pow(lit(0.75d), col("age"))
+    perDay.groupBy(col("entity")).agg(
+      sum(when(col("age") <= 1, col("n")).otherwise(0L)).as("total1"),
+      sum(when(col("age") <= 7, col("n")).otherwise(0L)).as("total7"),
+      sum(col("n")).as("total30"),
+      size(array_distinct(flatten(collect_list(when(col("age") <= 1, col("types")))))).as("nodes_1d"),
+      size(array_distinct(flatten(collect_list(when(col("age") <= 7, col("types")))))).as("nodes_7d"),
+      size(array_distinct(flatten(collect_list(col("types"))))).as("nodes_30d"),
+      round(sum(when(col("age") < 7, col("n") * w).otherwise(0d)), 6).as("ewma"),
+      round(sum(when(col("age") < 7, w).otherwise(0d)), 6).as("bin_ewma"))
+  }
+
+  /** Warden partial reputation (`modules/reputation.py:100–136` with
+    * `etc/reputation.yml` warden params): over ages 0..13, daily score
+    * `nonlin(events, 10) * nonlin(detectors, 2)`, linear-decay weight
+    * `(14 - age)/14`, normalized by the full-window weight sum 7.5 (absent
+    * days contribute 0 because `nonlin(0) = 0`).
+    */
+  def reputationWarden(events: DataFrame, today: String): DataFrame = {
+    val dateRange = 14
+    val sumWeights = (1 to dateRange).map(_.toDouble / dateRange).sum // 7.5
+    val daily = withAge(events, today)
+      .filter(col("age") >= 0 && col("age") < dateRange)
+      .groupBy(col("user_id").as("entity"), col("age"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_detectors"))
+    val weight = (lit(dateRange.toDouble) - col("age")) / dateRange.toDouble
+    val dailyRep = nonlin(col("n_events"), 10d) * nonlin(col("n_detectors"), 2d)
+    daily.groupBy(col("entity"))
+      .agg(round(sum(dailyRep * weight) / sumWeights, 6).as("rep"))
+  }
+
+  /** Significant event types (`modules/event_type_counter.py:41–104`): over the
+    * trailing `days` window, emit types whose share is >= `thresholdPct`% of
+    * the entity's total, provided the total reaches `minEvents`.
+    */
+  def typeShares(events: DataFrame, today: String, days: Int = 30,
+                 thresholdPct: Double = 5d, minEvents: Long = 10L): DataFrame = {
+    val perType = withAge(events, today)
+      .filter(col("age") >= 0 && col("age") <= days)
+      .groupBy(col("user_id").as("entity"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val withTotal = perType.withColumn("total",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("entity"))))
+    withTotal
+      .filter(col("total") >= minEvents &&
+        col("n") * 100d / col("total") >= thresholdPct)
+      .select(col("entity"), col("event_type"), col("n"), col("total"),
+        round(col("n") * 100d / col("total"), 4).as("share_pct"))
+  }
+
+  /** Retention cleaning (`modules/cleaner.py:64–202`): drop per-day event
+    * buckets older than `maxAgeDays` and recompute `events_meta.total`.
+    * Returns per-entity (kept buckets, kept total, dropped total).
+    */
+  def retention(events: DataFrame, today: String, maxAgeDays: Int = 14): DataFrame =
+    withAge(events, today)
+      .groupBy(col("user_id").as("entity"))
+      .agg(
+        sum(when(col("age") <= maxAgeDays, 1L).otherwise(0L)).as("kept_total"),
+        sum(when(col("age") > maxAgeDays, 1L).otherwise(0L)).as("dropped_total"),
+        countDistinct(when(col("age") <= maxAgeDays, to_date(col("ts")))).as("kept_days"))
+
+  /** TTL expiry (`modules/cleaner.py:204–241` + `modules/ttl_updater.py:46–77`):
+    * each source stamps a TTL token (`setmax`); entities whose newest token is
+    * in the past are deleted (`!DELETE`), the highly-active rule extends life
+    * when `total7 > threshold`.
+    */
+  def ttlExpiry(events: DataFrame, today: String, wardenTtlDays: Int = 14,
+                highlyActiveThreshold: Long = 50L, highlyActiveTtlDays: Int = 30): DataFrame = {
+    val perEntity = withAge(events, today)
+      .groupBy(col("user_id").as("entity"))
+      .agg(
+        max(to_date(col("ts"))).as("last_day"),
+        sum(when(col("age") <= 7, 1L).otherwise(0L)).as("total7"))
+    perEntity
+      .withColumn("ttl_warden", date_add(col("last_day"), wardenTtlDays))
+      .withColumn("ttl_highly_active",
+        when(col("total7") > highlyActiveThreshold, date_add(col("last_day"), highlyActiveTtlDays)))
+      .withColumn("ttl_max", greatest(col("ttl_warden"), coalesce(col("ttl_highly_active"), col("ttl_warden"))))
+      .withColumn("expired", (col("ttl_max") < lit(today).cast("date")).cast("int"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ingest
+
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.fold.UpdateTask
+import graft.ops.TaskCodec
+import graft.ops.UpdateAlgebra._
+
+/** Derives update tasks from the `events` stream table, the analogue of the
+  * reference's alert-ingest op derivation (`NERDd/warden_receiver.py:551–578`):
+  * per alert it issues `array_upsert events{date,cat} [add n, add conns]`,
+  * `add events_meta.total`, `setmax last_activity`, and a `setmax`-merged TTL
+  * token (`:555–563`).
+  *
+  * Table mapping: entity = `user_id`, category = `event_type`, conns =
+  * `value`, detect time = `ts`.
+  */
+object EventTasks {
+  val TtlWardenSecs: Long = 14L * 86400 // record_life_length.warden (etc/nerd.yml)
+
+  private val utc = ZoneOffset.UTC
+
+  private def dateStr(epochSec: Long): String =
+    Instant.ofEpochSecond(epochSec).atZone(utc).toLocalDate.toString
+
+  private case class Ev(event_id: Long, epoch: Long, user_id: Long, event_type: String, value: Double)
+
+  private def toEv(events: DataFrame): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .select($"event_id", unix_timestamp($"ts").as("epoch"), $"user_id", $"event_type", $"value")
+      .as[Ev]
+  }
+
+  /** One task per raw event — the faithful per-alert derivation. */
+  def tasks(events: DataFrame): Dataset[UpdateTask] = {
+    import events.sparkSession.implicits._
+    toEv(events).map { e =>
+      val d = dateStr(e.epoch)
+      val ops = Seq(
+        ArrayUpsert("events", Seq("date" -> d, "cat" -> e.event_type),
+          Seq(AddNum("n", 1L), AddNum("conns", e.value))),
+        AddNum("events_meta.total", 1L),
+        AddToSet("events_meta.types", e.event_type),
+        SetMax("last_activity", e.epoch),
+        SetMax("_ttl.warden", e.epoch + TtlWardenSecs))
+      UpdateTask("ip", e.user_id, e.event_id, "warden_receiver", TaskCodec.render(ops))
+    }
+  }
+
+  /** Pre-aggregated variant: one task per (entity, day, category). All ingest
+    * ops are commutative-monoid ops (`add`, `setmax`, `add_to_set`), so a
+    * relational pre-aggregation (map-side combine before the fold's shuffle)
+    * produces identical records while bounding per-key work — this is what
+    * keeps one hot entity with millions of alerts from serializing into one
+    * task iterator at 100 TB.
+    */
+  def preAggregated(events: DataFrame): Dataset[UpdateTask] = {
+    import events.sparkSession.implicits._
+    toEv(events)
+      .groupBy($"user_id", $"event_type", expr("to_date(timestamp_seconds(epoch))").as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"value").as("conns"),
+        max($"epoch").as("max_epoch"),
+        min($"event_id").as("seq"))
+      .as[(Long, String, java.sql.Date, Long, Double, Long, Long)]
+      .map { case (uid, cat, day, cnt, conns, maxEpoch, seq) =>
+        val ops = Seq(
+          ArrayUpsert("events", Seq("date" -> day.toString, "cat" -> cat),
+            Seq(AddNum("n", cnt), AddNum("conns", conns))),
+          AddNum("events_meta.total", cnt),
+          AddToSet("events_meta.types", cat),
+          SetMax("last_activity", maxEpoch),
+          SetMax("_ttl.warden", maxEpoch + TtlWardenSecs))
+        UpdateTask("ip", uid, seq, "warden_receiver", TaskCodec.render(ops))
+      }
+  }
+
+  /** Flat projection of a folded entity record for the correctness gate. */
+  case class FoldedEntity(entity: Long, total: Long, types: String, n_buckets: Long,
+                          conns: Double, last_activity: Long, ttl_warden: Long)
+
+  def projectFolded(eid: Long, rec: Rec): FoldedEntity = {
+    val meta = rec("events_meta").asInstanceOf[Rec]
+    val evs = rec("events").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+    val conns = evs.map(_.asInstanceOf[Rec]("conns").asInstanceOf[Double]).sum
+    val types = meta("types").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+      .map(_.toString).sorted.mkString(",")
+    FoldedEntity(
+      entity = eid,
+      total = meta("total").asInstanceOf[Long],
+      types = types,
+      n_buckets = evs.length.toLong,
+      conns = conns, // rounded at the query edge (Spark round == DuckDB round, HALF_UP)
+      last_activity = rec("last_activity").asInstanceOf[Long],
+      ttl_warden = rec("_ttl").asInstanceOf[Rec]("warden").asInstanceOf[Long])
+  }
+}

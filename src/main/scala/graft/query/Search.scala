@@ -1,0 +1,97 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** NERD's read-side query surface (`NERDweb/nerd_main.py:965–1045` filter
+  * algebra, `:1082–1085` sort/limit, `:2288–2335` prefix summary,
+  * `:2408–2468` bulk lookup, `scripts/update_db_meta_info.js` facet counts)
+  * over a derived entity snapshot.
+  *
+  * Everything here is a declarative `Column` conjunction over a columnar
+  * snapshot: Catalyst pushes the predicates into the scan (min/max row-group
+  * skipping replaces every secondary index the reference maintains —
+  * `install/mongo_prepare_db.js:8–33`), and top-k compiles to
+  * `TakeOrderedAndProject`, which never materializes a full sort at scale.
+  */
+object Search {
+
+  /** Conjunctive search filter (subset of `create_query`'s algebra matching
+    * the snapshot's columns; each `Option` = one form field).
+    */
+  case class SearchFilter(
+      entityRange: Option[(Long, Long)] = None,          // subnet range on int id
+      entityIn: Option[Seq[Long]] = None,                // explicit IP list
+      minRep: Option[Double] = None,                     // reputation threshold
+      minTotal: Option[Long] = None,                     // events_meta.total >= n
+      typesAny: Option[Seq[String]] = None,              // event category membership (OR)
+      typesAll: Option[Seq[String]] = None)              // event category membership (AND)
+
+  def compile(f: SearchFilter): Column = {
+    val conds = Seq(
+      f.entityRange.map { case (lo, hi) => col("entity").between(lo, hi) },
+      f.entityIn.map(ids => col("entity").isInCollection(ids)),
+      f.minRep.map(t => col("rep") >= t),
+      f.minTotal.map(t => col("total") >= t),
+      f.typesAny.map(ts => ts.map(t => array_contains(col("types_arr"), t)).reduce(_ || _)),
+      f.typesAll.map(ts => ts.map(t => array_contains(col("types_arr"), t)).reduce(_ && _))
+    ).flatten
+    if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+  }
+
+  /** search → sort → limit (`nerd_main.py:1082–1085`). Sort keys get a
+    * deterministic entity tiebreak (the reference tiebreaks on Mongo's `_id`
+    * index order).
+    */
+  def search(snapshot: DataFrame, f: SearchFilter, sortKey: String,
+             asc: Boolean, limit: Int): DataFrame = {
+    val k = if (asc) col(sortKey).asc else col(sortKey).desc
+    snapshot.filter(compile(f)).orderBy(k, col("entity").asc).limit(limit)
+  }
+
+  /** Bulk reputation lookup (`nerd_main.py:2408–2468`): left join requested
+    * keys against the snapshot, missing entities score 0.0, input order
+    * preserved via the request index.
+    */
+  def bulkRep(snapshot: DataFrame, requests: DataFrame): DataFrame =
+    requests
+      .join(snapshot.select(col("entity"), col("rep")), Seq("entity"), "left")
+      .na.fill(0.0, Seq("rep"))
+      .orderBy(col("idx"))
+
+  /** Facet counts (`scripts/update_db_meta_info.js`): distinct entities per
+    * event category — the materialized aggregate behind the search form.
+    */
+  def facetCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_entities"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Prefix aggregation (`scripts/set_prefix_repscore.js` + `/api/v1/prefix`,
+    * `nerd_main.py:2288–2335`): average reputation over the *full* prefix size
+    * (absent members count as 0), plus member count.
+    */
+  def prefixSummary(snapshot: DataFrame, prefixBits: Int): DataFrame = {
+    val prefixSize = 1L << prefixBits
+    snapshot
+      .groupBy((col("entity") / prefixSize).cast("long").as("prefix"))
+      .agg(
+        round(sum(col("rep")) / prefixSize, 6).as("prefix_rep"),
+        count(lit(1)).as("n_members"),
+        round(max(col("rep")), 6).as("max_rep"))
+      .orderBy(col("prefix"))
+  }
+
+  /** Event listing (`common/eventdb_psql.py:69–72`): latest N events for the
+    * entities selected by a snapshot filter — join + `ORDER BY detecttime
+    * DESC LIMIT n` with a deterministic id tiebreak. Ordering is on
+    * second-truncated time (`ts_sec`) so the cutoff is reproducible across
+    * engines with different sub-second precision.
+    */
+  def eventListing(events: DataFrame, entities: DataFrame, limit: Int): DataFrame =
+    events
+      .join(entities.select(col("entity").as("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .orderBy(col("ts_sec").desc, col("event_id").asc)
+      .limit(limit)
+}

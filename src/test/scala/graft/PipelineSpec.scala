@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke over sf0.001: the flagship entry plus every declared
+  * query must produce rows and agree between the fold path and the relational
+  * path where both exist (SURVEY §7.3 equivalence requirement).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every query has matching oracle keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("fold path equals relational path (per-event tasks vs pre-aggregated)") {
+    import graft.fold.EntityFold
+    import graft.ingest.EventTasks
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = 1706659200L
+    val a = EntityFold.applyTasks(EventTasks.tasks(ev), now)(EventTasks.projectFolded)
+      .toDF().withColumn("conns", org.apache.spark.sql.functions.round($"conns", 2))
+      .orderBy($"entity").collect()
+    val b = EntityFold.applyTasks(EventTasks.preAggregated(ev), now)(EventTasks.projectFolded)
+      .toDF().withColumn("conns", org.apache.spark.sql.functions.round($"conns", 2))
+      .orderBy($"entity").collect()
+    assert(a.sameElements(b))
+  }
+}
