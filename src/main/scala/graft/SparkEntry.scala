@@ -173,7 +173,10 @@ object SparkEntry {
     }),
 
     "nerd_event_listing" -> ((s, dir) => {
-      val rep = Derive.reputationWarden(events(s, dir), today(s, dir)).filter(col("rep") >= 0.10)
+      // Scale-aware selector: worst-10 entities by reputation (a fixed
+      // threshold matches nobody at small scale factors).
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+        .orderBy(col("rep").desc, col("entity")).limit(10)
       Search.eventListing(events(s, dir), rep, 100)
         .select(col("event_id"), col("ts_sec"), col("user_id"),
           col("event_type"), round(col("value"), 2).as("value"))
@@ -318,7 +321,7 @@ object SparkEntry {
 
     "nerd_event_listing" ->
       s"""WITH $REP_CTE,
-         |sel AS (SELECT entity FROM rep WHERE rep >= 0.10)
+         |sel AS (SELECT entity FROM rep ORDER BY rep DESC, entity LIMIT 10)
          |SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, user_id,
          |       event_type, round(value, 2) AS value
          |FROM events

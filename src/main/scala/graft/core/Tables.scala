@@ -20,6 +20,9 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // All day bucketing and the DuckDB oracles assume UTC; pin it here so a
+    // driver-provided session (which may not set it) gets the same windows.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -18,6 +18,11 @@ import graft.ops.UpdateAlgebra._
   * Table mapping: entity = `user_id`, category = `event_type`, conns =
   * `value`, detect time = `ts`.
   */
+/** One normalized alert row. Top-level (not nested/private) because Spark's
+  * generated deserializer (`SpecificSafeProjection`) must instantiate it.
+  */
+case class Ev(event_id: Long, epoch: Long, user_id: Long, event_type: String, value: Double)
+
 object EventTasks {
   val TtlWardenSecs: Long = 14L * 86400 // record_life_length.warden (etc/nerd.yml)
 
@@ -25,8 +30,6 @@ object EventTasks {
 
   private def dateStr(epochSec: Long): String =
     Instant.ofEpochSecond(epochSec).atZone(utc).toLocalDate.toString
-
-  private case class Ev(event_id: Long, epoch: Long, user_id: Long, event_type: String, value: Double)
 
   private def toEv(events: DataFrame): Dataset[Ev] = {
     import events.sparkSession.implicits._

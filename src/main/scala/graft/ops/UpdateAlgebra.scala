@@ -83,33 +83,44 @@ object UpdateAlgebra {
   }
 
   /** Walk a dot-path to the innermost container; create missing intermediate
-    * objects (reference `:97–107`). Decimal segments index into arrays.
-    * Returns (container, lastKey).
+    * objects (reference `:97–107`). Decimal segments index into arrays at the
+    * current position (reference `update_manager.py:100–101` does
+    * `rec[int(first_key)]`), so e.g. `set events.0.n` addresses the first
+    * element of the `events` array. An out-of-range index or a numeric segment
+    * over a non-array throws, matching the reference's uncaught IndexError.
+    * Returns (container, lastKey); the final segment must land in an object.
     */
   private def descend(rec: Rec, path: String): (Rec, String) = {
-    var cur = rec
+    var cur: Any = rec
     var key = path
     while (key.contains('.')) {
       val i = key.indexOf('.')
       val first = key.substring(0, i)
       key = key.substring(i + 1)
-      if (first.nonEmpty && first.forall(_.isDigit)) {
-        // array index — the *current* value at this point must be an array;
-        // reference indexes rec[int(first_key)] directly.
-        throw new IllegalArgumentException(
-          "array-index path segments are only valid inside array_update actions")
-      } else {
-        cur.get(first) match {
-          case Some(m: mutable.LinkedHashMap[_, _]) =>
-            cur = m.asInstanceOf[Rec]
-          case _ =>
-            val m = newRec()
-            cur.update(first, m)
-            cur = m
-        }
+      cur = (cur, first.nonEmpty && first.forall(_.isDigit)) match {
+        case (arr: mutable.ArrayBuffer[_], true) =>
+          val idx = first.toInt
+          if (idx >= arr.length) throw new IllegalArgumentException(
+            s"array index $idx out of range (size ${arr.length}) in path $path")
+          arr(idx)
+        case (m: mutable.LinkedHashMap[_, _], _) =>
+          val r = m.asInstanceOf[Rec]
+          r.get(first) match {
+            case Some(v @ (_: mutable.LinkedHashMap[_, _] | _: mutable.ArrayBuffer[_])) => v
+            case _ =>
+              val nm = newRec()
+              r.update(first, nm)
+              nm
+          }
+        case (other, _) => throw new IllegalArgumentException(
+          s"cannot descend segment '$first' into $other (path $path)")
       }
     }
-    (cur, key)
+    cur match {
+      case m: mutable.LinkedHashMap[_, _] => (m.asInstanceOf[Rec], key)
+      case other => throw new IllegalArgumentException(
+        s"path $path ends inside non-object $other")
+    }
   }
 
   private def matches(item: Any, query: Seq[(String, Any)]): Boolean = item match {
@@ -243,7 +254,10 @@ object UpdateAlgebra {
     */
   def applyTask(existing: Option[Rec], ops: Seq[UpdateOp], now: Long,
                 eid: Any): (Option[Rec], Boolean, Seq[(String, Any)]) = {
-    val allWeak = ops.nonEmpty && ops.forall(_.weak)
+    // An empty op list is vacuously all-weak: the reference initializes
+    // weak_op=True and never flips it for [], so an absent record stays
+    // absent (`update_manager.py:573–589`).
+    val allWeak = ops.forall(_.weak)
     existing match {
       case None if allWeak => (None, false, Seq.empty)
       case _ =>

@@ -106,6 +106,24 @@ class UpdateAlgebraSpec extends AnyFunSuite {
     assert(deleted.isEmpty)
   }
 
+  test("empty op list on absent record is a no-op (weak semantics)") {
+    val (none, created, changes) = applyTask(None, Seq.empty, 0L, 42L)
+    assert(none.isEmpty && !created && changes.isEmpty)
+    // but on an existing record it still refreshes ts_last_update
+    val r = rec(); r.update("_id", 42L)
+    val (some, _, _) = applyTask(Some(r), Seq.empty, 99L, 42L)
+    assert(some.get("ts_last_update") == 99L)
+  }
+
+  test("numeric path segments index into arrays (reference update_manager.py:100–101)") {
+    val r = rec()
+    performUpdate(r, ArrayUpsert("events", Seq("cat" -> "scan"), Seq(AddNum("n", 1L))))
+    performUpdate(r, SetVal("events.0.n", 7L))
+    val arr = r("events").asInstanceOf[mutable.ArrayBuffer[Any]]
+    assert(arr(0).asInstanceOf[Rec]("n") == 7L)
+    intercept[IllegalArgumentException] { performUpdate(r, SetVal("events.5.n", 1L)) }
+  }
+
   test("codec round-trips the wire format") {
     val ops = Seq(
       ArrayUpsert("events", Seq("date" -> "2024-01-01", "cat" -> "scan"),
