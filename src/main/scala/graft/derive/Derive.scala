@@ -70,6 +70,40 @@ object Derive {
       .agg(round(sum(dailyRep * weight) / sumWeights, 6).as("rep"))
   }
 
+  /** Single-pass entity snapshot: counters (1/7/30d), EWMA, warden reputation
+    * and the 30-day type set from ONE `groupBy(entity, age)` →
+    * `groupBy(entity)` chain — the per-day bucket shape the reference stores
+    * inside each record feeds every derivation, so at scale this is 2 shuffles
+    * instead of one per module (`event_counter.py:52–116` +
+    * `reputation.py:100–136` + type set fused).
+    */
+  def snapshot(events: DataFrame, today: String): DataFrame = {
+    val dateRange = 14
+    val sumWeights = (1 to dateRange).map(_.toDouble / dateRange).sum // 7.5
+    val perDay = withAge(events, today)
+      .filter(col("age") >= 0 && col("age") <= 30)
+      .groupBy(col("user_id").as("entity"), col("age"))
+      .agg(
+        count(lit(1)).as("n"),
+        collect_set(col("event_type")).as("types"),
+        countDistinct(col("event_type")).as("det"))
+    val w = lit(0.25d) * pow(lit(0.75d), col("age"))
+    val repWeight = (lit(dateRange.toDouble) - col("age")) / dateRange.toDouble
+    val dailyRep = nonlin(col("n"), 10d) * nonlin(col("det"), 2d)
+    perDay.groupBy(col("entity")).agg(
+      sum(when(col("age") <= 1, col("n")).otherwise(0L)).as("total1"),
+      sum(when(col("age") <= 7, col("n")).otherwise(0L)).as("total7"),
+      sum(col("n")).as("total30"),
+      size(array_distinct(flatten(collect_list(when(col("age") <= 1, col("types")))))).as("nodes_1d"),
+      size(array_distinct(flatten(collect_list(when(col("age") <= 7, col("types")))))).as("nodes_7d"),
+      size(array_distinct(flatten(collect_list(col("types"))))).as("nodes_30d"),
+      round(sum(when(col("age") < 7, col("n") * w).otherwise(0d)), 6).as("ewma"),
+      round(sum(when(col("age") < 7, w).otherwise(0d)), 6).as("bin_ewma"),
+      round(sum(when(col("age") < dateRange, dailyRep * repWeight).otherwise(0d)) / sumWeights, 6).as("rep"),
+      sort_array(array_distinct(flatten(collect_list(col("types"))))).as("types_arr"))
+      .withColumn("total", col("total30"))
+  }
+
   /** Significant event types (`modules/event_type_counter.py:41–104`): over the
     * trailing `days` window, emit types whose share is >= `thresholdPct`% of
     * the entity's total, provided the total reaches `minEvents`.

@@ -1,9 +1,9 @@
 package graft.fold
 
-import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 import graft.ops.{TaskCodec, UpdateAlgebra}
-import graft.ops.UpdateAlgebra.Rec
+import graft.ops.UpdateAlgebra.{Rec, UpdateOp}
 
 /** One update task on one entity (wire form; ops is a JSON op list,
   * FIXTURES.md §3). `seq` is the total order within an entity — the reference
@@ -12,6 +12,13 @@ import graft.ops.UpdateAlgebra.Rec
   * the same guarantee from the shuffle in `groupByKey` plus an explicit sort.
   */
 case class UpdateTask(etype: String, eid: Long, seq: Long, src: String, ops: String)
+
+/** Internal-pipeline task: ops stay typed through the shuffle (Kryo-encoded).
+  * The JSON wire format is an *external boundary* concern only — rendering
+  * and re-parsing it inside one job would cost billions of string round-trips
+  * at 100 TB for data that never leaves the pipeline.
+  */
+case class TypedTask(etype: String, eid: Long, seq: Long, src: String, ops: Seq[UpdateOp])
 
 /** Persisted entity state: dynamic-schema record as JSON (snapshot format). */
 case class EntityState(etype: String, eid: Long, json: String)
@@ -37,11 +44,25 @@ object EntityFold {
   def applyTasks[T: Encoder](tasks: Dataset[UpdateTask], now: Long)
                             (project: (Long, Rec) => T): Dataset[T] = {
     import tasks.sparkSession.implicits._
+    applyTypedTasks(tasks.map(t =>
+      TypedTask(t.etype, t.eid, t.seq, t.src, TaskCodec.parse(t.ops)))(typedTaskEncoder),
+      now)(project)
+  }
+
+  /** Kryo for the typed task (the op ADT holds `Any` values, so no product
+    * encoder exists); keys and outputs keep product encoders.
+    */
+  implicit val typedTaskEncoder: Encoder[TypedTask] = Encoders.kryo[TypedTask]
+
+  /** Same fold, no codec in the hot path: ops arrive typed. */
+  def applyTypedTasks[T: Encoder](tasks: Dataset[TypedTask], now: Long)
+                                 (project: (Long, Rec) => T): Dataset[T] = {
+    import tasks.sparkSession.implicits._
     tasks
       .groupByKey(t => (t.etype, t.eid))
       .flatMapGroups { (key, it) =>
         val (_, eid) = key
-        foldAll(None, it, now, eid).map(r => project(eid, r)).iterator
+        foldTyped(None, it, now, eid).map(r => project(eid, r)).iterator
       }
   }
 
@@ -67,12 +88,17 @@ object EntityFold {
   }
 
   private def foldAll(initial: Option[Rec], it: Iterator[UpdateTask], now: Long,
-                      eid: Long): Option[Rec] = {
+                      eid: Long): Option[Rec] =
+    foldTyped(initial,
+      it.map(t => TypedTask(t.etype, t.eid, t.seq, t.src, TaskCodec.parse(t.ops))),
+      now, eid)
+
+  private def foldTyped(initial: Option[Rec], it: Iterator[TypedTask], now: Long,
+                        eid: Long): Option[Rec] = {
     val sorted = it.toArray.sortBy(t => (t.seq, t.src))
     var rec: Option[Rec] = initial
     sorted.foreach { t =>
-      val ops = TaskCodec.parse(t.ops)
-      rec = UpdateAlgebra.applyTask(rec, ops, now, eid)._1
+      rec = UpdateAlgebra.applyTask(rec, t.ops, now, eid)._1
     }
     rec
   }

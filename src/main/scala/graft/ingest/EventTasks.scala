@@ -5,8 +5,7 @@ import java.time.{Instant, ZoneOffset}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.fold.UpdateTask
-import graft.ops.TaskCodec
+import graft.fold.{EntityFold, TypedTask}
 import graft.ops.UpdateAlgebra._
 
 /** Derives update tasks from the `events` stream table, the analogue of the
@@ -38,9 +37,12 @@ object EventTasks {
       .as[Ev]
   }
 
-  /** One task per raw event — the faithful per-alert derivation. */
-  def tasks(events: DataFrame): Dataset[UpdateTask] = {
-    import events.sparkSession.implicits._
+  /** One task per raw event — the faithful per-alert derivation. Ops stay
+    * typed end-to-end (`TypedTask`); the JSON wire codec is reserved for
+    * genuinely external task sources (VERDICT r1 #4: no intra-job round-trip).
+    */
+  def tasks(events: DataFrame): Dataset[TypedTask] = {
+    implicit val enc = EntityFold.typedTaskEncoder
     toEv(events).map { e =>
       val d = dateStr(e.epoch)
       val ops = Seq(
@@ -50,7 +52,7 @@ object EventTasks {
         AddToSet("events_meta.types", e.event_type),
         SetMax("last_activity", e.epoch),
         SetMax("_ttl.warden", e.epoch + TtlWardenSecs))
-      UpdateTask("ip", e.user_id, e.event_id, "warden_receiver", TaskCodec.render(ops))
+      TypedTask("ip", e.user_id, e.event_id, "warden_receiver", ops)
     }
   }
 
@@ -61,8 +63,9 @@ object EventTasks {
     * keeps one hot entity with millions of alerts from serializing into one
     * task iterator at 100 TB.
     */
-  def preAggregated(events: DataFrame): Dataset[UpdateTask] = {
+  def preAggregated(events: DataFrame): Dataset[TypedTask] = {
     import events.sparkSession.implicits._
+    implicit val enc = EntityFold.typedTaskEncoder
     toEv(events)
       .groupBy($"user_id", $"event_type", expr("to_date(timestamp_seconds(epoch))").as("day"))
       .agg(
@@ -79,7 +82,7 @@ object EventTasks {
           AddToSet("events_meta.types", cat),
           SetMax("last_activity", maxEpoch),
           SetMax("_ttl.warden", maxEpoch + TtlWardenSecs))
-        UpdateTask("ip", uid, seq, "warden_receiver", TaskCodec.render(ops))
+        TypedTask("ip", uid, seq, "warden_receiver", ops)
       }
   }
 

@@ -33,16 +33,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("JSON wire-format fold path equals typed fold path") {
+    import graft.fold.{EntityFold, UpdateTask}
+    import graft.ingest.EventTasks
+    import graft.ops.TaskCodec
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = 1706659200L
+    val typed = EventTasks.preAggregated(ev)
+    val wire = typed.map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+    val a = EntityFold.applyTypedTasks(typed, now)(EventTasks.projectFolded)
+      .toDF().orderBy($"entity").collect()
+    val b = EntityFold.applyTasks(wire, now)(EventTasks.projectFolded)
+      .toDF().orderBy($"entity").collect()
+    assert(a.sameElements(b))
+  }
+
   test("fold path equals relational path (per-event tasks vs pre-aggregated)") {
     import graft.fold.EntityFold
     import graft.ingest.EventTasks
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
     val now = 1706659200L
-    val a = EntityFold.applyTasks(EventTasks.tasks(ev), now)(EventTasks.projectFolded)
+    val a = EntityFold.applyTypedTasks(EventTasks.tasks(ev), now)(EventTasks.projectFolded)
       .toDF().withColumn("conns", org.apache.spark.sql.functions.round($"conns", 2))
       .orderBy($"entity").collect()
-    val b = EntityFold.applyTasks(EventTasks.preAggregated(ev), now)(EventTasks.projectFolded)
+    val b = EntityFold.applyTypedTasks(EventTasks.preAggregated(ev), now)(EventTasks.projectFolded)
       .toDF().withColumn("conns", org.apache.spark.sql.functions.round($"conns", 2))
       .orderBy($"entity").collect()
     assert(a.sameElements(b))
