@@ -9,6 +9,7 @@ import graft.core.Tables
 import graft.derive.Derive
 import graft.fold.EntityFold
 import graft.ingest.EventTasks
+import graft.llm.{Ann, Dedup, Multimodal, Simhash, TextStats}
 import graft.query.Search
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -179,8 +180,70 @@ object SparkEntry {
       Search.eventListing(events(s, dir), rep, 100)
         .select(col("event_id"), col("ts_sec"), col("user_id"),
           col("event_type"), round(col("value"), 2).as("value"))
-    })
+    }),
+
+    // -- LLM training-data pipeline operators (driver mandate; graft.llm) --
+    "llm_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir)).orderBy(col("keeper"))),
+
+    "llm_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprint(Tables.documents(s, dir)).orderBy(col("keeper"))),
+
+    "llm_near_dedup" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
+        .orderBy(col("d1"), col("d2"))),
+
+    "llm_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir))
+        .orderBy(col("d1"), col("d2"))),
+
+    "llm_simhash" -> ((s, dir) =>
+      Simhash.nearDupPairs(Tables.documents(s, dir), maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("d1"), col("d2"))),
+
+    "llm_ann_topk" -> ((s, dir) =>
+      Ann.bruteTopK(Tables.embeddings(s, dir), queryMaxId = 5, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "llm_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), queryMaxId = 5, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))),
+
+    "llm_text_stats" -> ((s, dir) =>
+      TextStats.stats(Tables.documents(s, dir))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_distinct", col("n_distinct").cast("long"))
+        .orderBy(col("doc_id"))),
+
+    "llm_langid" -> ((s, dir) =>
+      TextStats.langId(Tables.documents(s, dir))
+        .withColumn("en_hits", col("en_hits").cast("long"))
+        .orderBy(col("doc_id"))),
+
+    "llm_multimodal" -> ((s, dir) =>
+      Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id")))
   )
+
+  /** Word-3-shingle CTE shared by the dedup oracles (DuckDB dialect). */
+  private val SHINGLES =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       unnest(generate_series(1, len(w) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Layers:
+  *  - `bruteTopK` — exact cosine top-k: broadcast the (small) query set
+  *    against the full corpus; one pass, no shuffle of the corpus side, rank
+  *    via per-query window. The correctness baseline.
+  *  - `ivfTopK` — IVF-style: partition the corpus by a coarse quantizer
+  *    (centroid per cluster id), probe only the query's nearest centroid's
+  *    cluster. At 100 TB the corpus is bucketed/partitioned by cluster id on
+  *    disk so a probe reads ~1/nlist of the data; here the quantizer uses the
+  *    provided `label` column as the cluster assignment (deterministic
+  *    k-means is a fixture concern, the operator shape is identical).
+  *  - `lshBuckets` — sign-bit bucketing (random-hyperplane LSH with the
+  *    deterministic axis-aligned family: bit i = sign(embedding[i])): a
+  *    candidate generator whose bucket join is O(bucket sizes), never n².
+  *
+  * All cosines are computed as sequential double folds over the array, which
+  * makes them bit-identical across engines reading the same float32 parquet.
+  */
+object Ann {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, col(c).cast("array<double>"))
+
+  /** Exact top-k neighbors for each query vector (`queryMaxId` selects the
+    * query set: vec_id < queryMaxId). Output: (qid, vec_id, cos, rank).
+    */
+  def bruteTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qe"), col("embedding")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Coarse centroids: element-wise mean embedding per cluster id. */
+  def centroids(embeddings: DataFrame, clusterCol: String = "label"): DataFrame =
+    asDouble(embeddings, "embedding")
+      .select(col(clusterCol).as("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
+  /** IVF probe: route each query to its nearest centroid (nprobe=1), then
+    * exact top-k within that cluster only. Output: (qid, probe_cluster,
+    * vec_id, cos, rank).
+    */
+  def ivfTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+              clusterCol: String = "label"): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val cents = centroids(embeddings, clusterCol)
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probe = q.join(broadcast(cents), lit(true))
+      .withColumn("ccos", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("crank") === 1)
+      .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
+    e.join(broadcast(probe),
+        col(clusterCol) === col("probe_cluster") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("probe_cluster"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Sign-bit LSH bucket id over the first `bits` dimensions: bit i set iff
+    * embedding[i] > 0. Deterministic (axis-aligned hyperplanes), so engines
+    * agree; a learned random-rotation family drops in by replacing the
+    * projection.
+    */
+  def lshBuckets(embeddings: DataFrame, bits: Int = 8): DataFrame =
+    asDouble(embeddings, "embedding")
+      .withColumn("bucket", expr(
+        s"aggregate(transform(sequence(0, ${bits - 1}), " +
+          "i -> if(element_at(embedding, i + 1) > 0D, shiftleft(1L, i), 0L)), " +
+          "0L, (acc, v) -> acc + v)"))
+}

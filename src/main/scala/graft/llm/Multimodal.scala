@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) rides through the
+  * pipeline as an opaque `binary` column plus a typed metadata struct; decode
+  * and feature extraction run batch-wise per partition so a real decoder
+  * (JNI/native image lib) amortizes setup per partition, not per row.
+  *
+  * The decode itself is STUBBED (this container has no image/audio libs):
+  * `decodeStub` derives deterministic pseudo-features from the raw bytes.
+  * Everything around it — schema, binary payload handling, partition-batch
+  * shape, feature vector contract — is real and tested.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Attach a media payload to each document. Here the "image" is the UTF-8
+    * text bytes (deterministic stand-in for a real binary column read from
+    * parquet); metadata is derived from payload size like a real decoder
+    * header probe would.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("raw").as("format"),
+        (length(col("media")) % 64 + 1).cast("int").as("width"),
+        (length(col("media")) % 48 + 1).cast("int").as("height")))
+
+  /** Stubbed per-batch decode + feature extraction: one pass over each
+    * partition's rows, emitting (doc_id, n_bytes, head_byte, checksum,
+    * features[4]). A real implementation swaps the body of `extract` for the
+    * native decoder; the Spark-side contract (binary in, fixed-width feature
+    * vector out, partition-batched) is the production shape.
+    */
+  def decodeStub(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = withMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    def extract(bytes: Array[Byte]): (Int, Int, Long, Array[Long]) = {
+      // STUB: deterministic pseudo-decode. Real code: decode image, resize,
+      // pool channels into the fixed-width feature vector. Features are
+      // byte-class counts (integers) so the oracle compare is exact.
+      val n = bytes.length
+      val head = if (n > 0) bytes(0) & 0xff else 0
+      var checksum = 0L
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        checksum += b
+        hist(b % 4) += 1L
+        i += 1
+      }
+      (n, head, checksum, hist)
+    }
+    in.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (n, head, checksum, feats) = extract(bytes)
+        (id, n, head, checksum, feats)
+      }
+    }.toDF("doc_id", "n_bytes", "head_byte", "checksum", "features")
+  }
+
+  /** The multimodal pipeline end-to-end: payload → batch decode → flat
+    * feature columns (what a downstream trainer would read).
+    */
+  def featureTable(docs: DataFrame): DataFrame =
+    decodeStub(withPayload(docs))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("head_byte").cast("long").as("head_byte"), col("checksum"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"),
+        element_at(col("features"), 3).as("f2"),
+        element_at(col("features"), 4).as("f3"))
+}

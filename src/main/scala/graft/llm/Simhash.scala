@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: a 64-bit locality-sensitive fingerprint
+  * per document; near-duplicates are pairs within a small Hamming distance.
+  *
+  * Fingerprint: bit j is the sign of Σ_tokens tf · (2·bit_j(md5(token)) − 1)
+  * (the classic Charikar construction with md5 as the token hash, so the
+  * DuckDB oracle reproduces it exactly).
+  *
+  * Candidate generation is the pigeonhole band trick: the 64 bits split into
+  * 4 × 16-bit bands; any pair at Hamming distance ≤ 3 MUST agree on ≥1 whole
+  * band, so an equi-join on (band, value) finds every such pair with zero
+  * recall loss — no n² pair scan, and the join is a plain shuffled hash join
+  * that scales like the number of colliding docs per band value.
+  */
+object Simhash {
+  val Bits = 64
+  val Bands = 4
+  val BandBits: Int = Bits / Bands // 16
+
+  /** Per-document band values: (doc_id, band ∈ [0,4), v ∈ [0, 2¹⁶)). */
+  def bandValues(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("tok")))
+    // bit j of the token hash: hex digit j/4, bit (3 - j%4)
+    val bits = tf
+      .withColumn("j", explode(lit((0 until Bits).toArray)))
+      .withColumn("bit",
+        expr("(cast(conv(substring(h, cast(j / 4 as int) + 1, 1), 16, 10) as int) >> (3 - j % 4)) & 1"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
+      .withColumn("fbit", (col("s") > 0).cast("long"))
+    bits
+      .groupBy(col("doc_id"), (col("j") / BandBits).cast("int").as("band"))
+      .agg(sum(col("fbit") * pow(lit(2d), pmod(col("j"), lit(BandBits)))).cast("long").as("v"))
+  }
+
+  /** Near-duplicate pairs at Hamming distance ≤ `maxDist` (must be <
+    * `Bands`, else the pigeonhole guarantee breaks). Output: (d1, d2,
+    * hamming).
+    */
+  def nearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < Bands, s"pigeonhole banding covers distance < $Bands only")
+    val bv = bandValues(docs)
+    val cands = bv.as("a")
+      .join(bv.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sigs = bv.groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("band"), col("v")))),
+        x => x.getField("v")).as("sig"))
+    cands
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, v) => acc + v))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}
