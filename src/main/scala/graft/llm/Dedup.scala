@@ -62,23 +62,37 @@ object Dedup {
         sh0.join(hot, Seq("s"), "left_anti")
       case None => sh0
     }
-    jaccardOverCandidates(sh, candidatePairs(sh), threshold)
-  }
-
-  /** All (d1 < d2) pairs sharing ≥1 shingle — the inverted-index join. */
-  private def candidatePairs(sh: DataFrame): DataFrame =
-    sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-
-  /** Exact Jaccard for given candidate pairs, filtered to `>= threshold`. */
-  def jaccardOverCandidates(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Exact path: intersections straight off the inverted-index self-join —
+    // one shuffled hash join on the shingle plus one pair-keyed aggregation.
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(cands, Seq("d1", "d2"), "left_semi")
+    attachJaccard(sh, inter, threshold)
+  }
+
+  /** Exact Jaccard for given candidate pairs, filtered to `>= threshold`.
+    * Candidate-FIRST: shingles are joined onto the candidate pairs (by d1,
+    * then the d2 side matched on (d2, s)), so the heavy work scales with
+    * O(Σ_candidates |shingles(d1)|) — not with the full all-shingle-sharing
+    * pair space the LSH bucketing exists to avoid. Pairs with an empty
+    * intersection drop out of the equi-join, which is correct for any
+    * threshold > 0.
+    */
+  def jaccardOverCandidates(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val inter = cands
+      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    attachJaccard(sh, inter, threshold)
+  }
+
+  /** Join per-doc shingle-set sizes onto pair intersection counts and filter
+    * by the Jaccard threshold.
+    */
+  private def attachJaccard(sh: DataFrame, inter: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))

@@ -254,9 +254,11 @@ object UpdateAlgebra {
     */
   def applyTask(existing: Option[Rec], ops: Seq[UpdateOp], now: Long,
                 eid: Any): (Option[Rec], Boolean, Seq[(String, Any)]) = {
-    // An empty op list is vacuously all-weak: the reference initializes
-    // weak_op=True and never flips it for [], so an absent record stays
-    // absent (`update_manager.py:573–589`).
+    // An empty op list short-circuits before any write — the reference drops
+    // empty update_requests as a noop (`update_manager.py:603–607`), so an
+    // existing record is returned untouched (no ts_last_update stamp) and an
+    // absent record stays absent.
+    if (ops.isEmpty) return (existing, false, Seq.empty)
     val allWeak = ops.forall(_.weak)
     existing match {
       case None if allWeak => (None, false, Seq.empty)

@@ -106,13 +106,16 @@ class UpdateAlgebraSpec extends AnyFunSuite {
     assert(deleted.isEmpty)
   }
 
-  test("empty op list on absent record is a no-op (weak semantics)") {
+  test("empty op list is a no-op on absent AND existing records") {
     val (none, created, changes) = applyTask(None, Seq.empty, 0L, 42L)
     assert(none.isEmpty && !created && changes.isEmpty)
-    // but on an existing record it still refreshes ts_last_update
+    // reference short-circuits empty update_requests before any write
+    // (update_manager.py:603–607): existing record is untouched — no
+    // ts_last_update stamp.
     val r = rec(); r.update("_id", 42L)
-    val (some, _, _) = applyTask(Some(r), Seq.empty, 99L, 42L)
-    assert(some.get("ts_last_update") == 99L)
+    val (some, created1, changes1) = applyTask(Some(r), Seq.empty, 99L, 42L)
+    assert(some.contains(r) && !created1 && changes1.isEmpty)
+    assert(!r.contains("ts_last_update"))
   }
 
   test("numeric path segments index into arrays (reference update_manager.py:100–101)") {
