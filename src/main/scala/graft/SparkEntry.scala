@@ -228,7 +228,11 @@ object SparkEntry {
       Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id")))
   )
 
-  /** Word-3-shingle CTE shared by the dedup oracles (DuckDB dialect). */
+  /** Word-3-shingle + exact-Jaccard CTE chain shared by the dedup oracles
+    * (DuckDB dialect). Mirrors `Dedup.shingles`/`attachJaccard`: distinct word
+    * 3-grams, pair intersections off the inverted-index self-join, Jaccard
+    * rounded to 6 (Spark filters on the ROUNDED value).
+    */
   private val SHINGLES =
     """sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -244,6 +248,12 @@ object SparkEntry {
       |  FROM inter
       |  JOIN sizes s1 ON s1.doc_id = d1
       |  JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
+
+  /** DuckDB cosine over double-cast embeddings — same formula as `Ann.cosine`
+    * (round-6 keeps float-order noise below the compare precision).
+    */
+  private def COS(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -389,6 +399,149 @@ object SparkEntry {
          |FROM events
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    // -- LLM training-data pipeline oracles (graft.llm) --
+    "llm_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "llm_near_dedup" ->
+      s"""WITH $SHINGLES
+         |SELECT d1, d2, jaccard FROM jac
+         |WHERE jaccard >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+
+    "llm_minhash_lsh" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |sig AS (SELECT doc_id, i, min(md5(i || '|' || s)) AS mh FROM sh, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT j.d1, j.d2, j.jaccard
+         |FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+         |WHERE j.jaccard >= 0.5
+         |ORDER BY j.d1, j.d2""".stripMargin,
+
+    "llm_simhash" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(tf * (((strpos('0123456789abcdef', substring(h, j // 4 + 1, 1)) - 1)
+        |                         >> (3 - j % 4) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END AS fbit
+        |  FROM tf, unnest(generate_series(0, 63)) AS t(j)
+        |  GROUP BY 1, 2),
+        |bv AS (
+        |  SELECT doc_id, j // 16 AS band, CAST(sum(fbit * (1::BIGINT << (j % 16))) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.d1, c.d2, CAST(sum(bit_count(xor(a.v, b.v))) AS BIGINT) AS hamming
+        |  FROM cands c
+        |  JOIN bv a ON a.doc_id = c.d1
+        |  JOIN bv b ON b.doc_id = c.d2 AND b.band = a.band
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    "llm_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id, ${COS("qe", "emb")} AS cos
+         |  FROM e, q WHERE vec_id != qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "llm_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, e.vec_id, ${COS("p.qe", "e.emb")} AS cos
+         |  FROM e JOIN probe p ON e.label = p.probe_cluster AND e.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |    (nc - len(w) + 1) * 1.0 / len(w) AS avg_raw,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) * 1.0 / len(w) AS stop_raw
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(avg_raw, 4) AS avg_token_len,
+        |  round(stop_raw, 4) AS stop_ratio,
+        |  round(least(n_distinct / 25.0, 1.0) * (1 - stop_raw), 4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_langid" ->
+      """WITH m AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der', 'die', 'das', 'und']),
+        |    ('en', ['the', 'a', 'of', 'and']),
+        |    ('es', ['el', 'la', 'los', 'y']),
+        |    ('fr', ['le', 'la', 'les', 'et'])) AS t(ml, markers)),
+        |h AS (
+        |  SELECT d.doc_id, d.lang, m.ml,
+        |    len(list_filter(string_split(d.text, ' '), x -> list_contains(m.markers, x))) AS hits
+        |  FROM documents d, m),
+        |best AS (
+        |  SELECT doc_id, any_value(lang) AS lang,
+        |    max(struct_pack(hits := hits, ml := ml)) AS b,
+        |    max(CASE WHEN ml = 'en' THEN hits END) AS en_hits
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, lang,
+        |  CASE WHEN b.hits > 0 THEN b.ml ELSE 'und' END AS predicted,
+        |  en_hits
+        |FROM best ORDER BY doc_id""".stripMargin,
+
+    "llm_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id, unicode(substring(text, i, 1)) AS byte
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bytes, CAST(sum(byte) AS BIGINT) AS checksum,
+        |    CAST(sum(CASE WHEN byte % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN byte % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN byte % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN byte % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+        |  FROM b GROUP BY 1)
+        |SELECT a.doc_id, a.n_bytes, CAST(unicode(substring(d.text, 1, 1)) AS BIGINT) AS head_byte,
+        |  a.checksum, a.f0, a.f1, a.f2, a.f3
+        |FROM agg a JOIN documents d USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

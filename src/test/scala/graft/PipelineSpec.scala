@@ -28,9 +28,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has matching oracle keys") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  test("queries and oracles cover each other exactly") {
+    // Queries that are legitimately not SQL-expressible in DuckDB go here
+    // (driver records a weaker rows-only check for them); keep this empty
+    // unless a query truly can't be oracled.
+    val noOracleAllowlist = Set.empty[String]
+    val danglingOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(danglingOracles.isEmpty, s"oracle entries without queries: $danglingOracles")
+    val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleAllowlist
+    assert(unverified.isEmpty, s"queries without oracle entries: $unverified")
   }
 
   test("JSON wire-format fold path equals typed fold path") {
