@@ -65,6 +65,51 @@ object SparkEntry {
        |                 * (14 - age) / 14.0) / 7.5, 6) AS rep
        |  FROM repd GROUP BY 1)""".stripMargin
 
+  /** DuckDB CTE reproducing `Derive.snapshot`'s columns (entity, totals,
+    * node counts, ewma, rep, 30-day type list) for oracles over the
+    * materialized snapshot.
+    */
+  private val SNAP_CTE =
+    s"""$MX,
+       |se AS (SELECT user_id, event_type, $AGE AS age FROM events, mx
+       |       WHERE $AGE >= 0 AND $AGE <= 30),
+       |sd AS (SELECT user_id, age, count(*) AS n, count(DISTINCT event_type) AS det
+       |       FROM se GROUP BY 1, 2),
+       |sa1 AS (
+       |  SELECT user_id AS entity,
+       |    CAST(sum(CASE WHEN age <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS total1,
+       |    CAST(sum(CASE WHEN age <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7,
+       |    count(*) AS total30,
+       |    count(DISTINCT CASE WHEN age <= 7 THEN event_type END) AS nodes_7d,
+       |    list_sort(list(DISTINCT event_type)) AS types
+       |  FROM se GROUP BY 1),
+       |sa2 AS (
+       |  SELECT user_id AS entity,
+       |    round(coalesce(sum(CASE WHEN age < 7 THEN n * 0.25 * pow(0.75, age) END), 0), 6) AS ewma,
+       |    round(sum(CASE WHEN age < 14 THEN
+       |            (CASE WHEN n/10.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n/10.0) END)
+       |          * (CASE WHEN det/2.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, det/2.0) END)
+       |          * (14 - age) / 14.0 ELSE 0 END) / 7.5, 6) AS rep
+       |  FROM sd GROUP BY 1),
+       |snap AS (SELECT * FROM sa1 JOIN sa2 USING (entity))""".stripMargin
+
+  /** Multi-source reputation config for `nerd_reputation_combined`: the
+    * warden instance (same params as `etc/reputation.yml` warden), a
+    * half-life-decayed error-event source, and an undecayed high-value
+    * source — exercising all three decay variants and the trust-factor
+    * combiner.
+    */
+  private def repSources = {
+    import graft.derive.Reputation.RepSource
+    Seq(
+      RepSource("warden", lit(true), scaleEvents = 10d, scaleDetectors = Some(2d),
+        dateRange = 14, timeDecay = "linear"),
+      RepSource("flux", col("event_type") === "error", scaleEvents = 5d,
+        dateRange = 14, timeDecay = "half_life", halfLife = 3d, trustFactor = 0.8),
+      RepSource("watch", col("value") > 150d, scaleEvents = 3d,
+        dateRange = 7, timeDecay = "none", trustFactor = 0.5))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: fold the event
     * stream into entity records, join derived reputation, top-20 by score.
     */
@@ -180,6 +225,51 @@ object SparkEntry {
       Search.eventListing(events(s, dir), rep, 100)
         .select(col("event_id"), col("ts_sec"), col("user_id"),
           col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
+    // -- multi-source reputation combiner (reputation.py:100–136) --
+    "nerd_reputation_combined" -> ((s, dir) =>
+      graft.derive.Reputation.multiSource(events(s, dir), today(s, dir), repSources)
+        .orderBy(col("entity"))),
+
+    // -- WardenFilter ingest gate (SURVEY §2.4, warden_receiver.py:209–401) --
+    "nerd_warden_filter" -> ((s, dir) => {
+      import graft.ingest.WardenFilter
+      val rules = Seq(
+        "k = 87 ; drop",
+        "k = 3 OR k = 5 ; sample 3",
+        "k != 0 ; pass",
+        "; drop")
+      WardenFilter(events(s, dir), rules)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- threat categorization + summary (SURVEY §2.12/§2.6) --
+    "nerd_threat_category" -> ((s, dir) => {
+      import graft.derive.ThreatCategorize
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val rules = Seq(
+        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
+        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
+        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
+      ThreatCategorize.summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .orderBy(col("entity"), col("category"))
+    }),
+
+    // -- tags rule DSL (SURVEY §2.11, tags.py:264–920) --
+    "nerd_tags" -> ((s, dir) => {
+      import graft.tagsdsl.Tags
+      val tags = Seq(
+        Tags.TagDef("error_host", "'error' in types_arr"),
+        Tags.TagDef("high_activity", "total7 > 50 and nodes_7d >= 2",
+          Some("7d events: {total7}")),
+        Tags.TagDef("rep_score", "rep * 10"),
+        Tags.TagDef("quiet", "not (total1 > 0) and total30 >= 5"),
+        Tags.TagDef("volume", "total30 / 50"),
+        Tags.TagDef("ghost", "missing.attr == 1 or 'purchase' in types_arr"))
+      Tags.evaluate(snapshot(s, dir), tags).orderBy(col("entity"), col("tag_id"))
     }),
 
     // -- LLM training-data pipeline operators (driver mandate; graft.llm) --
@@ -400,6 +490,103 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_reputation_combined" -> {
+      val swFlux = graft.derive.Reputation.sumWeight(repSources(1))
+      s"""WITH $MX,
+         |d AS (SELECT user_id AS entity, $AGE AS age,
+         |        count(*) AS n_w, count(DISTINCT event_type) AS det_w,
+         |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         |        CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+         |      FROM events, mx WHERE $AGE >= 0 GROUP BY 1, 2),
+         |p AS (SELECT entity,
+         |    sum(CASE WHEN age < 14 THEN
+         |        (CASE WHEN n_w/10.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n_w/10.0) END)
+         |      * (CASE WHEN det_w/2.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, det_w/2.0) END)
+         |      * (14 - age)/14.0 ELSE 0 END) / 7.5 AS rw,
+         |    sum(CASE WHEN age < 14 THEN
+         |        (CASE WHEN n_f/5.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n_f/5.0) END)
+         |      * pow(0.5, age/3.0) ELSE 0 END) / $swFlux AS rf,
+         |    sum(CASE WHEN age < 7 THEN
+         |        (CASE WHEN n_t/3.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n_t/3.0) END)
+         |        ELSE 0 END) / 7.0 AS rt
+         |  FROM d GROUP BY 1)
+         |SELECT entity, round(rw, 6) AS rep_warden, round(rf, 6) AS rep_flux,
+         |  round(rt, 6) AS rep_watch,
+         |  round(1 - (1 - 1.0*rw) * (1 - 0.8*rf) * (1 - 0.5*rt), 6) AS rep
+         |FROM p ORDER BY entity""".stripMargin
+    },
+
+    "nerd_warden_filter" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         json_extract_string(props, '$.k') AS k
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN k = '87' THEN 0
+        |                 WHEN k = '3' OR k = '5' THEN 1
+        |                 WHEN k != '0' THEN 2
+        |                 ELSE 3 END AS rule
+        |  FROM ev),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY rule ORDER BY event_id) AS rn FROM m)
+        |SELECT event_id, user_id, event_type, CAST(k AS BIGINT) AS k FROM w
+        |WHERE rule = 2 OR (rule = 1 AND rn % 3 = 0)
+        |ORDER BY event_id""".stripMargin,
+
+    "nerd_threat_category" ->
+      s"""WITH $MX,
+         |ev AS (SELECT user_id, event_type, value,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, $AGE AS age
+         |       FROM events, mx),
+         |cl AS (
+         |  SELECT 'scan' AS category, 'src' AS role, * FROM ev
+         |  WHERE event_type = 'error' AND k >= 50
+         |  UNION ALL
+         |  SELECT 'abuse', 'dst', * FROM ev WHERE event_type IN ('signup', 'login')
+         |  UNION ALL
+         |  SELECT 'fraud', 'src', * FROM ev WHERE event_type = 'purchase' AND value > 100
+         |  UNION ALL
+         |  SELECT 'unknown', 'src', * FROM ev
+         |  WHERE NOT (event_type = 'error' AND k >= 50)
+         |    AND NOT (event_type IN ('signup', 'login'))
+         |    AND NOT (event_type = 'purchase' AND value > 100)),
+         |daily AS (
+         |  SELECT user_id AS entity, category, role, age, count(*) AS n,
+         |         count(DISTINCT event_type) AS nsrc
+         |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2, 3, 4),
+         |s AS (
+         |  SELECT entity, category, role,
+         |    round(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
+         |            * (CASE WHEN nsrc > 20 THEN 1.0 ELSE 1 - pow(0.5, nsrc) END)
+         |            * (14 - age))
+         |          / sum(14 - age), 2) AS conf,
+         |    CAST(sum(n) AS BIGINT) AS reports
+         |  FROM daily GROUP BY 1, 2, 3)
+         |SELECT entity, category, role, conf, reports FROM s WHERE conf > 0
+         |ORDER BY entity, category""".stripMargin,
+
+    "nerd_tags" ->
+      s"""WITH $SNAP_CTE
+         |SELECT entity, tag_id, confidence, info FROM (
+         |  SELECT entity, 'error_host' AS tag_id, CAST(1.0 AS DOUBLE) AS confidence,
+         |         CAST(NULL AS VARCHAR) AS info
+         |  FROM snap WHERE list_contains(types, 'error')
+         |  UNION ALL
+         |  SELECT entity, 'high_activity', CAST(1.0 AS DOUBLE), '7d events: ' || total7
+         |  FROM snap WHERE total7 > 50 AND nodes_7d >= 2
+         |  UNION ALL
+         |  SELECT entity, 'rep_score', round(rep * 10, 6), NULL
+         |  FROM snap WHERE rep * 10 != 0
+         |  UNION ALL
+         |  SELECT entity, 'quiet', CAST(1.0 AS DOUBLE), NULL
+         |  FROM snap WHERE total1 = 0 AND total30 >= 5
+         |  UNION ALL
+         |  SELECT entity, 'volume', round(total30 / 50.0, 6), NULL
+         |  FROM snap WHERE total30 != 0
+         |  UNION ALL
+         |  SELECT entity, 'ghost', CAST(1.0 AS DOUBLE), NULL
+         |  FROM snap WHERE list_contains(types, 'purchase'))
+         |ORDER BY entity, tag_id""".stripMargin,
 
     // -- LLM training-data pipeline oracles (graft.llm) --
     "llm_exact_dedup" ->

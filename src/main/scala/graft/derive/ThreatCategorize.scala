@@ -1,0 +1,73 @@
+package graft.derive
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Threat categorization at ingest + the per-entity category summary.
+  *
+  * Reference: `common/threat_categorization.py:112–141` (`classify_ip`) —
+  * each configured category carries trigger expressions; an event is
+  * assigned every category whose trigger fires, with the `unknown` fallback
+  * when none does — and `NERDd/modules/threat_category_summary.py:40–119`
+  * (`create_summary`) — per (entity, category): daily confidence
+  * `nonlin(reports) · nonlin(sources)` over the last 14 days, combined as a
+  * linear-decay weighted average normalized by the sum of PRESENT days'
+  * weights (unlike reputation, which normalizes by the full-window sum).
+  *
+  * The Python-expression triggers of the reference config
+  * (`etc/threat_categorization.yml`) become Column predicates over the
+  * normalized event columns — evaluated as one ingest-time projection
+  * (`rlike` for the regex triggers), exactly where the reference evaluates
+  * them.
+  */
+object ThreatCategorize {
+
+  /** One category rule: id, assigned role, and the compiled trigger. */
+  final case class CatRule(id: String, role: String, trigger: Column)
+
+  /** Classify each event: one output row per (event, assigned category);
+    * events matching no trigger get the `unknown`/src fallback
+    * (`threat_categorization.py:136–137`).
+    */
+  def classify(events: DataFrame, rules: Seq[CatRule]): DataFrame = {
+    val entries = rules.map(r =>
+      when(r.trigger, struct(lit(r.id).as("category"), lit(r.role).as("role"))))
+    val matched = filter(array(entries: _*), e => e.isNotNull)
+    val withFallback = when(size(matched) === 0,
+      array(struct(lit("unknown").as("category"), lit("src").as("role"))))
+      .otherwise(matched)
+    events.withColumn("_cat", explode(withFallback))
+      .withColumn("category", col("_cat.category"))
+      .withColumn("role", col("_cat.role"))
+      .drop("_cat")
+  }
+
+  /** The `_threat_category_summary` analog: per (entity, category, role)
+    * over records younger than 14 days,
+    * `conf = Σ nonlin(daily_reports)·nonlin(daily_sources)·w / Σ w` with
+    * `w = (14 − age)/14`, rounded to 2 (reference
+    * `threat_category_summary.py:78–112`). "Sources" are played by the
+    * distinct reporting event types of the day. Two aggregations — per-day
+    * then per-entity — the same partial-agg shape as the snapshot.
+    */
+  def summary(classified: DataFrame, today: String, dateRange: Int = 14): DataFrame = {
+    val daily = classified
+      .withColumn("age", datediff(lit(today).cast("date"), to_date(col("ts"))))
+      .filter(col("age") >= 0 && col("age") < dateRange)
+      .groupBy(col("user_id").as("entity"), col("category"), col("role"), col("age"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("nsrc"))
+    // Weight (range − age)/range with the constant 1/range factored out of the
+    // ratio: numerator terms are dyadic·integer (exactly representable, so the
+    // sum is order-independent) and the denominator is an integer sum — the
+    // rounded result is reproducible across engines and shuffle orders, where
+    // the naive (range−age)/range sum rounds differently at half-unit
+    // boundaries depending on accumulation order.
+    val w = lit(dateRange) - col("age")
+    val dc = Derive.nonlin(col("n"), 1d) * Derive.nonlin(col("nsrc"), 1d)
+    daily.groupBy(col("entity"), col("category"), col("role"))
+      .agg(
+        round(sum(dc * w) / sum(w), 2).as("conf"),
+        sum(col("n")).as("reports"))
+      .filter(col("conf") > 0)
+  }
+}
