@@ -93,6 +93,15 @@ object SparkEntry {
        |  FROM sd GROUP BY 1),
        |snap AS (SELECT * FROM sa1 JOIN sa2 USING (entity))""".stripMargin
 
+  /** Deterministic block-fixture parameters shared by the `nerd_range_join`
+    * query and its oracle: block i has width `BlockWidths(i mod 5)` and
+    * starts at `(i div 5) * 38 + BlockPrefix(i mod 5)` (38 = cycle sum).
+    */
+  private val BlockWidths = Vector(5L, 9L, 3L, 14L, 7L)
+  private val BlockPrefix = Vector(0L, 5L, 14L, 17L, 31L)
+  private val BlockCycleWidth = 38L
+  private val BlockRirs = Vector("arin", "ripe", "apnic", "lacnic", "afrinic")
+
   /** Multi-source reputation config for `nerd_reputation_combined`: the
     * warden instance (same params as `etc/reputation.yml` warden), a
     * half-life-decayed error-event source, and an undecayed high-value
@@ -225,6 +234,60 @@ object SparkEntry {
       Search.eventListing(events(s, dir), rep, 100)
         .select(col("event_id"), col("ts_sec"), col("user_id"),
           col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
+    // -- entity graph: as-of/range join + 2-hop enrichment (SURVEY §2.5) --
+    "nerd_range_join" -> ((s, dir) => {
+      // IANA block lookup analog (whois.py:179–218): entities matched to a
+      // small sorted-range fixture via a BROADCAST range join — the
+      // distributed restatement of the reference's binary search. Block
+      // widths cycle irregularly so the join is a genuine interval match,
+      // not an aligned point lookup.
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+      val nBlocks = (maxUserId(s, dir) / BlockCycleWidth + 1) * BlockWidths.length + BlockWidths.length
+      val rows = (0L until nBlocks).map { i =>
+        val m = (i % BlockWidths.length).toInt
+        val first = (i / BlockWidths.length) * BlockCycleWidth + BlockPrefix(m)
+        (i, first, first + BlockWidths(m) - 1, BlockRirs(m))
+      }
+      import s.implicits._
+      val blocks = rows.toDF("block_id", "first", "last", "rir")
+      rep.join(broadcast(blocks),
+          col("entity").between(col("first"), col("last")))
+        .select(col("entity"), col("rep"), col("block_id"), col("rir"))
+        .orderBy(col("entity"))
+    }),
+
+    "nerd_entity_enrich" -> ((s, dir) => {
+      // ip→bgppref→asn 2-hop point-lookup enrichment analog
+      // (nerd_main.py:1100–1118): two broadcast hash joins, no shuffle of
+      // the fact side.
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("acctbal").desc, col("c_custkey"))
+        .limit(50)
+    }),
+
+    // -- incremental fold: two batches == one shot (SURVEY §2.13 foundation) --
+    "nerd_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.{EntityFold, EntityState, UpdateTask}
+      import graft.ops.TaskCodec
+      val ev = events(s, dir)
+      val cutoff = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      def wire(df: DataFrame) = EventTasks.preAggregated(df)
+        .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+      val now = nowEpoch(s, dir)
+      val empty = s.emptyDataset[EntityState]
+      val snap1 = EntityFold.applyToSnapshot(empty, wire(ev.filter(col("event_id") <= cutoff)), now)
+      val snap2 = EntityFold.applyToSnapshot(snap1, wire(ev.filter(col("event_id") > cutoff)), now)
+      snap2.map(st => EventTasks.projectFolded(st.eid, TaskCodec.parseRec(st.json)))
+        .toDF()
+        .withColumn("conns", round(col("conns"), 2))
+        .orderBy(col("entity"))
     }),
 
     // -- multi-source reputation combiner (reputation.py:100–136) --
@@ -490,6 +553,42 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_range_join" ->
+      s"""WITH $REP_CTE,
+         |bi AS (
+         |  SELECT unnest(generate_series(0,
+         |    CAST((SELECT max(user_id) FROM events) / 38 + 2 AS INT) * 5)) AS i),
+         |blocks AS (
+         |  SELECT i AS block_id,
+         |    (i // 5) * 38 + [0, 5, 14, 17, 31][CAST(i % 5 AS INT) + 1] AS first,
+         |    [5, 9, 3, 14, 7][CAST(i % 5 AS INT) + 1] AS width,
+         |    ['arin', 'ripe', 'apnic', 'lacnic', 'afrinic'][CAST(i % 5 AS INT) + 1] AS rir
+         |  FROM bi)
+         |SELECT r.entity, r.rep, b.block_id, b.rir
+         |FROM rep r JOIN blocks b ON r.entity BETWEEN b.first AND b.first + b.width - 1
+         |ORDER BY r.entity""".stripMargin,
+
+    "nerd_entity_enrich" ->
+      """SELECT c_custkey, n_name AS nation, r_name AS region,
+        |  round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY acctbal DESC, c_custkey
+        |LIMIT 50""".stripMargin,
+
+    "nerd_incremental" ->
+      """SELECT user_id AS entity,
+        |  count(*) AS total,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT CAST(ts AS DATE) || '|' || event_type) AS n_buckets,
+        |  round(sum(value), 2) AS conns,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
 
     "nerd_reputation_combined" -> {
       val swFlux = graft.derive.Reputation.sumWeight(repSources(1))
