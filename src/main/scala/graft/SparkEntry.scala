@@ -86,6 +86,7 @@ object SparkEntry {
        |sa2 AS (
        |  SELECT user_id AS entity,
        |    round(coalesce(sum(CASE WHEN age < 7 THEN n * 0.25 * pow(0.75, age) END), 0), 6) AS ewma,
+       |    round(coalesce(sum(CASE WHEN age < 7 THEN 0.25 * pow(0.75, age) END), 0), 6) AS bin_ewma,
        |    round(sum(CASE WHEN age < 14 THEN
        |            (CASE WHEN n/10.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, n/10.0) END)
        |          * (CASE WHEN det/2.0 > 20 THEN 1.0 ELSE 1 - pow(0.5, det/2.0) END)
@@ -234,6 +235,45 @@ object SparkEntry {
       Search.eventListing(events(s, dir), rep, 100)
         .select(col("event_id"), col("ts_sec"), col("user_id"),
           col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
+    // -- intervals ring buffer (intervals_between_events.py, fmp mean/median) --
+    "nerd_intervals" -> ((s, dir) =>
+      Derive.intervals(events(s, dir)).orderBy(col("entity"))),
+
+    // -- FMP feature assembly (fmp_updater.py:292–453) --
+    "nerd_fmp_features" -> ((s, dir) => {
+      val lastDay = events(s, dir).groupBy(col("user_id").as("entity"))
+        .agg(max(to_date(col("ts"))).as("last_day"))
+      graft.derive.Fmp.features(snapshot(s, dir), lastDay, today(s, dir))
+        .orderBy(col("entity"))
+    }),
+
+    // -- export sinks (generate_ip_rep_list / blocklist scripts) --
+    "nerd_export_iprep" -> ((s, dir) =>
+      graft.sinks.Exports.ipRepFrame(
+        Derive.reputationWarden(events(s, dir), today(s, dir)))),
+
+    // -- scalar function surface (SURVEY §2.9) --
+    "nerd_scalar_funcs" -> ((s, dir) => {
+      import graft.functions.Funcs._
+      val base = events(s, dir).select(col("user_id").as("entity")).distinct()
+        .withColumn("ipnum", col("entity") * 7 + 1)
+        .withColumn("host", concat(lit("h"), col("entity"), lit(".zone"),
+          col("entity") % 3, lit(".example.com")))
+      base.select(
+        col("entity"),
+        col("ipnum"),
+        int2ipstr(col("ipnum")).as("ip_str"),
+        ipstr2int(int2ipstr(col("ipnum"))).as("back_ip"),
+        int2ipprefix24(col("ipnum")).as("prefix24"),
+        col("host"),
+        reverseLabels(col("host")).as("rev_host"),
+        hasSuffix(col("host"), ".zone1.example.com").as("has_suffix"),
+        pseudonymize(col("host")).as("pseudo"),
+        nextStep(lit(0L), col("entity"), lit(7L)).cast("long").as("next_step"),
+        matchStr(lit("Zone_1"), col("host")).as("ms"))
+        .orderBy(col("entity"))
     }),
 
     // -- entity graph: as-of/range join + 2-hop enrichment (SURVEY §2.5) --
@@ -553,6 +593,82 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_intervals" ->
+      """WITH l AS (
+        |  SELECT user_id AS entity,
+        |         list_sort(list(CAST(floor(epoch(ts)) AS BIGINT))) AS tl
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT entity, tl[greatest(len(tl) - 20, 1):len(tl)] AS ring FROM l),
+        |d AS (SELECT entity,
+        |        list_transform(generate_series(2, len(ring)), i -> ring[i] - ring[i-1]) AS deltas
+        |      FROM r),
+        |f AS (SELECT entity, len(deltas) AS n, list_sort(deltas) AS sd,
+        |        list_aggregate(deltas, 'sum') AS s
+        |      FROM d WHERE len(deltas) > 0)
+        |SELECT entity, CAST(n AS BIGINT) AS n_intervals,
+        |  round(s * 1.0 / n, 4) AS mean_interval,
+        |  round(CASE WHEN n % 2 = 1 THEN CAST(sd[(n + 1) // 2] AS DOUBLE)
+        |        ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2.0 END, 4) AS median_interval
+        |FROM f ORDER BY entity""".stripMargin,
+
+    "nerd_fmp_features" ->
+      s"""WITH $SNAP_CTE,
+         |ld AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day
+         |       FROM events GROUP BY 1),
+         |pfx AS (
+         |  SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
+         |    CAST(sum(total7) AS BIGINT) AS p_total7, count(*) AS p_members,
+         |    round(avg(rep), 6) AS p_avg_rep
+         |  FROM snap GROUP BY 1),
+         |j AS (
+         |  SELECT snap.*, pfx.p_total7, pfx.p_members, pfx.p_avg_rep, ld.last_day,
+         |    date_diff('day', ld.last_day, (SELECT today FROM mx)) AS last_age
+         |  FROM snap
+         |  JOIN pfx ON pfx.prefix = CAST(floor(snap.entity / 16.0) AS BIGINT)
+         |  JOIN ld USING (entity))
+         |SELECT entity,
+         |  round(ln(1 + total1), 4) AS f_e1,
+         |  round(ln(1 + total7), 4) AS f_e7,
+         |  round(ln(1 + total30), 4) AS f_e30,
+         |  nodes_7d AS f_nodes7,
+         |  ewma AS f_ewma,
+         |  bin_ewma AS f_bin_ewma,
+         |  rep AS f_rep,
+         |  CAST(last_age AS BIGINT) AS f_last_age,
+         |  round(exp(-last_age / 7.0), 4) AS f_decay,
+         |  p_total7 AS f_p_total7,
+         |  p_members AS f_p_members,
+         |  p_avg_rep AS f_p_avg_rep,
+         |  round(1 / (1 + exp(-(-3 + 2 * rep + 0.1 * ln(1 + total7)
+         |                       + 0.5 * exp(-last_age / 7.0)))), 4) AS fmp_general
+         |FROM j ORDER BY entity""".stripMargin,
+
+    "nerd_export_iprep" ->
+      s"""WITH $REP_CTE
+         |SELECT ((entity // 16777216) % 256) || '.' || ((entity // 65536) % 256) || '.'
+         |    || ((entity // 256) % 256) || '.' || (entity % 256) AS ip,
+         |  round(rep, 6) AS rep
+         |FROM rep ORDER BY entity""".stripMargin,
+
+    "nerd_scalar_funcs" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events),
+        |c AS (SELECT entity, entity * 7 + 1 AS ipnum,
+        |        'h' || entity || '.zone' || (entity % 3) || '.example.com' AS host
+        |      FROM e)
+        |SELECT entity, ipnum,
+        |  ((ipnum // 16777216) % 256) || '.' || ((ipnum // 65536) % 256) || '.'
+        |    || ((ipnum // 256) % 256) || '.' || (ipnum % 256) AS ip_str,
+        |  ipnum AS back_ip,
+        |  CAST(ipnum & 4294967040 AS BIGINT) AS prefix24,
+        |  host,
+        |  array_to_string(list_reverse(string_split(host, '.')), '.') AS rev_host,
+        |  ends_with(host, '.zone1.example.com') AS has_suffix,
+        |  sha256(host) AS pseudo,
+        |  CAST((entity // 7 + 1) * 7 AS BIGINT) AS next_step,
+        |  contains(replace(replace(replace(lower(host), '_', ''), '.', ''), '-', ''),
+        |           'zone1') AS ms
+        |FROM c ORDER BY entity""".stripMargin,
 
     "nerd_range_join" ->
       s"""WITH $REP_CTE,

@@ -135,6 +135,36 @@ object Derive {
         sum(when(col("age") > maxAgeDays, 1L).otherwise(0L)).as("dropped_total"),
         countDistinct(when(col("age") <= maxAgeDays, to_date(col("ts")))).as("kept_days"))
 
+  /** Inter-event intervals over the last-21-timestamps ring buffer
+    * (reference `modules/intervals_between_events.py:23–32` keeps the last 21
+    * event timestamps per record; `fmp_updater.py:228–238,428–433` derives
+    * mean/median of the deltas). One groupBy; the ring buffer, deltas, and
+    * exact median are array expressions (≤20 elements, so exact median by
+    * sort is cheap and matches the reference, which never approximates).
+    */
+  def intervals(events: DataFrame, keep: Int = 21): DataFrame = {
+    val ring = expr(s"slice(ts_list, greatest(size(ts_list) - ${keep - 1}, 1), $keep)")
+    val deltas = expr("transform(sequence(1, size(ring) - 1), i -> ring[i] - ring[i - 1])")
+    val sortedD = expr("array_sort(deltas)")
+    val n = expr("size(deltas)")
+    events
+      .groupBy(col("user_id").as("entity"))
+      .agg(sort_array(collect_list(unix_timestamp(col("ts")))).as("ts_list"))
+      .withColumn("ring", ring)
+      .withColumn("deltas", deltas)
+      .filter(size(col("deltas")) > 0)
+      .withColumn("n_intervals", n.cast("long"))
+      .withColumn("mean_interval",
+        round(expr("aggregate(deltas, 0L, (a, x) -> a + x)") / col("n_intervals"), 4))
+      .withColumn("sorted_d", sortedD)
+      .withColumn("median_interval",
+        round(when(col("n_intervals") % 2 === 1,
+            expr("sorted_d[cast((n_intervals + 1) / 2 as int) - 1]").cast("double"))
+          .otherwise((expr("sorted_d[cast(n_intervals / 2 as int) - 1]") +
+            expr("sorted_d[cast(n_intervals / 2 as int)]")) / 2d), 4))
+      .select(col("entity"), col("n_intervals"), col("mean_interval"), col("median_interval"))
+  }
+
   /** TTL expiry (`modules/cleaner.py:204–241` + `modules/ttl_updater.py:46–77`):
     * each source stamps a TTL token (`setmax`); entities whose newest token is
     * in the past are deleted (`!DELETE`), the highly-active rule extends life

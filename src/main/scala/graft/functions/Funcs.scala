@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** NERD's scalar-function surface (SURVEY §2.9) as pure Column expressions —
+  * every one stays inside whole-stage codegen (no UDFs).
+  */
+object Funcs {
+
+  /** Dotted-quad → int (reference `common/utils.py:9–13` `ipstr2int`). */
+  def ipstr2int(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    p.getItem(0).cast("long") * 16777216L +
+      p.getItem(1).cast("long") * 65536L +
+      p.getItem(2).cast("long") * 256L +
+      p.getItem(3).cast("long")
+  }
+
+  /** Int → dotted-quad (reference `common/utils.py:15–18` `int2ipstr`). */
+  def int2ipstr(ip: Column): Column =
+    concat_ws(".",
+      shiftright(ip, 24).bitwiseAND(255),
+      shiftright(ip, 16).bitwiseAND(255),
+      shiftright(ip, 8).bitwiseAND(255),
+      ip.bitwiseAND(255))
+
+  /** /24 prefix of an int IP (reference `NERDd/fmp_updater.py:224–226`). */
+  def int2ipprefix24(ip: Column): Column = ip.bitwiseAND(0xFFFFFF00L)
+
+  /** Label-reversed hostname — the reference STORES hostnames reversed so
+    * suffix search becomes a range scan (`core/mongodb.py:91–93,116–117`);
+    * columnar storage makes the trick unnecessary (`endswith` pushes down),
+    * but the function itself is part of the API surface, and doubles as the
+    * DNSBL v4 octet reversal (`modules/dnsbl.py:73–79`).
+    */
+  def reverseLabels(host: Column): Column =
+    array_join(reverse(split(host, "\\.")), ".")
+
+  /** Hostname suffix predicate (`NERDweb/nerd_main.py:990–993` does this as
+    * a reversed-string range scan).
+    */
+  def hasSuffix(host: Column, suffix: String): Column = host.endsWith(suffix)
+
+  /** Approximate substring match (reference
+    * `common/threat_categorization.py:187–195` `match_str`): ignore case,
+    * `_`, `.`, `-`, and surrounding whitespace, then containment.
+    */
+  private def simplify(c: Column): Column = translate(lower(trim(c)), "_.-", "")
+  def matchStr(needle: Column, haystack: Column): Column =
+    simplify(haystack).contains(simplify(needle))
+
+  /** `next_step` scheduling arithmetic (reference
+    * `NERDd/core/update_manager.py:174–179`): smallest `base + k·step`
+    * strictly greater than `minimum`.
+    */
+  def nextStep(base: Column, minimum: Column, step: Column): Column =
+    base + (floor((minimum - base).cast("double") / step) + 1) * step
+
+  /** Node-name pseudonymization (reference `NERDweb/nerd_main.py:398–402`
+    * hashes node names for non-privileged users).
+    */
+  def pseudonymize(name: Column): Column = sha2(name, 256)
+
+  /** Category-string normalization (reference `warden_receiver.py:507`:
+    * `'+'.join(categories).replace('.', '')`).
+    */
+  def normalizeCategories(cats: Column): Column =
+    translate(array_join(cats, "+"), ".", "")
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.fold.{EntityFold, EntityState, UpdateTask}
+import graft.ingest.EventTasks
+import graft.ops.TaskCodec
+
+/** Structured-Streaming wrapper over the batch fold (SURVEY §2.13): the
+  * reference's filer-watcher + RabbitMQ + worker pipeline collapses to
+  * `readStream → validate → foreachBatch(applyToSnapshot)`.
+  *
+  *  - Source: file stream (the reference's `read_dir` maildir claim protocol,
+  *    `warden_receiver.py:50–172`, is exactly what Spark's file source +
+  *    checkpointing gives for free).
+  *  - Late/future data: events older than `maxAgeDays` or more than 5 min in
+  *    the future are rejected (`warden_receiver.py:444–457,510–517`); the
+  *    watermark bounds any event-time state the same way.
+  *  - State: the entity snapshot is a versioned parquet table; each
+  *    micro-batch cogroups its tasks with the previous version and writes the
+  *    next (the exactly-once story is the file sink's atomic directory swap +
+  *    source checkpoint, mirroring the reference's ack-after-write,
+  *    `update_manager.py:452–457`).
+  */
+object StreamIngest {
+
+  /** Timestamp validation (`warden_receiver.py:510–517`): drop events beyond
+    * the reception window or from the future (>5 min skew).
+    */
+  def validate(batch: DataFrame, nowEpoch: Long, maxAgeDays: Int = 7): DataFrame =
+    batch.filter(
+      unix_timestamp(col("ts")) > nowEpoch - maxAgeDays * 86400L &&
+        unix_timestamp(col("ts")) <= nowEpoch + 300L)
+
+  /** Versioned parquet snapshot store: read the latest version, write the
+    * next — never overwrite the directory being read (Spark cannot
+    * read-modify-write one parquet path in a single job).
+    */
+  final class SnapshotStore(spark: SparkSession, root: String) {
+    import spark.implicits._
+    private def versions: Seq[Long] = {
+      val dir = new java.io.File(root)
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).toSeq.sorted
+    }
+    def read(): Dataset[EntityState] = versions.lastOption match {
+      case Some(v) => spark.read.parquet(s"$root/v$v").as[EntityState]
+      case None    => spark.emptyDataset[EntityState]
+    }
+    def write(ds: Dataset[EntityState]): Unit = {
+      val next = versions.lastOption.getOrElse(-1L) + 1
+      ds.write.mode("overwrite").parquet(s"$root/v$next")
+    }
+  }
+
+  /** One micro-batch: validate → derive tasks → fold onto the snapshot. */
+  def runBatch(store: SnapshotStore, batch: DataFrame, nowEpoch: Long,
+               maxAgeDays: Int = 7): Unit = {
+    import batch.sparkSession.implicits._
+    val tasks = EventTasks.preAggregated(validate(batch, nowEpoch, maxAgeDays))
+      .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+    store.write(EntityFold.applyToSnapshot(store.read(), tasks, nowEpoch))
+  }
+
+  /** Start the streaming ingest over a parquet file source. `nowEpoch` is a
+    * function so tests can pin batch time (determinism rule SURVEY §7.3).
+    */
+  def start(spark: SparkSession, sourceDir: String, store: SnapshotStore,
+            checkpointDir: String, nowEpoch: () => Long): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withWatermark("ts", "7 days")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => runBatch(store, batch, nowEpoch()) }
+      .start()
+  }
+}

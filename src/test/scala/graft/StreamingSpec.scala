@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamIngest
+
+/** Structured-Streaming ingest wrapper: streaming the events through the
+  * file source in micro-batches must converge to the same snapshot as the
+  * one-shot fold, and the late-data gate must reject out-of-window rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamed micro-batches converge to the one-shot fold") {
+    import spark.implicits._
+    import graft.fold.{EntityFold, EntityState, UpdateTask}
+    import graft.ingest.EventTasks
+    import graft.ops.TaskCodec
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) + 60
+
+    // Source dir with the events split into two parquet files = two batches
+    // for maxFilesPerTrigger=1.
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+    ev.filter(col("event_id") <= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") > cut).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stateDir = Files.createTempDirectory("graft-stream-state").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val store = new StreamIngest.SnapshotStore(spark, stateDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // gate disabled here: the equivalence target folds ALL events; the
+        // late-data gate has its own test below
+        StreamIngest.runBatch(store, b, now, maxAgeDays = 10000)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = store.read().map(s => (s.eid, s.json)).collect().sortBy(_._1)
+    val oneShot = EntityFold
+      .applyToSnapshot(spark.emptyDataset[EntityState],
+        EventTasks.preAggregated(ev)
+          .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops))),
+        now)
+      .map(s => (s.eid, s.json)).collect().sortBy(_._1)
+    assert(streamed.length == oneShot.length && streamed.length > 0)
+    // Records must be identical field-by-field (JSON key order is stable:
+    // the codec writes insertion-ordered maps and both paths apply the same
+    // op sequence per entity).
+    streamed.zip(oneShot).foreach { case ((id1, j1), (id2, j2)) =>
+      assert(id1 == id2)
+      assert(TaskCodec.parseRec(j1) == TaskCodec.parseRec(j2), s"entity $id1 diverged")
+    }
+  }
+
+  test("late/future events are rejected by the validation gate") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val total = ev.count()
+    // window covering everything passes all rows
+    assert(StreamIngest.validate(ev, now, maxAgeDays = 10000).count() == total)
+    // 1-day window rejects old rows but keeps the newest
+    val kept = StreamIngest.validate(ev, now, maxAgeDays = 1).count()
+    assert(kept > 0 && kept < total)
+    // a "now" far in the past makes everything future-skewed => all rejected
+    assert(StreamIngest.validate(ev, now - 100 * 86400L, maxAgeDays = 1).count() == 0)
+  }
+}
