@@ -237,6 +237,32 @@ object SparkEntry {
           col("event_type"), round(col("value"), 2).as("value"))
     }),
 
+    // -- remaining read-surface endpoints (SURVEY §2.6/§2.7) --
+    "nerd_bad_prefixes" -> ((s, dir) => {
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+      Search.badPrefixes(Search.prefixSummary(rep.select(col("entity"), col("rep")), 4),
+        minRep = 0.001, limit = 10)
+    }),
+
+    "nerd_count" -> ((s, dir) => {
+      val f = Search.SearchFilter(minRep = Some(0.02), typesAny = Some(Seq("error", "signup")))
+      Search.countEndpoint(snapshot(s, dir), f)
+    }),
+
+    "nerd_search_sorted" -> ((s, dir) => {
+      val f = Search.SearchFilter(minTotal = Some(30))
+      Search.search(snapshot(s, dir), f, Search.SortKeys("events"), asc = false, limit = 15)
+        .select(col("entity"), col("total"), col("rep"))
+    }),
+
+    "nerd_event_pivot" -> ((s, dir) => {
+      val sel = Derive.reputationWarden(events(s, dir), today(s, dir))
+        .orderBy(col("rep").desc, col("entity")).limit(10)
+      Search.eventPivot(events(s, dir), sel, today(s, dir),
+        Seq("click", "error", "login", "purchase", "signup", "view"))
+        .orderBy(col("entity"), col("d"))
+    }),
+
     // -- intervals ring buffer (intervals_between_events.py, fmp mean/median) --
     "nerd_intervals" -> ((s, dir) =>
       Derive.intervals(events(s, dir)).orderBy(col("entity"))),
@@ -593,6 +619,46 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_bad_prefixes" ->
+      s"""WITH $REP_CTE
+         |SELECT * FROM (
+         |  SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
+         |         round(sum(rep) / 16, 6) AS prefix_rep, count(*) AS n_members,
+         |         round(max(rep), 6) AS max_rep
+         |  FROM rep GROUP BY 1)
+         |WHERE prefix_rep > 0.001
+         |ORDER BY prefix_rep DESC, prefix
+         |LIMIT 10""".stripMargin,
+
+    "nerd_count" ->
+      s"""WITH $SNAP_CTE
+         |SELECT count(DISTINCT entity) AS n FROM snap
+         |WHERE rep >= 0.02
+         |  AND (list_contains(types, 'error') OR list_contains(types, 'signup'))""".stripMargin,
+
+    "nerd_search_sorted" ->
+      s"""WITH $SNAP_CTE
+         |SELECT entity, total30 AS total, rep FROM snap
+         |WHERE total30 >= 30
+         |ORDER BY total30 DESC, entity
+         |LIMIT 15""".stripMargin,
+
+    "nerd_event_pivot" ->
+      s"""WITH $REP_CTE,
+         |sel AS (SELECT entity FROM rep ORDER BY rep DESC, entity LIMIT 10),
+         |e AS (SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type
+         |      FROM events, mx
+         |      WHERE user_id IN (SELECT entity FROM sel)
+         |        AND $AGE < 5 AND $AGE >= 0)
+         |SELECT entity, d,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         |  CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS login,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         |FROM e GROUP BY 1, 2 ORDER BY entity, d""".stripMargin,
 
     "nerd_intervals" ->
       """WITH l AS (

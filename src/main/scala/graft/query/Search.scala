@@ -82,6 +82,45 @@ object Search {
       .orderBy(col("prefix"))
   }
 
+  /** The reference's five search sort keys (`nerd_main.py:899–908`) mapped
+    * to snapshot columns; every sort gets the deterministic entity tiebreak.
+    */
+  val SortKeys: Map[String, String] = Map(
+    "rep" -> "rep",
+    "events" -> "total",          // events_meta.total
+    "last_activity" -> "total1",  // most-recent-activity proxy on the snapshot
+    "ts_added" -> "entity",       // insertion order == id order for int ids
+    "id" -> "entity")
+
+  /** Worst-prefix top-k (`nerd_main.py:2362–2374`): prefixes above a score
+    * threshold, worst first.
+    */
+  def badPrefixes(prefixAgg: DataFrame, minRep: Double, limit: Int): DataFrame =
+    prefixAgg.filter(col("prefix_rep") > minRep)
+      .orderBy(col("prefix_rep").desc, col("prefix"))
+      .limit(limit)
+
+  /** Count endpoint (`nerd_main.py:1272–1285`): `count_documents(query)`. */
+  def countEndpoint(snapshot: DataFrame, f: SearchFilter): DataFrame =
+    snapshot.filter(compile(f)).agg(count_distinct(col("entity")).as("n"))
+
+  /** Search-result date×category pivot (`nerd_main.py:1120–1190`): per
+    * selected entity, event counts per day per category over the trailing
+    * `days` window. The category list is FIXED config (never discovered with
+    * a driver-side pass — a two-phase pivot would scan 100 TB twice).
+    */
+  def eventPivot(events: DataFrame, entities: DataFrame, today: String,
+                 categories: Seq[String], days: Int = 5): DataFrame =
+    events
+      .join(entities.select(col("entity").as("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .withColumn("d", to_date(col("ts")))
+      .filter(datediff(lit(today).cast("date"), col("d")) < days &&
+        datediff(lit(today).cast("date"), col("d")) >= 0)
+      .groupBy(col("user_id").as("entity"), col("d"))
+      .pivot("event_type", categories)
+      .count()
+      .na.fill(0L, categories)
+
   /** Event listing (`common/eventdb_psql.py:69–72`): latest N events for the
     * entities selected by a snapshot filter — join + `ORDER BY detecttime
     * DESC LIMIT n` with a deterministic id tiebreak. Ordering is on
