@@ -888,9 +888,13 @@ object SparkEntry {
     "llm_minhash_lsh" ->
       s"""WITH $SHINGLES,
          |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |sig AS (SELECT doc_id, i, min(md5(i || '|' || s)) AS mh FROM sh, idx GROUP BY 1, 2),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
          |bands AS (
-         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
          |  FROM sig GROUP BY 1, 2),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

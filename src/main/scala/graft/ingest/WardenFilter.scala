@@ -100,6 +100,12 @@ object WardenFilter {
   /** Apply the filter: returns the surviving rows. `jsonCol` is the JSON
     * message column the patterns index into, `orderCol` defines the
     * deterministic arrival order for sampling.
+    *
+    * Pass/drop rows never touch the window: they survive on a pure codegen'd
+    * filter. Only rows whose first-match rule is a `sample N` pay the
+    * occurrence-numbering shuffle, and that window runs over just those rows
+    * (windowing the whole stream partitioned by a handful of rule ids would
+    * serialize 100 TB through a few partitions).
     */
   def apply(events: DataFrame, rules: Seq[String], jsonCol: String = "props",
             orderCol: String = "event_id"): DataFrame = {
@@ -111,17 +117,21 @@ object WardenFilter {
         when(rulePredicate(r, jsonCol), lit(i)).otherwise(acc)
       }
     val withRule = events.withColumn("_rule", ruleIdx)
-    val needsSample = actions.exists(_.isInstanceOf[SampleN])
-    val withOcc =
-      if (needsSample)
-        withRule.withColumn("_occ",
+    val passIdx = actions.zipWithIndex.collect { case (Pass, i) => i }
+    val samples = actions.zipWithIndex.collect { case (SampleN(n), i) => (i, n) }
+    val passRows =
+      if (passIdx.isEmpty) events.limit(0)
+      else withRule.filter(col("_rule").isInCollection(passIdx)).drop("_rule")
+    if (samples.isEmpty) passRows
+    else {
+      val sampleRows = withRule
+        .filter(col("_rule").isInCollection(samples.map(_._1)))
+        .withColumn("_occ",
           row_number().over(Window.partitionBy(col("_rule")).orderBy(col(orderCol))))
-      else withRule
-    val keep = actions.zipWithIndex.map {
-      case (Pass, i)       => col("_rule") === i
-      case (Drop, i)       => lit(false) && col("_rule") === i
-      case (SampleN(n), i) => col("_rule") === i && col("_occ") % n === 0
-    }.reduce(_ || _)
-    withOcc.filter(keep).drop("_rule", "_occ")
+      val keep = samples.map { case (i, n) =>
+        col("_rule") === i && col("_occ") % n === 0
+      }.reduce(_ || _)
+      passRows.unionByName(sampleRows.filter(keep).drop("_rule", "_occ"))
+    }
   }
 }

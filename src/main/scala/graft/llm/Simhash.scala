@@ -21,7 +21,14 @@ object Simhash {
   val Bands = 4
   val BandBits: Int = Bits / Bands // 16
 
-  /** Per-document band values: (doc_id, band ∈ [0,4), v ∈ [0, 2¹⁶)). */
+  /** Per-document band values: (doc_id, band ∈ [0,4), v ∈ [0, 2¹⁶)).
+    *
+    * WIDE aggregation: the 64 per-bit weighted sums are 64 aggregate columns
+    * of ONE `groupBy(doc_id)` — partial aggregation collapses them map-side,
+    * so the shuffle carries |docs| rows of 64 longs instead of exploding
+    * every (doc, token) row 64× (which cost a 64×-bigger shuffle and a
+    * second per-(doc, bit) shuffle in the previous shape).
+    */
   def bandValues(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -29,16 +36,18 @@ object Simhash {
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("tok")))
     // bit j of the token hash: hex digit j/4, bit (3 - j%4)
-    val bits = tf
-      .withColumn("j", explode(lit((0 until Bits).toArray)))
-      .withColumn("bit",
-        expr("(cast(conv(substring(h, cast(j / 4 as int) + 1, 1), 16, 10) as int) >> (3 - j % 4)) & 1"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
-      .withColumn("fbit", (col("s") > 0).cast("long"))
-    bits
-      .groupBy(col("doc_id"), (col("j") / BandBits).cast("int").as("band"))
-      .agg(sum(col("fbit") * pow(lit(2d), pmod(col("j"), lit(BandBits)))).cast("long").as("v"))
+    val sCols = (0 until Bits).map { j =>
+      val bit = expr(s"(cast(conv(substring(h, ${j / 4 + 1}, 1), 16, 10) as int) >> ${3 - j % 4}) & 1")
+      sum(col("tf") * (bit * 2 - 1)).as(s"s$j")
+    }
+    val wide = tf.groupBy(col("doc_id")).agg(sCols.head, sCols.tail: _*)
+    val vCols = (0 until Bands).map { b =>
+      (0 until BandBits).map { bit =>
+        when(col(s"s${b * BandBits + bit}") > 0, 1L << bit).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    wide.select(col("doc_id"), posexplode(array(vCols: _*)).as(Seq("band", "v")))
+      .withColumn("band", col("band").cast("int"))
   }
 
   /** Near-duplicate pairs at Hamming distance ≤ `maxDist` (must be <
