@@ -237,6 +237,48 @@ object SparkEntry {
           col("event_type"), round(col("value"), 2).as("value"))
     }),
 
+    // -- feed sources + classifiers (SURVEY §2.1/§2.4/§2.9) --
+    "nerd_dshield" -> ((s, dir) =>
+      graft.sources.Feeds.dshieldDaily(events(s, dir))
+        .withColumn("targets", col("targets").cast("long"))
+        .orderBy(col("entity"), col("d"))),
+
+    "nerd_reserved_ip" -> ((s, dir) => {
+      import graft.functions.Funcs
+      events(s, dir).select(col("user_id").as("entity")).distinct()
+        .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
+        .withColumn("range_class", coalesce(Funcs.reservedRange(col("ip")), lit("public")))
+        .orderBy(col("entity"))
+    }),
+
+    "nerd_hostname_class" -> ((s, dir) => {
+      import graft.functions.Funcs
+      val suffixes = Seq(".edu" -> "academic", ".gov" -> "government",
+        ".dyn.example.com" -> "dynamic", ".xyz" -> "suspicious")
+      val suffix = element_at(
+        array(lit(".cs.uni.edu"), lit(".agency.gov"), lit(".dyn.example.com"), lit(".shady.xyz")),
+        (col("entity") % 4 + 1).cast("int"))
+      events(s, dir).select(col("user_id").as("entity")).distinct()
+        .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
+        .withColumn("host", concat(lit("h"), col("entity"), suffix))
+        .withColumn("hostname_class", Funcs.hostnameClass(col("host"), suffixes))
+        .withColumn("ip_in_host", Funcs.ipInHostname(col("host"), col("ip")))
+        .orderBy(col("entity"))
+    }),
+
+    "nerd_blacklist" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Funcs
+      val base = events(s, dir).select(col("user_id").as("entity")).distinct()
+        .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
+      val feed = base.filter(col("entity") % 5 === 0)
+        .select(concat(Funcs.int2ipstr(col("ip")), lit(" # bad host")).as("line"))
+        .unionByName(Seq("# comment line", "garbage without address").toDF("line"))
+      base.join(graft.sources.Feeds.parseBlacklistLines(feed), Seq("ip"), "left_semi")
+        .select(col("entity"), col("ip"))
+        .orderBy(col("entity"))
+    }),
+
     // -- remaining read-surface endpoints (SURVEY §2.6/§2.7) --
     "nerd_bad_prefixes" -> ((s, dir) => {
       val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
@@ -619,6 +661,66 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_dshield" ->
+      """SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS reports,
+        |       count(DISTINCT event_type) AS targets
+        |FROM events GROUP BY 1, 2
+        |HAVING count(*) >= 3 AND count(DISTINCT event_type) >= 2
+        |ORDER BY entity, d""".stripMargin,
+
+    "nerd_reserved_ip" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events),
+        |c AS (SELECT entity, (entity * 2654435761) % 4294967296 AS ip FROM e)
+        |SELECT entity, ip,
+        |  CASE WHEN ip BETWEEN 0 AND 16777215 THEN 'this-net'
+        |       WHEN ip BETWEEN 167772160 AND 184549375 THEN 'private-10'
+        |       WHEN ip BETWEEN 1681915904 AND 1686110207 THEN 'cgn'
+        |       WHEN ip BETWEEN 2130706432 AND 2147483647 THEN 'loopback'
+        |       WHEN ip BETWEEN 2851995648 AND 2852061183 THEN 'link-local'
+        |       WHEN ip BETWEEN 2886729728 AND 2887778303 THEN 'private-172'
+        |       WHEN ip BETWEEN 3232235520 AND 3232301055 THEN 'private-192'
+        |       WHEN ip BETWEEN 3323068416 AND 3323199487 THEN 'benchmark'
+        |       WHEN ip BETWEEN 3758096384 AND 4026531839 THEN 'multicast'
+        |       WHEN ip BETWEEN 4026531840 AND 4294967295 THEN 'reserved-240'
+        |       ELSE 'public' END AS range_class
+        |FROM c ORDER BY entity""".stripMargin,
+
+    "nerd_hostname_class" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events),
+        |c AS (SELECT entity, (entity * 2654435761) % 4294967296 AS ip,
+        |        'h' || entity || ['.cs.uni.edu', '.agency.gov', '.dyn.example.com',
+        |                          '.shady.xyz'][CAST(entity % 4 AS INT) + 1] AS host
+        |      FROM e)
+        |SELECT entity, ip, host,
+        |  CASE WHEN ends_with(host, '.edu') THEN 'academic'
+        |       WHEN ends_with(host, '.gov') THEN 'government'
+        |       WHEN ends_with(host, '.dyn.example.com') THEN 'dynamic'
+        |       WHEN ends_with(host, '.xyz') THEN 'suspicious' END AS hostname_class,
+        |  (CASE WHEN contains(host, CAST((ip // 16777216) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+        | + CASE WHEN contains(host, CAST((ip // 65536) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+        | + CASE WHEN contains(host, CAST((ip // 256) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+        | + CASE WHEN contains(host, CAST(ip % 256 AS VARCHAR)) THEN 1 ELSE 0 END) >= 2 AS ip_in_host
+        |FROM c ORDER BY entity""".stripMargin,
+
+    "nerd_blacklist" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events),
+        |c AS (SELECT entity, (entity * 2654435761) % 4294967296 AS ip FROM e),
+        |feed AS (
+        |  SELECT ((ip // 16777216) % 256) || '.' || ((ip // 65536) % 256) || '.'
+        |      || ((ip // 256) % 256) || '.' || (ip % 256) || ' # bad host' AS line
+        |  FROM c WHERE entity % 5 = 0
+        |  UNION ALL SELECT '# comment line'
+        |  UNION ALL SELECT 'garbage without address'),
+        |p0 AS (SELECT regexp_extract(line, '(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})', 1) AS ip_str
+        |       FROM feed),
+        |pip AS (SELECT DISTINCT
+        |          CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216
+        |        + CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536
+        |        + CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256
+        |        + CAST(split_part(ip_str, '.', 4) AS BIGINT) AS ip
+        |        FROM p0 WHERE ip_str != '')
+        |SELECT c.entity, c.ip FROM c JOIN pip USING (ip) ORDER BY entity""".stripMargin,
 
     "nerd_bad_prefixes" ->
       s"""WITH $REP_CTE

@@ -67,4 +67,48 @@ object Funcs {
     */
   def normalizeCategories(cats: Column): Column =
     translate(array_join(cats, "+"), ".", "")
+
+  /** Reserved/special-use IPv4 ranges (reference
+    * `modules/reserved_ip.py:14–74` keeps a prefix list + regexes over the
+    * dotted quad; on an int IP they are pure range predicates — no regex
+    * needed, fully codegen'd and row-group-prunable).
+    */
+  val ReservedRanges: Seq[(String, Long, Long)] = Seq(
+    ("this-net", 0L, 16777215L),                  // 0.0.0.0/8
+    ("private-10", 167772160L, 184549375L),       // 10.0.0.0/8
+    ("cgn", 1681915904L, 1686110207L),            // 100.64.0.0/10
+    ("loopback", 2130706432L, 2147483647L),       // 127.0.0.0/8
+    ("link-local", 2851995648L, 2852061183L),     // 169.254.0.0/16
+    ("private-172", 2886729728L, 2887778303L),    // 172.16.0.0/12
+    ("private-192", 3232235520L, 3232301055L),    // 192.168.0.0/16
+    ("benchmark", 3323068416L, 3323199487L),      // 198.18.0.0/15
+    ("multicast", 3758096384L, 4026531839L),      // 224.0.0.0/4
+    ("reserved-240", 4026531840L, 4294967295L))   // 240.0.0.0/4
+
+  /** The matched reserved-range name, or null for globally routable IPs. */
+  def reservedRange(ip: Column): Column =
+    ReservedRanges.foldRight(lit(null).cast("string")) { case ((name, lo, hi), acc) =>
+      when(ip.between(lo, hi), lit(name)).otherwise(acc)
+    }
+
+  /** Hostname classification (reference `modules/hostname.py:56–121`):
+    * walk a suffix→class dict (longest suffix wins by evaluation order) and
+    * flag hostnames embedding their IP's octets (the reference's "ip in
+    * hostname" heuristic: ≥50% of octets appear in the name).
+    */
+  def hostnameClass(host: Column, suffixClasses: Seq[(String, String)]): Column =
+    suffixClasses.foldRight(lit(null).cast("string")) { case ((suffix, cls), acc) =>
+      when(host.endsWith(suffix), lit(cls)).otherwise(acc)
+    }
+
+  def ipInHostname(host: Column, ip: Column): Column = {
+    val octets = Seq(
+      shiftright(ip, 24).bitwiseAND(255),
+      shiftright(ip, 16).bitwiseAND(255),
+      shiftright(ip, 8).bitwiseAND(255),
+      ip.bitwiseAND(255))
+    val hits = octets.map(o => when(host.contains(o.cast("string")), 1).otherwise(0))
+      .reduce(_ + _)
+    hits >= 2 // >= 50% of the 4 octets
+  }
 }
