@@ -425,8 +425,42 @@ object SparkEntry {
         ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
         ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
         ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
-      ThreatCategorize.summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+      val withK = events(s, dir).withColumn("k", k)
+      ThreatCategorize.summary(ThreatCategorize.classify(withK, rules), today(s, dir),
+          subcatCol = Some("k"))
         .orderBy(col("entity"), col("category"))
+    }),
+
+    // -- full create_query filter algebra (nerd_main.py:965–1045) --
+    "nerd_search_full" -> ((s, dir) => {
+      import graft.tagsdsl.Tags
+      val suffix = element_at(
+        array(lit(".cs.uni.edu"), lit(".agency.gov"), lit(".dyn.example.com"), lit(".shady.xyz")),
+        (col("entity") % 4 + 1).cast("int"))
+      val enriched0 = Tags.tagsMapColumn(
+        snapshot(s, dir)
+          .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
+          .withColumn("host", concat(lit("h"), col("entity"), suffix))
+          .withColumn("ctry", element_at(array(lit("cz"), lit("de"), lit("us")),
+            (col("entity") % 3 + 1).cast("int"))),
+        Seq(Tags.TagDef("volume", "total30 / 50")))
+      // blacklist membership through the real feed-parse path
+      val feed = enriched0.filter(col("entity") % 5 === 0)
+        .select(concat(graft.functions.Funcs.int2ipstr(col("ip")), lit(" # bad host")).as("line"))
+      val blIps = graft.sources.Feeds.parseBlacklistLines(feed)
+        .withColumn("on_bl_hit", lit(true))
+      val enriched = enriched0.join(blIps, Seq("ip"), "left")
+        .withColumn("on_bl", coalesce(col("on_bl_hit"), lit(false)))
+      val f = Search.ExtendedFilter(
+        base = Search.SearchFilter(minRep = Some(0.0)),
+        hostSuffix = Some(".gov"),
+        countryIn = Some(Seq("cz", "de")),
+        tagConf = Some(("volume", 0.1)),
+        onBlacklist = Some(false))
+      enriched.filter(Search.compileExtended(f))
+        .select(col("entity"), col("rep"), col("total"), col("host"), col("ctry"),
+          col("tags").getItem("volume").getField("confidence").as("tag_conf"))
+        .orderBy(col("entity"))
     }),
 
     // -- tags rule DSL (SURVEY §2.11, tags.py:264–920) --
@@ -937,6 +971,10 @@ object SparkEntry {
          |  SELECT user_id AS entity, category, role, age, count(*) AS n,
          |         count(DISTINCT event_type) AS nsrc
          |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2, 3, 4),
+         |sc AS (
+         |  SELECT user_id AS entity, category,
+         |         array_to_string(list_sort(list(DISTINCT k))[1:10], ',') AS subcats
+         |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2),
          |s AS (
          |  SELECT entity, category, role,
          |    round(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
@@ -945,8 +983,28 @@ object SparkEntry {
          |          / sum(14 - age), 2) AS conf,
          |    CAST(sum(n) AS BIGINT) AS reports
          |  FROM daily GROUP BY 1, 2, 3)
-         |SELECT entity, category, role, conf, reports FROM s WHERE conf > 0
-         |ORDER BY entity, category""".stripMargin,
+         |SELECT s.entity, s.category, s.role, s.conf, s.reports, sc.subcats
+         |FROM s JOIN sc ON s.entity = sc.entity AND s.category = sc.category
+         |WHERE s.conf > 0
+         |ORDER BY s.entity, s.category""".stripMargin,
+
+    "nerd_search_full" ->
+      s"""WITH $SNAP_CTE,
+         |c AS (
+         |  SELECT entity, rep, total30,
+         |    'h' || entity || ['.cs.uni.edu', '.agency.gov', '.dyn.example.com',
+         |                      '.shady.xyz'][CAST(entity % 4 AS INT) + 1] AS host,
+         |    ['cz', 'de', 'us'][CAST(entity % 3 AS INT) + 1] AS ctry,
+         |    round(total30 / 50.0, 6) AS tag_conf
+         |  FROM snap)
+         |SELECT entity, rep, total30 AS total, host, ctry, tag_conf
+         |FROM c
+         |WHERE rep >= 0.0
+         |  AND ends_with(host, '.gov')
+         |  AND ctry IN ('cz', 'de')
+         |  AND total30 != 0 AND tag_conf >= 0.1
+         |  AND NOT (entity % 5 = 0)
+         |ORDER BY entity""".stripMargin,
 
     "nerd_tags" ->
       s"""WITH $SNAP_CTE

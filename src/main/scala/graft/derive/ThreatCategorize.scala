@@ -50,12 +50,22 @@ object ThreatCategorize {
     * distinct reporting event types of the day. Two aggregations — per-day
     * then per-entity — the same partial-agg shape as the snapshot.
     */
-  def summary(classified: DataFrame, today: String, dateRange: Int = 14): DataFrame = {
+  /** @param subcatCol optional subcategory value column (port/protocol
+    *                   analog): distinct values union across kept days,
+    *                   numerically sorted, capped at 10 (the reference caps
+    *                   after `set()` without an order,
+    *                   `threat_category_summary.py:109–112` — sorting first
+    *                   makes the cap deterministic), emitted comma-joined.
+    */
+  def summary(classified: DataFrame, today: String, dateRange: Int = 14,
+              subcatCol: Option[String] = None): DataFrame = {
+    val subcatDaily = subcatCol.map(c => collect_set(col(c)).as("ks")).toList
     val daily = classified
       .withColumn("age", datediff(lit(today).cast("date"), to_date(col("ts"))))
       .filter(col("age") >= 0 && col("age") < dateRange)
       .groupBy(col("user_id").as("entity"), col("category"), col("role"), col("age"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("nsrc"))
+      .agg(count(lit(1)).as("n"),
+        (countDistinct(col("event_type")).as("nsrc") +: subcatDaily): _*)
     // Weight (range − age)/range with the constant 1/range factored out of the
     // ratio: numerator terms are dyadic·integer (exactly representable, so the
     // sum is order-independent) and the denominator is an integer sum — the
@@ -64,10 +74,15 @@ object ThreatCategorize {
     // boundaries depending on accumulation order.
     val w = lit(dateRange) - col("age")
     val dc = Derive.nonlin(col("n"), 1d) * Derive.nonlin(col("nsrc"), 1d)
+    val subcatFinal = subcatCol.map(_ =>
+      array_join(
+        transform(slice(sort_array(array_distinct(flatten(collect_list(col("ks"))))), 1, 10),
+          x => x.cast("string")),
+        ",").as("subcats")).toList
     daily.groupBy(col("entity"), col("category"), col("role"))
       .agg(
         round(sum(dc * w) / sum(w), 2).as("conf"),
-        sum(col("n")).as("reports"))
+        (sum(col("n")).as("reports") +: subcatFinal): _*)
       .filter(col("conf") > 0)
   }
 }

@@ -82,6 +82,34 @@ object Search {
       .orderBy(col("prefix"))
   }
 
+  /** The remaining `create_query` predicate families (`nerd_main.py:965–1045`)
+    * over an enriched snapshot: hostname suffix (the reference's
+    * reversed-string range scan becomes a plain pushdown-friendly
+    * `endswith`), country membership, tag existence + confidence threshold
+    * over the `tags` map column, and blacklist membership (the
+    * `bl $elemMatch {n, v:1}` analog).
+    */
+  final case class ExtendedFilter(
+      base: SearchFilter = SearchFilter(),
+      hostSuffix: Option[String] = None,
+      countryIn: Option[Seq[String]] = None,
+      tagConf: Option[(String, Double)] = None,   // tags[id].confidence >= t
+      onBlacklist: Option[Boolean] = None)
+
+  def compileExtended(f: ExtendedFilter): Column = {
+    val conds = Seq(
+      Some(compile(f.base)),
+      f.hostSuffix.map(s => col("host").endsWith(s)),
+      f.countryIn.map(cs => col("ctry").isInCollection(cs)),
+      f.tagConf.map { case (id, t) =>
+        map_contains_key(col("tags"), lit(id)) &&
+          col("tags").getItem(id).getField("confidence") >= t
+      },
+      f.onBlacklist.map(b => col("on_bl") === b)
+    ).flatten
+    conds.reduce(_ && _)
+  }
+
   /** The reference's five search sort keys (`nerd_main.py:899–908`) mapped
     * to snapshot columns; every sort gets the deterministic entity tiebreak.
     */
