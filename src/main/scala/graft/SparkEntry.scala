@@ -31,6 +31,8 @@ object SparkEntry {
     todayCache.computeIfAbsent(dir, _ =>
       Tables.events(spark, dir).agg(max(to_date(col("ts")))).head.getDate(0).toString)
 
+  private val maxEventIdCache = new ConcurrentHashMap[String, java.lang.Long]()
+
   private val maxIdCache = new ConcurrentHashMap[String, java.lang.Long]()
   private def maxUserId(spark: SparkSession, dir: String): Long =
     maxIdCache.computeIfAbsent(dir, _ =>
@@ -385,7 +387,8 @@ object SparkEntry {
       import graft.fold.{EntityFold, EntityState, UpdateTask}
       import graft.ops.TaskCodec
       val ev = events(s, dir)
-      val cutoff = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val cutoff = maxEventIdCache.computeIfAbsent(dir, _ =>
+        ev.agg(max(col("event_id"))).head.getLong(0)) / 2
       def wire(df: DataFrame) = EventTasks.preAggregated(df)
         .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
       val now = nowEpoch(s, dir)

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the optimizations we rely on at scale must actually
+  * appear in the executed plan — a broadcast that silently degrades to a
+  * shuffled sort-merge join, a top-k that full-sorts, or a scan that stops
+  * pushing filters would all pass the correctness gate while regressing the
+  * 100-TB story.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3: customer dim is broadcast, not shuffled") {
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("2-hop enrichment uses two broadcast hash joins") {
+    val p = plan("nerd_entity_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject (no full sort)") {
+    assert(plan("nerd_search_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("range join broadcasts the block fixture") {
+    val p = plan("nerd_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("filters reach the parquet scan (pushdown)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"))
+  }
+
+  test("ANN brute-force broadcasts the query set") {
+    val p = plan("llm_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
