@@ -239,6 +239,25 @@ object SparkEntry {
           col("event_type"), round(col("value"), 2).as("value"))
     }),
 
+    // -- enrichment fixture lookup (SURVEY §2.10 geolocation pattern) --
+    "nerd_geo_enrich" -> ((s, dir) => {
+      // The reference's per-entity network lookups (geolocation/whois/shodan)
+      // become broadcast joins against fixture tables offline — the fixture
+      // here is the deterministic stand-in for a MaxMind-style db.
+      import s.implicits._
+      val geo = Seq(
+        (0, "cz", "Prague", "Europe/Prague"), (1, "de", "Berlin", "Europe/Berlin"),
+        (2, "us", "New York", "America/New_York"), (3, "fr", "Paris", "Europe/Paris"),
+        (4, "jp", "Tokyo", "Asia/Tokyo"), (5, "br", "Sao Paulo", "America/Sao_Paulo"),
+        (6, "in", "Delhi", "Asia/Kolkata"), (7, "au", "Sydney", "Australia/Sydney")
+      ).toDF("gk", "ctry", "city", "tz")
+      events(s, dir).select(col("user_id").as("entity")).distinct()
+        .withColumn("gk", (col("entity") % 8).cast("int"))
+        .join(broadcast(geo), Seq("gk"))
+        .select(col("entity"), col("ctry"), col("city"), col("tz"))
+        .orderBy(col("entity"))
+    }),
+
     // -- feed sources + classifiers (SURVEY §2.1/§2.4/§2.9) --
     "nerd_dshield" -> ((s, dir) =>
       graft.sources.Feeds.dshieldDaily(events(s, dir))
@@ -698,6 +717,16 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_geo_enrich" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events)
+        |SELECT entity,
+        |  ['cz','de','us','fr','jp','br','in','au'][CAST(entity % 8 AS INT) + 1] AS ctry,
+        |  ['Prague','Berlin','New York','Paris','Tokyo','Sao Paulo','Delhi','Sydney']
+        |    [CAST(entity % 8 AS INT) + 1] AS city,
+        |  ['Europe/Prague','Europe/Berlin','America/New_York','Europe/Paris','Asia/Tokyo',
+        |   'America/Sao_Paulo','Asia/Kolkata','Australia/Sydney'][CAST(entity % 8 AS INT) + 1] AS tz
+        |FROM e ORDER BY entity""".stripMargin,
 
     "nerd_dshield" ->
       """SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS reports,

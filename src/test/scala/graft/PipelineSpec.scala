@@ -55,6 +55,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("on-demand record creation: one web task creates a short-lived record") {
+    // Reference: /ajax/fetch_ip_data issues ('set', '_ttl.web', now+3h)
+    // creating the record on the spot (nerd_main.py:1473–1489).
+    import graft.fold.{EntityFold, EntityState, UpdateTask}
+    import spark.implicits._
+    val now = 1706659200L
+    val task = Seq(UpdateTask("ip", 999999L, 0L, "web",
+      s"""[["set","_ttl.web",${now + 3 * 3600}]]""")).toDS()
+    val out = EntityFold.applyToSnapshot(spark.emptyDataset[EntityState], task, now).collect()
+    assert(out.length == 1 && out.head.eid == 999999L)
+    val rec = graft.ops.TaskCodec.parseRec(out.head.json)
+    assert(rec("ts_added") == now)
+    assert(rec("_ttl").asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]("web") == now + 3 * 3600)
+  }
+
+  test("event append sink round-trips through parquet") {
+    // SURVEY §2.2 event batch insert: append-only parquet write of the raw
+    // event stream (the PSQL execute_values analog).
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val ev = graft.core.Tables.events(spark, sf)
+    ev.limit(100).write.mode("append").parquet(dir)
+    ev.limit(50).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 150)
+  }
+
   test("fold path equals relational path (per-event tasks vs pre-aggregated)") {
     import graft.fold.EntityFold
     import graft.ingest.EventTasks
