@@ -30,17 +30,19 @@ object Simhash {
     * second per-(doc, bit) shuffle in the previous shape).
     */
   def bandValues(docs: DataFrame): DataFrame = {
-    val tf = docs
+    // Per-INSTANCE contributions: Σ_instances (bit·2−1) ≡ Σ_tokens tf·(bit·2−1),
+    // so the intermediate per-(doc, token) tf aggregation (an extra shuffle)
+    // is unnecessary — one groupBy(doc_id) with 64 wide sums does it all,
+    // map-side combined.
+    val inst = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("tok")))
     // bit j of the token hash: hex digit j/4, bit (3 - j%4)
     val sCols = (0 until Bits).map { j =>
       val bit = expr(s"(cast(conv(substring(h, ${j / 4 + 1}, 1), 16, 10) as int) >> ${3 - j % 4}) & 1")
-      sum(col("tf") * (bit * 2 - 1)).as(s"s$j")
+      sum(bit * 2 - 1).as(s"s$j")
     }
-    val wide = tf.groupBy(col("doc_id")).agg(sCols.head, sCols.tail: _*)
+    val wide = inst.groupBy(col("doc_id")).agg(sCols.head, sCols.tail: _*)
     val vCols = (0 until Bands).map { b =>
       (0 until BandBits).map { bit =>
         when(col(s"s${b * BandBits + bit}") > 0, 1L << bit).otherwise(0L)
