@@ -530,6 +530,10 @@ object SparkEntry {
         .withColumn("probe_cluster", col("probe_cluster").cast("long"))
         .orderBy(col("qid"), col("rank"))),
 
+    "llm_embed_dedup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy(col("d1"), col("d2"))),
+
     "llm_text_stats" -> ((s, dir) =>
       TextStats.stats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -1156,6 +1160,17 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, probe_cluster, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_embed_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb,
+         |        list_sum(list_transform(generate_series(1, 8),
+         |          i -> CASE WHEN emb[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
+         |      FROM e)
+         |SELECT a.vec_id AS d1, c.vec_id AS d2, ${COS("a.emb", "c.emb")} AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${COS("a.emb", "c.emb")} >= 0.35
+         |ORDER BY d1, d2""".stripMargin,
 
     "llm_text_stats" ->
       """WITH t AS (

@@ -99,4 +99,23 @@ object Ann {
         s"aggregate(transform(sequence(0, ${bits - 1}), " +
           "i -> if(element_at(embedding, i + 1) > 0D, shiftleft(1L, i), 0L)), " +
           "0L, (acc, v) -> acc + v)"))
+
+  /** Embedding-cosine near-duplicate pairs: candidates from the sign-LSH
+    * bucket equi-join (O(bucket sizes), never the n² pair space), verified
+    * with the exact cosine at `threshold`. Like any single-table LSH, recall
+    * is probabilistic — pairs whose vectors straddle a hyperplane in the
+    * first `bits` dims are missed; more bands/rotations buy recall at
+    * candidate-count cost. Output: (d1, d2, cos).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         bits: Int = 8): DataFrame = {
+    val b = lshBuckets(embeddings, bits)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
+  }
 }
