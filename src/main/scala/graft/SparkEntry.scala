@@ -239,6 +239,25 @@ object SparkEntry {
           col("event_type"), round(col("value"), 2).as("value"))
     }),
 
+    // -- TTL-token presence filter (create_query's `_ttl.<src>` family) --
+    "nerd_ttl_filter" -> ((s, dir) => {
+      // Build the record's `_ttl` token map (source → expiry) and filter on
+      // token presence — `map_contains_key(_ttl, src)` is the columnar form
+      // of the reference's `_ttl.warden: {$exists: true}` Mongo predicate.
+      // scale-aware highly-active bar: the default 50 matches nobody at
+      // sf0.001 (VERDICT r1 #2's lesson)
+      val ttl = Derive.ttlExpiry(events(s, dir), today(s, dir), highlyActiveThreshold = 10L)
+        .withColumn("_ttl", map_from_entries(filter(array(
+          struct(lit("warden").as("k"), col("ttl_warden").as("v")),
+          when(col("ttl_highly_active").isNotNull,
+            struct(lit("highly_active").as("k"), col("ttl_highly_active").as("v")))),
+          e => e.isNotNull)))
+      ttl.filter(map_contains_key(col("_ttl"), lit("highly_active")))
+        .select(col("entity"), col("ttl_warden"), col("ttl_highly_active"),
+          map_keys(col("_ttl")).getItem(0).as("first_token"))
+        .orderBy(col("entity"))
+    }),
+
     // -- enrichment fixture lookup (SURVEY §2.10 geolocation pattern) --
     "nerd_geo_enrich" -> ((s, dir) => {
       // The reference's per-entity network lookups (geolocation/whois/shodan)
@@ -721,6 +740,16 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_ttl_filter" ->
+      s"""WITH $MX,
+         |p AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
+         |        CAST(sum(CASE WHEN $AGE <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7
+         |      FROM events, mx GROUP BY 1)
+         |SELECT entity, last_day + 14 AS ttl_warden, last_day + 30 AS ttl_highly_active,
+         |       'warden' AS first_token
+         |FROM p WHERE total7 > 10
+         |ORDER BY entity""".stripMargin,
 
     "nerd_geo_enrich" ->
       """WITH e AS (SELECT DISTINCT user_id AS entity FROM events)

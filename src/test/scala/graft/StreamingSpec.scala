@@ -72,6 +72,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("mapGroupsWithState counters accumulate across micro-batches") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-state-src").toString
+    val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+    ev.filter(col("event_id") <= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") > cut).coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-state-ckpt").toString
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamIngest.statefulCounts(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("state_counts")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the final (largest) per-entity count must equal the batch totals —
+    // counts grow monotonically, so max over the update-mode rows is the
+    // last state
+    val got = spark.sql(
+      """SELECT _1 AS entity, max(_2) AS n FROM state_counts GROUP BY _1""")
+      .as[(Long, Long)].collect().toMap
+    val want = ev.groupBy(col("user_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(want.forall { case (e, n) => got.get(e).contains(n) },
+      s"state totals diverged: got=$got want=$want")
+  }
+
   test("late/future events are rejected by the validation gate") {
     val ev = graft.core.Tables.events(spark, sf)
     val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
