@@ -239,6 +239,25 @@ object SparkEntry {
           col("event_type"), round(col("value"), 2).as("value"))
     }),
 
+    // -- blacklist hit-history pruning (cleaner.py:64–202 `bl[].h` arrays) --
+    "nerd_bl_history" -> ((s, dir) => {
+      // Each entity's blacklist-hit history (timestamp array) pruned to the
+      // retention window; entries left empty are dropped — the cleaner's
+      // `bl[].h` pruning as pure array expressions.
+      val cutoff = java.time.LocalDate.parse(today(s, dir)).minusDays(14)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      events(s, dir)
+        .groupBy(col("user_id").as("entity"))
+        .agg(sort_array(collect_list(unix_timestamp(col("ts")))).as("h"))
+        .withColumn("kept", filter(col("h"), t => t >= cutoff))
+        .filter(size(col("kept")) > 0)
+        .select(col("entity"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("h")) - size(col("kept"))).cast("long").as("n_pruned"),
+          element_at(col("kept"), 1).as("oldest_kept"))
+        .orderBy(col("entity"))
+    }),
+
     // -- TTL-token presence filter (create_query's `_ttl.<src>` family) --
     "nerd_ttl_filter" -> ((s, dir) => {
       // Build the record's `_ttl` token map (source → expiry) and filter on
@@ -740,6 +759,19 @@ object SparkEntry {
          |WHERE user_id IN (SELECT entity FROM sel)
          |ORDER BY ts_sec DESC, event_id
          |LIMIT 100""".stripMargin,
+
+    "nerd_bl_history" ->
+      s"""WITH $MX,
+         |h AS (SELECT user_id AS entity, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         |        CAST(floor(epoch(CAST(mx.today - 14 AS TIMESTAMP))) AS BIGINT) AS cutoff
+         |      FROM events, mx)
+         |SELECT entity,
+         |  CAST(sum(CASE WHEN t >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN t < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |  min(CASE WHEN t >= cutoff THEN t END) AS oldest_kept
+         |FROM h GROUP BY entity
+         |HAVING sum(CASE WHEN t >= cutoff THEN 1 ELSE 0 END) > 0
+         |ORDER BY entity""".stripMargin,
 
     "nerd_ttl_filter" ->
       s"""WITH $MX,
