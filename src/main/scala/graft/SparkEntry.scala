@@ -71,9 +71,45 @@ object SparkEntry {
     * node counts, ewma, rep, 30-day type list) for oracles over the
     * materialized snapshot.
     */
-  private val SNAP_CTE =
+  /** Threat-classification CTE chain (ev → cl → daily → s), shared by the
+    * threat-category and elemMatch-search oracles; mirrors the CatRules in
+    * the Spark queries exactly.
+    */
+  private val THREAT_CTE =
     s"""$MX,
-       |se AS (SELECT user_id, event_type, $AGE AS age FROM events, mx
+       |ev AS (SELECT user_id, event_type, value,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, $AGE AS age
+       |       FROM events, mx),
+       |cl AS (
+       |  SELECT 'scan' AS category, 'src' AS role, * FROM ev
+       |  WHERE event_type = 'error' AND k >= 50
+       |  UNION ALL
+       |  SELECT 'abuse', 'dst', * FROM ev WHERE event_type IN ('signup', 'login')
+       |  UNION ALL
+       |  SELECT 'fraud', 'src', * FROM ev WHERE event_type = 'purchase' AND value > 100
+       |  UNION ALL
+       |  SELECT 'unknown', 'src', * FROM ev
+       |  WHERE NOT (event_type = 'error' AND k >= 50)
+       |    AND NOT (event_type IN ('signup', 'login'))
+       |    AND NOT (event_type = 'purchase' AND value > 100)),
+       |daily AS (
+       |  SELECT user_id AS entity, category, role, age, count(*) AS n,
+       |         count(DISTINCT event_type) AS nsrc
+       |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2, 3, 4),
+       |s AS (
+       |  SELECT entity, category, role,
+       |    round(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
+       |            * (CASE WHEN nsrc > 20 THEN 1.0 ELSE 1 - pow(0.5, nsrc) END)
+       |            * (14 - age))
+       |          / sum(14 - age), 2) AS conf,
+       |    CAST(sum(n) AS BIGINT) AS reports
+       |  FROM daily GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Snapshot CTE chain without the `mx` prefix — composable with other
+    * chains (e.g. THREAT_CTE) that already declare `mx`.
+    */
+  private val SNAP_TAIL =
+    s"""se AS (SELECT user_id, event_type, $AGE AS age FROM events, mx
        |       WHERE $AGE >= 0 AND $AGE <= 30),
        |sd AS (SELECT user_id, age, count(*) AS n, count(DISTINCT event_type) AS det
        |       FROM se GROUP BY 1, 2),
@@ -95,6 +131,8 @@ object SparkEntry {
        |          * (14 - age) / 14.0 ELSE 0 END) / 7.5, 6) AS rep
        |  FROM sd GROUP BY 1),
        |snap AS (SELECT * FROM sa1 JOIN sa2 USING (entity))""".stripMargin
+
+  private val SNAP_CTE = s"$MX,\n$SNAP_TAIL"
 
   /** Deterministic block-fixture parameters shared by the `nerd_range_join`
     * query and its oracle: block i has width `BlockWidths(i mod 5)` and
@@ -489,6 +527,30 @@ object SparkEntry {
       ThreatCategorize.summary(ThreatCategorize.classify(withK, rules), today(s, dir),
           subcatCol = Some("k"))
         .orderBy(col("entity"), col("category"))
+    }),
+
+    // -- threat-category $elemMatch search (nerd_main.py:1018–1027 analog) --
+    "nerd_search_threat" -> ((s, dir) => {
+      import graft.derive.ThreatCategorize
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val rules = Seq(
+        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
+        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
+        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
+      val threats = ThreatCategorize
+        .summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .groupBy(col("entity"))
+        .agg(collect_list(struct(col("category"), col("role"), col("conf"))).as("threats"))
+      // $elemMatch as an array `exists` predicate over the nested summary —
+      // the columnar form of `_threat_category_summary: {$elemMatch: {c:
+      // 'abuse', conf: {$gte: t}}}`
+      snapshot(s, dir).join(threats, Seq("entity"))
+        .filter(exists(col("threats"),
+          t => t.getField("category") === "abuse" && t.getField("conf") >= 0.27))
+        .select(col("entity"), col("rep"),
+          element_at(filter(col("threats"), t => t.getField("category") === "abuse"), 1)
+            .getField("conf").as("abuse_conf"))
+        .orderBy(col("entity"))
     }),
 
     // -- full create_query filter algebra (nerd_main.py:965–1045) --
@@ -1048,42 +1110,23 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "nerd_threat_category" ->
-      s"""WITH $MX,
-         |ev AS (SELECT user_id, event_type, value,
-         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, $AGE AS age
-         |       FROM events, mx),
-         |cl AS (
-         |  SELECT 'scan' AS category, 'src' AS role, * FROM ev
-         |  WHERE event_type = 'error' AND k >= 50
-         |  UNION ALL
-         |  SELECT 'abuse', 'dst', * FROM ev WHERE event_type IN ('signup', 'login')
-         |  UNION ALL
-         |  SELECT 'fraud', 'src', * FROM ev WHERE event_type = 'purchase' AND value > 100
-         |  UNION ALL
-         |  SELECT 'unknown', 'src', * FROM ev
-         |  WHERE NOT (event_type = 'error' AND k >= 50)
-         |    AND NOT (event_type IN ('signup', 'login'))
-         |    AND NOT (event_type = 'purchase' AND value > 100)),
-         |daily AS (
-         |  SELECT user_id AS entity, category, role, age, count(*) AS n,
-         |         count(DISTINCT event_type) AS nsrc
-         |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2, 3, 4),
+      s"""WITH $THREAT_CTE,
          |sc AS (
          |  SELECT user_id AS entity, category,
          |         array_to_string(list_sort(list(DISTINCT k))[1:10], ',') AS subcats
-         |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2),
-         |s AS (
-         |  SELECT entity, category, role,
-         |    round(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
-         |            * (CASE WHEN nsrc > 20 THEN 1.0 ELSE 1 - pow(0.5, nsrc) END)
-         |            * (14 - age))
-         |          / sum(14 - age), 2) AS conf,
-         |    CAST(sum(n) AS BIGINT) AS reports
-         |  FROM daily GROUP BY 1, 2, 3)
+         |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2)
          |SELECT s.entity, s.category, s.role, s.conf, s.reports, sc.subcats
          |FROM s JOIN sc ON s.entity = sc.entity AND s.category = sc.category
          |WHERE s.conf > 0
          |ORDER BY s.entity, s.category""".stripMargin,
+
+    "nerd_search_threat" ->
+      s"""WITH $THREAT_CTE,
+         |$SNAP_TAIL
+         |SELECT snap.entity, snap.rep, s.conf AS abuse_conf
+         |FROM snap JOIN s ON s.entity = snap.entity
+         |WHERE s.category = 'abuse' AND s.conf >= 0.27 AND s.conf > 0
+         |ORDER BY snap.entity""".stripMargin,
 
     "nerd_search_full" ->
       s"""WITH $SNAP_CTE,
