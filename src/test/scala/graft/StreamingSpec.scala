@@ -106,6 +106,23 @@ class StreamingSpec extends AnyFunSuite {
       s"state totals diverged: got=$got want=$want")
   }
 
+  test("start() wires the file source to the snapshot store end-to-end") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) + 60
+    val srcDir = Files.createTempDirectory("graft-start-src").toString
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    val stateDir = Files.createTempDirectory("graft-start-state").toString
+    val store = new StreamIngest.SnapshotStore(spark, stateDir)
+    val q = StreamIngest.start(spark, srcDir, store,
+      Files.createTempDirectory("graft-start-ckpt").toString, () => now)
+    q.processAllAvailable()
+    q.stop()
+    // the 7-day gate admits only the newest slice, but the store must exist
+    // and hold folded records
+    assert(store.read().count() > 0)
+  }
+
   test("late/future events are rejected by the validation gate") {
     val ev = graft.core.Tables.events(spark, sf)
     val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
