@@ -496,6 +496,17 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- cross-entity fold round: ip -> ipblock ref counts (whois.py:245–247) --
+    "nerd_ref_counts" -> ((s, dir) => {
+      import s.implicits._
+      val ips = events(s, dir).select(col("user_id").as("entity")).distinct()
+      EntityFold
+        .applyTypedTasks(EventTasks.blockRefTasks(ips, blockSize = 8L),
+          nowEpoch(s, dir))(EventTasks.projectBlock)
+        .toDF()
+        .orderBy(col("block"))
+    }),
+
     // -- multi-source reputation combiner (reputation.py:100–136) --
     "nerd_reputation_combined" -> ((s, dir) =>
       graft.derive.Reputation.multiSource(events(s, dir), today(s, dir), repSources)
@@ -1066,6 +1077,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY entity""".stripMargin,
+
+    "nerd_ref_counts" ->
+      """WITH e AS (SELECT DISTINCT user_id AS entity FROM events)
+        |SELECT entity // 8 AS block, count(*) AS ref_cnt, max(entity) AS last_member
+        |FROM e GROUP BY 1 ORDER BY block""".stripMargin,
 
     "nerd_reputation_combined" -> {
       val swFlux = graft.derive.Reputation.sumWeight(repSources(1))

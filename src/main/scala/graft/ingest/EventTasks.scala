@@ -86,6 +86,32 @@ object EventTasks {
       }
   }
 
+  /** Cross-entity task derivation — the whois ref-count pattern
+    * (`modules/whois.py:245–247,349–374`): each ip record emits tasks for its
+    * parent block entity (`add _ref_cnt 1`, `setmax last_member`). In the
+    * reference this is the `g.um.update` cross-entity call; here it is the
+    * SECOND fold round of SURVEY §7.3 — tasks emitted by the ip round are
+    * grouped and folded into `ipblock` records, bounded because the
+    * entity-link graph (ip→block→org) is a DAG.
+    */
+  def blockRefTasks(ipEntities: DataFrame, blockSize: Long): Dataset[TypedTask] = {
+    import ipEntities.sparkSession.implicits._
+    implicit val enc = EntityFold.typedTaskEncoder
+    ipEntities.select($"entity".cast("long")).as[Long].map { entity =>
+      val block = entity / blockSize
+      TypedTask("ipblock", block, entity, "whois", Seq(
+        AddNum("_ref_cnt", 1L),
+        SetMax("last_member", entity)))
+    }
+  }
+
+  /** Projection of a folded block record. */
+  case class FoldedBlock(block: Long, ref_cnt: Long, last_member: Long)
+
+  def projectBlock(eid: Long, rec: Rec): FoldedBlock =
+    FoldedBlock(eid, rec("_ref_cnt").asInstanceOf[Long],
+      rec("last_member").asInstanceOf[Long])
+
   /** Flat projection of a folded entity record for the correctness gate. */
   case class FoldedEntity(entity: Long, total: Long, types: String, n_buckets: Long,
                           conns: Double, last_activity: Long, ttl_warden: Long)
