@@ -496,6 +496,19 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- multi-source fold: warden stream + blacklist feed into one record --
+    "nerd_multi_fold" -> ((s, dir) => {
+      import s.implicits._
+      val now = nowEpoch(s, dir)
+      val listed = events(s, dir).select(col("user_id").as("entity")).distinct()
+        .filter(col("entity") % 5 === 0)
+      val tasks = EventTasks.preAggregated(events(s, dir))
+        .union(EventTasks.blacklistTasks(listed, "feodo", now))
+      EntityFold.applyTypedTasks(tasks, now)(EventTasks.projectMulti)
+        .toDF()
+        .orderBy(col("entity"))
+    }),
+
     // -- cross-entity fold round: ip -> ipblock ref counts (whois.py:245–247) --
     "nerd_ref_counts" -> ((s, dir) => {
       import s.implicits._
@@ -1076,6 +1089,13 @@ object SparkEntry {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden
         |FROM events
         |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
+
+    "nerd_multi_fold" ->
+      """SELECT user_id AS entity, count(*) AS total,
+        |  CAST(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_bl,
+        |  CAST(1 + CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ttl_tokens
+        |FROM events GROUP BY user_id
         |ORDER BY entity""".stripMargin,
 
     "nerd_ref_counts" ->

@@ -105,6 +105,34 @@ object EventTasks {
     }
   }
 
+  /** Blacklist-source tasks (`modules/redis_bl.py:154–158`): per listed ip,
+    * upsert the `bl` presence record `{n: blacklistId}` with `v=1`, a
+    * `setmax` check time, and the source's TTL token — a SECOND task source
+    * whose ops merge into the same record as the warden stream (the
+    * multi-source write path).
+    */
+  def blacklistTasks(listedIps: DataFrame, blacklistId: String,
+                     checkEpoch: Long): Dataset[TypedTask] = {
+    import listedIps.sparkSession.implicits._
+    implicit val enc = EntityFold.typedTaskEncoder
+    listedIps.select($"entity".cast("long")).as[Long].map { entity =>
+      TypedTask("ip", entity, Long.MaxValue, "redis_bl", Seq(
+        ArrayUpsert("bl", Seq("n" -> blacklistId),
+          Seq(SetVal("v", 1L), SetMax("t", checkEpoch))),
+        SetMax("_ttl.bl", checkEpoch + TtlWardenSecs)))
+    }
+  }
+
+  /** Projection of a record folded from multiple task sources. */
+  case class FoldedMulti(entity: Long, total: Long, n_bl: Long, ttl_tokens: Long)
+
+  def projectMulti(eid: Long, rec: Rec): FoldedMulti = {
+    val total = rec.get("events_meta").map(_.asInstanceOf[Rec]("total").asInstanceOf[Long]).getOrElse(0L)
+    val nBl = rec.get("bl").map(_.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]].length.toLong).getOrElse(0L)
+    val ttl = rec.get("_ttl").map(_.asInstanceOf[Rec].size.toLong).getOrElse(0L)
+    FoldedMulti(eid, total, nBl, ttl)
+  }
+
   /** Projection of a folded block record. */
   case class FoldedBlock(block: Long, ref_cnt: Long, last_member: Long)
 
