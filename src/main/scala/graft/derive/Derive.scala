@@ -60,10 +60,13 @@ object Derive {
   def reputationWarden(events: DataFrame, today: String): DataFrame = {
     val dateRange = 14
     val sumWeights = (1 to dateRange).map(_.toDouble / dateRange).sum // 7.5
+    // size(collect_set) == exact countDistinct but avoids Catalyst's
+    // two-phase distinct expansion — one exchange instead of two
     val daily = withAge(events, today)
       .filter(col("age") >= 0 && col("age") < dateRange)
       .groupBy(col("user_id").as("entity"), col("age"))
-      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_detectors"))
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col("event_type"))).as("n_detectors"))
     val weight = (lit(dateRange.toDouble) - col("age")) / dateRange.toDouble
     val dailyRep = nonlin(col("n_events"), 10d) * nonlin(col("n_detectors"), 2d)
     daily.groupBy(col("entity"))
@@ -85,8 +88,10 @@ object Derive {
       .groupBy(col("user_id").as("entity"), col("age"))
       .agg(
         count(lit(1)).as("n"),
-        collect_set(col("event_type")).as("types"),
-        countDistinct(col("event_type")).as("det"))
+        collect_set(col("event_type")).as("types"))
+      // det from the set already collected: same exact distinct count, no
+      // two-phase distinct expansion (keeps the snapshot at 2 exchanges)
+      .withColumn("det", size(col("types")))
     val w = lit(0.25d) * pow(lit(0.75d), col("age"))
     val repWeight = (lit(dateRange.toDouble) - col("age")) / dateRange.toDouble
     val dailyRep = nonlin(col("n"), 10d) * nonlin(col("det"), 2d)

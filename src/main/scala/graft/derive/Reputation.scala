@@ -63,9 +63,12 @@ object Reputation {
       .withColumn("age", datediff(lit(today).cast("date"), to_date(col("ts"))))
       .filter(col("age") >= 0)
     val perDayAggs = sources.flatMap { s =>
+      // size(collect_set) = exact distinct without the two-phase distinct
+      // expansion; collect_set drops the nulls the filter produces, matching
+      // countDistinct's null semantics
       sum(when(s.filter, 1L).otherwise(0L)).as(s"n_${s.name}") ::
         s.scaleDetectors.map(_ =>
-          countDistinct(when(s.filter, col("event_type"))).as(s"det_${s.name}")).toList
+          size(collect_set(when(s.filter, col("event_type")))).as(s"det_${s.name}")).toList
     }
     val perDay = aged
       .groupBy(col("user_id").as("entity"), col("age"))

@@ -65,7 +65,7 @@ object ThreatCategorize {
       .filter(col("age") >= 0 && col("age") < dateRange)
       .groupBy(col("user_id").as("entity"), col("category"), col("role"), col("age"))
       .agg(count(lit(1)).as("n"),
-        (countDistinct(col("event_type")).as("nsrc") +: subcatDaily): _*)
+        (size(collect_set(col("event_type"))).as("nsrc") +: subcatDaily): _*)
     // Weight (range − age)/range with the constant 1/range factored out of the
     // ratio: numerator terms are dyadic·integer (exactly representable, so the
     // sum is order-independent) and the denominator is an integer sum — the
