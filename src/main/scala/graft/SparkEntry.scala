@@ -89,9 +89,9 @@ object SparkEntry {
        |  SELECT 'fraud', 'src', * FROM ev WHERE event_type = 'purchase' AND value > 100
        |  UNION ALL
        |  SELECT 'unknown', 'src', * FROM ev
-       |  WHERE NOT (event_type = 'error' AND k >= 50)
+       |  WHERE coalesce(NOT (event_type = 'error' AND k >= 50), TRUE)
        |    AND NOT (event_type IN ('signup', 'login'))
-       |    AND NOT (event_type = 'purchase' AND value > 100)),
+       |    AND coalesce(NOT (event_type = 'purchase' AND value > 100), TRUE)),
        |daily AS (
        |  SELECT user_id AS entity, category, role, age, count(*) AS n,
        |         count(DISTINCT event_type) AS nsrc
@@ -133,6 +133,10 @@ object SparkEntry {
        |snap AS (SELECT * FROM sa1 JOIN sa2 USING (entity))""".stripMargin
 
   private val SNAP_CTE = s"$MX,\n$SNAP_TAIL"
+
+  /** Shared synthetic ip-per-entity CTE mirroring `entityIps`. */
+  private val IPS_CTE =
+    "ips AS (SELECT DISTINCT user_id AS entity, (user_id * 2654435761) % 4294967296 AS ip FROM events)"
 
   /** Deterministic block-fixture parameters shared by the `nerd_range_join`
     * query and its oracle: block i has width `BlockWidths(i mod 5)` and
@@ -670,8 +674,167 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "llm_multimodal" -> ((s, dir) =>
-      Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id")))
+      Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
+    "nerd_misp_otx" -> ((s, dir) => {
+      import graft.sources.Intel
+      val ev = events(s, dir)
+      val misp = ev.filter(col("event_type").isin("error", "signup"))
+        .select(col("user_id").as("entity"), (col("event_id") % 40).as("pulse_id"),
+          to_date(col("ts")).as("day"))
+      val otx = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("entity"), (col("event_id") % 25).as("pulse_id"))
+      Intel.threatIntelSummary(misp, otx).orderBy(col("entity"))
+    }),
+
+    // -- Redis-cached blacklists: set + prefix-interval membership (redis_bl.py) --
+    "nerd_redis_bl" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Intel
+      val ips = entityIps(s, dir)
+      val setLists = ips.filter(col("ip") % 3 === 0)
+        .select(lit("tor").as("bl_id"), col("ip"))
+        .unionByName(ips.filter(col("ip") % 7 === 0)
+          .select(lit("spamhaus").as("bl_id"), col("ip")))
+      val prefixLists = (0L until 16L).filter(_ % 4 == 1)
+        .map(p => ("pbl-ranges", p * 268435456L, p * 268435456L + 268435455L))
+        .toDF("bl_id", "first", "last")
+      Intel.redisBlHits(ips, setLists, prefixLists).orderBy(col("entity"))
+    }),
+
+    // -- ASN -> RIR as-of join (whois.py:166-177,220-237) --
+    "nerd_asn_rir" -> ((s, dir) => {
+      import s.implicits._
+      val facts = entityIps(s, dir).withColumn("asn", (col("entity") * 37) % 4200)
+      val boundaries = Seq((0L, "arin"), (500L, "ripe"), (1000L, "apnic"),
+        (2000L, "lacnic"), (3000L, "afrinic"), (3500L, "ripe"), (4000L, "arin"))
+        .toDF("start", "rir")
+      graft.query.AsOf.asOfJoin(facts, "asn", boundaries)
+        .select(col("entity"), col("asn"), col("start").as("block_start"), col("rir"))
+        .orderBy(col("entity"))
+    }),
+
+    // -- reverse joins: ipblock/org -> member listing (nerd_main.py:1645-1699) --
+    "nerd_reverse_members" -> ((s, dir) => {
+      entityIps(s, dir)
+        .withColumn("block", expr("entity div 8"))
+        .groupBy(col("block"))
+        .agg(
+          count(lit(1)).as("n_ips"),
+          array_join(transform(sort_array(collect_list(col("entity"))),
+            _.cast("string")), ",").as("members"),
+          min(col("entity")).as("first_member"),
+          max(col("entity")).as("last_member"))
+        .withColumn("org", expr("block div 4"))
+        .select(col("block"), col("org"), col("n_ips"), col("members"),
+          col("first_member"), col("last_member"))
+        .orderBy(col("block"))
+    }),
+
+    // -- search CSV export: 13-column row assembly (nerd_main.py:1306-1398) --
+    "nerd_search_csv" -> ((s, dir) => {
+      import s.implicits._
+      val geo = Seq((0, "cz"), (1, "de"), (2, "us"), (3, "fr"),
+        (4, "jp"), (5, "br"), (6, "in"), (7, "au")).toDF("gk", "ctry")
+      snapshot(s, dir)
+        .filter(col("entity") % 97 =!= 0) // whitelist-tag exclusion
+        .withColumn("gk", (col("entity") % 8).cast("int"))
+        .join(broadcast(geo), Seq("gk"))
+        .withColumn("bgppref", expr("entity div 16"))
+        .withColumn("asn", (col("bgppref") * 7) % 50)
+        .select(
+          graft.functions.Funcs.int2ipstr((col("entity") * 2654435761L) % 4294967296L).as("ip"),
+          concat(lit("h"), col("entity"), lit(".zone"), col("entity") % 3,
+            lit(".example.com")).as("hostname"),
+          col("ctry"),
+          col("bgppref"),
+          col("asn").cast("string").as("asns"),
+          round(col("rep"), 6).as("rep"),
+          col("total30").as("events_total"),
+          col("total7").as("events_7d"),
+          array_join(col("types_arr"), ",").as("cats"),
+          size(col("types_arr")).cast("long").as("n_cats"),
+          col("ewma"),
+          col("nodes_7d").cast("long").as("nodes"),
+          when(col("rep") >= 0.05, lit("suspicious")).otherwise(lit("")).as("tag"),
+          col("entity"))
+        .orderBy(col("entity"))
+        .drop("entity")
+    }),
+
+    // -- DNSBL lookups with daily budget (dnsbl.py:73-86,89-249) --
+    "nerd_dnsbl" -> ((s, dir) => {
+      import graft.sources.Intel
+      val ips = entityIps(s, dir)
+      val zoneLists = ips.filter(col("ip") % 3 === 0)
+        .select(lit("z1").as("zone"), col("ip"))
+        .unionByName(ips.filter(col("ip") % 5 === 0)
+          .select(lit("z2").as("zone"), col("ip")))
+      Intel.dnsblLookups(ips, zoneLists, "dnsbl.example.org", budget = 100)
+        .orderBy(col("entity"))
+    }),
+
+    // -- Shodan InternetDB enrichment with 404 removal (shodan.py:30-118) --
+    "nerd_shodan" -> ((s, dir) => {
+      import graft.sources.Intel
+      val ips = entityIps(s, dir)
+      val scanDb = ips.filter(col("ip") % 4 === 1)
+        .select(col("ip"),
+          concat_ws(",", lit(22), (col("entity") % 1000) + 1024).as("ports"),
+          lit("iot,camera").as("tags"))
+      Intel.shodanEnrich(ips, scanDb).orderBy(col("entity"))
+    }),
+
+    // -- passive DNS + domain blacklists (passive_dns.py:34-144) --
+    "nerd_pdns" -> ((s, dir) => {
+      import graft.sources.Intel
+      val domains = entityIps(s, dir)
+        .select(col("entity"), concat(lit("h"), col("entity"), lit(".zone"),
+          col("entity") % 3, lit(".example.com")).as("domain"))
+      Intel.pdnsDomainBl(domains, Seq(
+        ".zone2.example.com" -> "dbl-spam",
+        ".zone0.example.com" -> "dbl-phish",
+        ".example.com" -> "dbl-broad"))
+        .orderBy(col("entity"))
+    }),
+
+    // -- ASN-level rank enrichment (bgp_rank.py / eml_asn_rank.py) --
+    "nerd_bgp_rank" -> ((s, dir) => {
+      import graft.sources.Intel
+      val withAsn = entityIps(s, dir).withColumn("asn", (col("entity") * 37) % 4200)
+      val ranks = withAsn.select(col("asn")).distinct()
+        .withColumn("bgprank", round(lit(1.0) / (col("asn") % 97 + 1), 6))
+        .withColumn("eml_rank", round((col("asn") % 13) / 13.0, 6))
+      Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
+    }),
+
+    // -- timestamp validation: late/future rejection (warden_receiver.py:510-517) --
+    "nerd_ts_validate" -> ((s, dir) => {
+      // "now" pinned one hour before the newest event so all three outcomes
+      // (ok / rejected-late / rejected-future) are populated; the `ok` class
+      // is exactly StreamIngest.validate's survivor set (spec-asserted).
+      val now = nowEpoch(s, dir) - 86400L - 3600L
+      val ep = unix_timestamp(col("ts"))
+      events(s, dir)
+        .withColumn("status",
+          when(ep > now + 300L, "rejected_future")
+            .when(ep <= now - 7L * 86400L, "rejected_late")
+            .otherwise("ok"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .orderBy(col("status"))
+    })
   )
+
+  /** Shared synthetic ip-per-entity base for the enrichment/feed fixtures:
+    * distinct entities mapped to a deterministic 32-bit ip spread by the
+    * Knuth multiplicative hash.
+    */
+  private def entityIps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("user_id").as("entity")).distinct()
+      .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
 
   /** Word-3-shingle + exact-Jaccard CTE chain shared by the dedup oracles
     * (DuckDB dialect). Mirrors `Dedup.shingles`/`attachJaccard`: distinct word
@@ -1137,7 +1300,7 @@ object SparkEntry {
         |m AS (
         |  SELECT *, CASE WHEN k = '87' THEN 0
         |                 WHEN k = '3' OR k = '5' THEN 1
-        |                 WHEN k != '0' THEN 2
+        |                 WHEN k IS DISTINCT FROM '0' THEN 2
         |                 ELSE 3 END AS rule
         |  FROM ev),
         |w AS (SELECT *, row_number() OVER (PARTITION BY rule ORDER BY event_id) AS rn FROM m)
@@ -1298,7 +1461,7 @@ object SparkEntry {
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
-         |SELECT qid, probe_cluster, vec_id, cos, rank
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "llm_embed_dedup" ->
@@ -1361,6 +1524,165 @@ object SparkEntry {
         |SELECT a.doc_id, a.n_bytes, CAST(unicode(substring(d.text, 1, 1)) AS BIGINT) AS head_byte,
         |  a.checksum, a.f0, a.f1, a.f2, a.f3
         |FROM agg a JOIN documents d USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "nerd_misp_otx" ->
+      """WITH m AS (
+        |  SELECT user_id AS entity, event_id % 40 AS pulse_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type IN ('error', 'signup')),
+        |o AS (
+        |  SELECT user_id AS entity, event_id % 25 AS pulse_id
+        |  FROM events WHERE event_type = 'click'),
+        |ma AS (
+        |  SELECT entity, CAST(count(DISTINCT pulse_id) AS BIGINT) AS n_misp_events,
+        |    CAST(count(*) AS BIGINT) AS n_sightings,
+        |    array_to_string(list_sort(list(DISTINCT pulse_id)), ',') AS misp_ids,
+        |    max(day) AS last_misp_day
+        |  FROM m GROUP BY 1),
+        |oa AS (SELECT entity, CAST(count(DISTINCT pulse_id) AS BIGINT) AS n_otx_pulses
+        |       FROM o GROUP BY 1)
+        |SELECT coalesce(ma.entity, oa.entity) AS entity,
+        |  coalesce(n_misp_events, 0) AS n_misp_events,
+        |  coalesce(n_sightings, 0) AS n_sightings,
+        |  coalesce(misp_ids, '') AS misp_ids,
+        |  last_misp_day,
+        |  coalesce(n_otx_pulses, 0) AS n_otx_pulses,
+        |  coalesce(n_misp_events, 0) + coalesce(n_otx_pulses, 0) AS visibility
+        |FROM ma FULL JOIN oa ON ma.entity = oa.entity
+        |ORDER BY 1""".stripMargin,
+
+    "nerd_redis_bl" ->
+      s"""WITH $IPS_CTE,
+         |hits AS (
+         |  SELECT entity, ip, 'tor' AS bl_id FROM ips WHERE ip % 3 = 0
+         |  UNION ALL SELECT entity, ip, 'spamhaus' FROM ips WHERE ip % 7 = 0
+         |  UNION ALL SELECT entity, ip, 'pbl-ranges' FROM ips WHERE (ip // 268435456) % 4 = 1)
+         |SELECT entity, ip,
+         |  array_to_string(list_sort(list(DISTINCT bl_id)), ',') AS bl_hits,
+         |  CAST(count(DISTINCT bl_id) AS BIGINT) AS n_hits
+         |FROM hits GROUP BY 1, 2 ORDER BY entity""".stripMargin,
+
+    "nerd_asn_rir" ->
+      s"""WITH $IPS_CTE,
+         |f AS (SELECT entity, (entity * 37) % 4200 AS asn FROM ips),
+         |b AS (SELECT CAST(start AS BIGINT) AS start, rir FROM (VALUES
+         |  (0, 'arin'), (500, 'ripe'), (1000, 'apnic'), (2000, 'lacnic'),
+         |  (3000, 'afrinic'), (3500, 'ripe'), (4000, 'arin')) t(start, rir)),
+         |c AS (SELECT start, rir,
+         |        lead(start, 1, 9223372036854775807) OVER (ORDER BY start) AS next_start
+         |      FROM b)
+         |SELECT entity, asn, start AS block_start, rir
+         |FROM f JOIN c ON asn >= start AND asn < next_start
+         |ORDER BY entity""".stripMargin,
+
+    "nerd_reverse_members" ->
+      s"""WITH $IPS_CTE
+         |SELECT entity // 8 AS block, entity // 8 // 4 AS org,
+         |  CAST(count(*) AS BIGINT) AS n_ips,
+         |  array_to_string(list_sort(list(entity)), ',') AS members,
+         |  min(entity) AS first_member, max(entity) AS last_member
+         |FROM ips GROUP BY 1, 2 ORDER BY block""".stripMargin,
+
+    "nerd_search_csv" ->
+      s"""WITH $SNAP_CTE,
+         |g AS (SELECT CAST(gk AS BIGINT) AS gk, ctry FROM (VALUES
+         |  (0, 'cz'), (1, 'de'), (2, 'us'), (3, 'fr'),
+         |  (4, 'jp'), (5, 'br'), (6, 'in'), (7, 'au')) t(gk, ctry)),
+         |s AS (SELECT snap.*, g.ctry, entity // 16 AS bgppref,
+         |        (entity * 2654435761) % 4294967296 AS ipn
+         |      FROM snap JOIN g ON snap.entity % 8 = g.gk
+         |      WHERE entity % 97 != 0)
+         |SELECT
+         |  CAST((ipn // 16777216) % 256 AS VARCHAR) || '.' ||
+         |    CAST((ipn // 65536) % 256 AS VARCHAR) || '.' ||
+         |    CAST((ipn // 256) % 256 AS VARCHAR) || '.' ||
+         |    CAST(ipn % 256 AS VARCHAR) AS ip,
+         |  'h' || CAST(entity AS VARCHAR) || '.zone' || CAST(entity % 3 AS VARCHAR)
+         |    || '.example.com' AS hostname,
+         |  ctry, bgppref,
+         |  CAST((bgppref * 7) % 50 AS VARCHAR) AS asns,
+         |  round(rep, 6) AS rep,
+         |  total30 AS events_total,
+         |  total7 AS events_7d,
+         |  array_to_string(types, ',') AS cats,
+         |  CAST(len(types) AS BIGINT) AS n_cats,
+         |  ewma,
+         |  CAST(nodes_7d AS BIGINT) AS nodes,
+         |  CASE WHEN rep >= 0.05 THEN 'suspicious' ELSE '' END AS tag
+         |FROM s ORDER BY entity""".stripMargin,
+
+    "nerd_dnsbl" ->
+      s"""WITH $IPS_CTE,
+         |q AS (SELECT entity, ip FROM ips ORDER BY entity LIMIT 100),
+         |z AS (SELECT 'z1' AS zone, ip FROM ips WHERE ip % 3 = 0
+         |      UNION ALL SELECT 'z2', ip FROM ips WHERE ip % 5 = 0),
+         |h AS (SELECT q.entity,
+         |        array_to_string(list_sort(list(DISTINCT zone)), ',') AS zones,
+         |        CAST(count(DISTINCT zone) AS BIGINT) AS n_listed
+         |      FROM q JOIN z ON q.ip = z.ip GROUP BY 1)
+         |SELECT i.entity, i.ip,
+         |  CAST(i.ip % 256 AS VARCHAR) || '.' ||
+         |    CAST((i.ip // 256) % 256 AS VARCHAR) || '.' ||
+         |    CAST((i.ip // 65536) % 256 AS VARCHAR) || '.' ||
+         |    CAST((i.ip // 16777216) % 256 AS VARCHAR) || '.dnsbl.example.org' AS qname,
+         |  CAST(CASE WHEN q.entity IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS queried,
+         |  coalesce(h.zones, '') AS zones,
+         |  coalesce(h.n_listed, 0) AS n_listed
+         |FROM ips i LEFT JOIN q ON i.entity = q.entity LEFT JOIN h ON i.entity = h.entity
+         |ORDER BY i.entity""".stripMargin,
+
+    "nerd_shodan" ->
+      s"""WITH $IPS_CTE,
+         |db AS (SELECT ip, '22,' || CAST((entity % 1000) + 1024 AS VARCHAR) AS ports,
+         |         'iot,camera' AS tags
+         |       FROM ips WHERE ip % 4 = 1)
+         |SELECT i.entity, i.ip,
+         |  coalesce(db.ports, '') AS ports,
+         |  CAST(CASE WHEN db.ports IS NOT NULL THEN 2 ELSE 0 END AS BIGINT) AS n_open,
+         |  coalesce(db.tags, '') AS tags,
+         |  CAST(CASE WHEN db.ports IS NULL THEN 1 ELSE 0 END AS BIGINT) AS removed
+         |FROM ips i LEFT JOIN db ON i.ip = db.ip
+         |ORDER BY i.entity""".stripMargin,
+
+    "nerd_pdns" ->
+      s"""WITH $IPS_CTE,
+         |d AS (SELECT entity,
+         |        'h' || CAST(entity AS VARCHAR) || '.zone' || CAST(entity % 3 AS VARCHAR)
+         |          || '.example.com' AS domain
+         |      FROM ips),
+         |x AS (SELECT entity, domain,
+         |        list_filter([
+         |          CASE WHEN domain LIKE '%.zone2.example.com' THEN 'dbl-spam' END,
+         |          CASE WHEN domain LIKE '%.zone0.example.com' THEN 'dbl-phish' END,
+         |          CASE WHEN domain LIKE '%.example.com' THEN 'dbl-broad' END],
+         |          v -> v IS NOT NULL) AS dbl_arr
+         |      FROM d)
+         |SELECT entity, domain,
+         |  array_to_string(list_sort(dbl_arr), ',') AS dbl,
+         |  CAST(len(dbl_arr) AS BIGINT) AS n_dbl
+         |FROM x ORDER BY entity""".stripMargin,
+
+    "nerd_bgp_rank" ->
+      s"""WITH $IPS_CTE,
+         |w AS (SELECT entity, (entity * 37) % 4200 AS asn FROM ips),
+         |a AS (SELECT asn, CAST(count(*) AS BIGINT) AS n_ips FROM w GROUP BY 1)
+         |SELECT asn, n_ips,
+         |  round(1.0 / (asn % 97 + 1), 6) AS bgprank,
+         |  round((asn % 13) / 13.0, 6) AS eml_rank
+         |FROM a ORDER BY asn""".stripMargin,
+
+    "nerd_ts_validate" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(CAST(ts AS DATE)) AS TIMESTAMP))) AS BIGINT)
+        |    - 3600 AS now
+        |  FROM events),
+        |c AS (SELECT event_id,
+        |        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > now + 300 THEN 'rejected_future'
+        |             WHEN CAST(floor(epoch(ts)) AS BIGINT) <= now - 604800 THEN 'rejected_late'
+        |             ELSE 'ok' END AS status
+        |      FROM events, mx)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

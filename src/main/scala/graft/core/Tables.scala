@@ -13,6 +13,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Adaptive scan parallelism for the CPU-heavy document/embedding pipelines:
+    * a 100 TB table arrives as thousands of input splits and needs no help,
+    * but a single small parquet file scans as ONE partition, serializing all
+    * map-side hashing/shingling onto one core. When the scan has fewer
+    * partitions than the cluster has slots, fan it out once up front; the
+    * shuffle is O(small input) by construction — a table big enough for the
+    * shuffle to hurt has enough splits to skip it. Only applied to tables
+    * whose operators are order-insensitive (hash/integer/row-local work):
+    * fanning out a table feeding floating-point SUMs would legally reorder
+    * the addition and wobble last-ulp results across runs/engines.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4 refuses
     * by default. Read `ts` as a raw nanos long and truncate to micros with
     * integer division (never double-divide an epoch-nanos long: 1.7e18 is
@@ -33,6 +49,6 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = fanOut(load(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = fanOut(load(spark, sfDir, "embeddings"))
 }

@@ -155,6 +155,10 @@ object Derive {
     events
       .groupBy(col("user_id").as("entity"))
       .agg(sort_array(collect_list(unix_timestamp(col("ts")))).as("ts_list"))
+      // sequence(1, size-1) with size = 1 is sequence(1, 0) = DESCENDING [1, 0]
+      // (default step -1), which would emit two null deltas for a one-event
+      // entity; the reference produces no intervals there, so require >= 2.
+      .filter(size(col("ts_list")) >= 2)
       .withColumn("ring", ring)
       .withColumn("deltas", deltas)
       .filter(size(col("deltas")) > 0)

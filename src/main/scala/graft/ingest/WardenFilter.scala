@@ -84,16 +84,16 @@ object WardenFilter {
     (parsed, default)
   }
 
-  private def clausePredicate(c: Clause, jsonCol: String): Column = {
-    val matched = get_json_object(col(jsonCol), "$." + c.path)
+  private def clausePredicate(c: Clause, extracted: Map[String, Column]): Column = {
+    val matched = extracted(c.path)
     c.op match {
       case "="  => coalesce(matched === c.value, lit(false))
       case "!=" => !coalesce(matched === c.value, lit(false))
     }
   }
 
-  private def rulePredicate(r: Rule, jsonCol: String): Column = {
-    val preds = r.clauses.map(clausePredicate(_, jsonCol))
+  private def rulePredicate(r: Rule, extracted: Map[String, Column]): Column = {
+    val preds = r.clauses.map(clausePredicate(_, extracted))
     if (r.logic == "AND") preds.reduce(_ && _) else preds.reduce(_ || _)
   }
 
@@ -111,17 +111,30 @@ object WardenFilter {
             orderCol: String = "event_id"): DataFrame = {
     val (parsed, default) = parseRules(rules)
     val actions: Seq[Action] = parsed.map(_.action) :+ default
+    // Parse the JSON message ONCE per distinct referenced path: the rule
+    // chain references each path in several when-branches, and a naive
+    // get_json_object per clause re-parses the message per reference (4×+
+    // per row — the dominant ingest cost at 100 TB). Projecting the
+    // extraction behind an alias is stable because CollapseProject never
+    // duplicates non-cheap expressions into multiple consumers.
+    val paths = parsed.flatMap(_.clauses.map(_.path)).distinct
+    val pathCol = paths.zipWithIndex.map { case (p, i) => p -> s"__wf_jp$i" }.toMap
+    val projected = pathCol.foldLeft(events) { case (df, (p, c)) =>
+      df.withColumn(c, get_json_object(col(jsonCol), "$." + p))
+    }
+    val extracted = pathCol.map { case (p, c) => p -> col(c) }
     // first-match-wins rule index; index == parsed.length means default
     val ruleIdx = parsed.zipWithIndex
       .foldRight(lit(parsed.length): Column) { case ((r, i), acc) =>
-        when(rulePredicate(r, jsonCol), lit(i)).otherwise(acc)
+        when(rulePredicate(r, extracted), lit(i)).otherwise(acc)
       }
-    val withRule = events.withColumn("_rule", ruleIdx)
+    val withRule = projected.withColumn("_rule", ruleIdx)
     val passIdx = actions.zipWithIndex.collect { case (Pass, i) => i }
     val samples = actions.zipWithIndex.collect { case (SampleN(n), i) => (i, n) }
+    val helperCols = pathCol.values.toSeq :+ "_rule"
     val passRows =
       if (passIdx.isEmpty) events.limit(0)
-      else withRule.filter(col("_rule").isInCollection(passIdx)).drop("_rule")
+      else withRule.filter(col("_rule").isInCollection(passIdx)).drop(helperCols: _*)
     if (samples.isEmpty) passRows
     else {
       val sampleRows = withRule
@@ -131,7 +144,7 @@ object WardenFilter {
       val keep = samples.map { case (i, n) =>
         col("_rule") === i && col("_occ") % n === 0
       }.reduce(_ || _)
-      passRows.unionByName(sampleRows.filter(keep).drop("_rule", "_occ"))
+      passRows.unionByName(sampleRows.filter(keep).drop(helperCols :+ "_occ": _*))
     }
   }
 }

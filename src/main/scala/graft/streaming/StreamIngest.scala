@@ -40,10 +40,18 @@ object StreamIngest {
     */
   final class SnapshotStore(spark: SparkSession, root: String) {
     import spark.implicits._
+    // Hadoop FS, not java.io.File: the store root may be hdfs://, s3a://, or
+    // any other FileSystem scheme — local-only listing would silently report
+    // "no versions" there.
     private def versions: Seq[Long] = {
-      val dir = new java.io.File(root)
-      if (!dir.exists()) Seq.empty
-      else dir.listFiles().filter(_.getName.startsWith("v")).map(_.getName.drop(1).toLong).toSeq.sorted
+      val path = new org.apache.hadoop.fs.Path(root)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.length > 1)
+        .map(_.drop(1).toLong)
+        .sorted
     }
     def read(): Dataset[EntityState] = versions.lastOption match {
       case Some(v) => spark.read.parquet(s"$root/v$v").as[EntityState]
