@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The default 100-entry codegen class cache thrashes across a 60-query
+      // suite: the warmup pass's compiled classes are evicted before the
+      // timed pass, so wide-aggregate queries (64-column MinHash/SimHash)
+      // pay multi-second Janino recompiles in the measurement. Size the
+      // cache to the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid).

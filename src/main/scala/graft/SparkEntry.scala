@@ -441,7 +441,10 @@ object SparkEntry {
         hasSuffix(col("host"), ".zone1.example.com").as("has_suffix"),
         pseudonymize(col("host")).as("pseudo"),
         nextStep(lit(0L), col("entity"), lit(7L)).cast("long").as("next_step"),
-        matchStr(lit("Zone_1"), col("host")).as("ms"))
+        matchStr(lit("Zone_1"), col("host")).as("ms"),
+        normalizeCategories(array(
+          concat(lit("Recon.Scan"), col("entity") % 3),
+          lit("Abusive.Spam"))).as("cat_norm"))
         .orderBy(col("entity"))
     }),
 
@@ -806,7 +809,34 @@ object SparkEntry {
       val ranks = withAsn.select(col("asn")).distinct()
         .withColumn("bgprank", round(lit(1.0) / (col("asn") % 97 + 1), 6))
         .withColumn("eml_rank", round((col("asn") % 13) / 13.0, 6))
+        // caida_as_class.py analog: the AS-type label joins from the same
+        // rank-feed fixture (the reference module is config-disabled but its
+        // operator shape is identical)
+        .withColumn("caida_class", element_at(
+          array(lit("transit"), lit("content"), lit("enterprise"), lit("access")),
+          (col("asn") % 4 + 1).cast("int")))
       Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
+    }),
+
+    // -- periodic re-evaluation scheduler (updater.py:96-138, SURVEY §3.3):
+    //    fetch entities whose next-regular-update stamp is due, issue the weak
+    //    check task, reschedule via the next_step arithmetic --
+    "nerd_nru_schedule" -> ((s, dir) => {
+      import graft.functions.Funcs
+      val now = lit(nowEpoch(s, dir) - 86400L) // today 00:00 — the cycle instant
+      events(s, dir)
+        .groupBy(col("user_id").as("entity"))
+        .agg(min(unix_timestamp(col("ts"))).as("base"),
+          max(unix_timestamp(col("ts"))).as("last_ep"))
+        .withColumn("nru_before",
+          Funcs.nextStep(col("base"), col("last_ep"), lit(86400L)).cast("long"))
+        .withColumn("due", (col("nru_before") <= now).cast("long"))
+        .withColumn("nru_after",
+          when(col("due") === 1,
+            Funcs.nextStep(col("base"), now, lit(86400L)).cast("long"))
+            .otherwise(col("nru_before")))
+        .select(col("entity"), col("nru_before"), col("due"), col("nru_after"))
+        .orderBy(col("entity"))
     }),
 
     // -- timestamp validation: late/future rejection (warden_receiver.py:510-517) --
@@ -1215,7 +1245,9 @@ object SparkEntry {
         |  sha256(host) AS pseudo,
         |  CAST((entity // 7 + 1) * 7 AS BIGINT) AS next_step,
         |  contains(replace(replace(replace(lower(host), '_', ''), '.', ''), '-', ''),
-        |           'zone1') AS ms
+        |           'zone1') AS ms,
+        |  replace('Recon.Scan' || CAST(entity % 3 AS VARCHAR) || '+' || 'Abusive.Spam',
+        |          '.', '') AS cat_norm
         |FROM c ORDER BY entity""".stripMargin,
 
     "nerd_range_join" ->
@@ -1668,8 +1700,28 @@ object SparkEntry {
          |a AS (SELECT asn, CAST(count(*) AS BIGINT) AS n_ips FROM w GROUP BY 1)
          |SELECT asn, n_ips,
          |  round(1.0 / (asn % 97 + 1), 6) AS bgprank,
-         |  round((asn % 13) / 13.0, 6) AS eml_rank
+         |  round((asn % 13) / 13.0, 6) AS eml_rank,
+         |  (['transit', 'content', 'enterprise', 'access'])[CAST(asn % 4 + 1 AS INT)]
+         |    AS caida_class
          |FROM a ORDER BY asn""".stripMargin,
+
+    "nerd_nru_schedule" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(CAST(ts AS DATE)) AS TIMESTAMP))) AS BIGINT) AS now
+        |  FROM events),
+        |p AS (SELECT user_id AS entity,
+        |        CAST(floor(epoch(min(ts))) AS BIGINT) AS base,
+        |        CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ep
+        |      FROM events GROUP BY 1),
+        |b AS (SELECT entity, base,
+        |        base + ((last_ep - base) // 86400 + 1) * 86400 AS nru_before, now
+        |      FROM p, mx)
+        |SELECT entity, nru_before,
+        |  CAST(CASE WHEN nru_before <= now THEN 1 ELSE 0 END AS BIGINT) AS due,
+        |  CASE WHEN nru_before <= now
+        |       THEN base + ((now - base) // 86400 + 1) * 86400
+        |       ELSE nru_before END AS nru_after
+        |FROM b ORDER BY entity""".stripMargin,
 
     "nerd_ts_validate" ->
       """WITH mx AS (
