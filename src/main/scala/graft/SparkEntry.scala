@@ -818,6 +818,23 @@ object SparkEntry {
       Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
     }),
 
+    // -- IDEA multi-source explode (warden_receiver.py:460-584): one alert ->
+    //    several source IPs via $.Source[*].IP4[*]; the exploded frame IS the
+    //    events_sources side table --
+    "nerd_idea_explode" -> ((s, dir) => {
+      import graft.ingest.IdeaParser
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      // Reconstruct an IDEA-shaped message from the flat event row: two
+      // source IPs (the event's own entity plus a k-derived second source)
+      // and the dotted category name.
+      val msgs = events(s, dir).select(col("event_id"),
+        concat(lit("""{"Source":[{"IP4":["""), col("user_id"), lit(","),
+          (k * 7) % 150, lit("""]}],"Category":["Test."""), col("event_type"),
+          lit(""""]}""")).as("msg"))
+      IdeaParser.sourceSummary(IdeaParser.explodeSources(msgs))
+        .orderBy(col("entity"))
+    }),
+
     // -- periodic re-evaluation scheduler (updater.py:96-138, SURVEY §3.3):
     //    fetch entities whose next-regular-update stamp is due, issue the weak
     //    check task, reschedule via the next_step arithmetic --
@@ -1704,6 +1721,22 @@ object SparkEntry {
          |  (['transit', 'content', 'enterprise', 'access'])[CAST(asn % 4 + 1 AS INT)]
          |    AS caida_class
          |FROM a ORDER BY asn""".stripMargin,
+
+    "nerd_idea_explode" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, user_id AS entity,
+        |         replace('Test.' || event_type, '.', '') AS cat FROM e
+        |  UNION ALL
+        |  SELECT event_id, (k * 7) % 150,
+        |         replace('Test.' || event_type, '.', '') FROM e)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+        |  array_to_string(list_sort(list(DISTINCT cat)), ',') AS cats
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "nerd_nru_schedule" ->
       """WITH mx AS (

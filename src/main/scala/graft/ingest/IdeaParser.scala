@@ -1,0 +1,43 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IDEA-message source explosion (reference `NERDd/warden_receiver.py:460–584`
+  * `receive_events`): one alert names SEVERAL source IPs
+  * (`$.Source[*].IP4[*]`), and the receiver derives one update-task stream
+  * PER IP, plus the normalized category string
+  * (`'+'.join(categories).replace('.','')`, `:507`).
+  *
+  * Spark mapping (SURVEY §2.1): `from_json` with the IDEA schema subset, then
+  * `explode(flatten(Source.IP4))` — a generator in the scan projection, no
+  * shuffle until the per-entity aggregation. The exploded (event, entity)
+  * rows are exactly the reference's `events_sources` side table
+  * (`common/eventdb_psql.py:69–72`), so the event-listing join reads this
+  * frame directly.
+  */
+object IdeaParser {
+
+  /** The IDEA schema subset the ingest needs (DDL form for `from_json`). */
+  val IdeaSchema: String =
+    "Source ARRAY<STRUCT<IP4: ARRAY<BIGINT>>>, Category ARRAY<STRING>"
+
+  /** Parse the JSON message column and emit one row per (event, source ip)
+    * with the normalized category string — the events_sources frame.
+    */
+  def explodeSources(msgs: DataFrame, msgCol: String = "msg"): DataFrame =
+    msgs
+      .withColumn("idea", from_json(col(msgCol), IdeaSchema, Map.empty[String, String]))
+      .select(col("event_id"),
+        explode(flatten(col("idea.Source.IP4"))).as("entity"),
+        graft.functions.Funcs.normalizeCategories(col("idea.Category")).as("cat"))
+
+  /** Per-entity roll-up of the exploded source rows: reference counts,
+    * distinct alerts, and the category set each source IP appeared under.
+    */
+  def sourceSummary(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("entity")).agg(
+      count(lit(1)).as("n_refs"),
+      size(collect_set(col("event_id"))).cast("long").as("n_events"),
+      array_join(sort_array(collect_set(col("cat"))), ",").as("cats"))
+}

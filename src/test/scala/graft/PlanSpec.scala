@@ -51,4 +51,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("llm_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("as-of join broadcasts the boundary side; facts never shuffle for it") {
+    val p = plan("nerd_asn_rir")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("redis blacklist membership broadcasts both list shapes") {
+    val p = plan("nerd_redis_bl")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("search CSV export broadcasts the geo dim") {
+    assert(plan("nerd_search_csv").contains("BroadcastHashJoin"))
+  }
+
+  test("idea explode stays shuffle-free until the entity aggregation") {
+    // one Exchange for the groupBy, one for the final orderBy — the
+    // generator/parse stage must not add its own
+    val p = plan("nerd_idea_explode")
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
 }
