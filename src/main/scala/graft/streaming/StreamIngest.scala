@@ -99,6 +99,44 @@ object StreamIngest {
     }
   }
 
+  /** Event-time state TTL (SURVEY §2.13 state-TTL row): the reference's
+    * `_ttl`-token eviction (`cleaner.py:204–241` — all tokens expired ⇒
+    * `!DELETE` the record) expressed as a NATIVE streaming state timeout
+    * instead of a daily batch sweep. Per-entity counter state expires
+    * `ttlSecs` after the entity's last event-time activity; a timed-out
+    * group emits one tombstone row `(entity, -1, lastSeen)` — the `!DELETE`
+    * analog — and drops its state, bounding state size by the active-entity
+    * set, which is what makes the operator viable at 100 TB.
+    */
+  def statefulCountsWithTtl(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                            ttlSecs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val keyed = events
+      .withWatermark("ts", "0 seconds")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+       state: GroupState[(Long, Long)]) =>
+        if (state.hasTimedOut) {
+          val (_, last) = state.get
+          state.remove()
+          Iterator((uid, -1L, last))
+        } else {
+          val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
+          var n = prevN
+          var last = prevLast
+          rows.foreach { case (_, t) => n += 1; last = math.max(last, t.getTime / 1000) }
+          state.update((n, last))
+          state.setTimeoutTimestamp((last + ttlSecs) * 1000)
+          Iterator((uid, n, last))
+        }
+    }
+  }
+
   /** Start the streaming ingest over a parquet file source. `nowEpoch` is a
     * function so tests can pin batch time (determinism rule SURVEY §7.3).
     */

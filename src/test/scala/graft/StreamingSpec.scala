@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.read().count() > 0)
   }
 
+  test("event-time state TTL evicts idle entities with a tombstone") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val srcDir = Files.createTempDirectory("graft-ttl-src").toString
+    // file 1: the full history; files 2 and 3: lone entity-0 heartbeats that
+    // push the watermark 30/31 days ahead so every other entity's state
+    // (TTL 3 days) times out — timeouts fire one batch after the watermark
+    // passes them, hence the third file.
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    def heartbeat(epoch: Long) = ev.limit(1)
+      .withColumn("user_id", lit(0L))
+      .withColumn("ts", timestamp_seconds(lit(epoch)).cast("timestamp"))
+    heartbeat(maxTs + 30L * 86400).coalesce(1).write.mode("append").parquet(srcDir)
+    heartbeat(maxTs + 31L * 86400).coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 3L * 86400)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ttl_counts").option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val tombstoned = spark.sql("SELECT DISTINCT _1 FROM ttl_counts WHERE _2 = -1")
+      .as[Long].collect().toSet
+    val all = ev.select(col("user_id")).distinct().as[Long].collect().toSet
+    // every idle entity evicted; the heartbeating entity 0 survives
+    assert(tombstoned == all - 0L, s"tombstoned=$tombstoned")
+  }
+
   test("late/future events are rejected by the validation gate") {
     val ev = graft.core.Tables.events(spark, sf)
     val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
