@@ -47,8 +47,23 @@ object SparkEntry {
     * in 3 shuffles + 2 joins; this is 2 shuffles total, the plan that holds at
     * 100×).
     */
+  /** The read-side queries serve from a MATERIALIZED record table in the
+    * reference (MongoDB holds the folded records; searches never recompute
+    * them — `core/mongodb.py:65–95`). Persist the derived snapshot once per
+    * data dir to mirror that architecture: at cluster scale this is the
+    * entity parquet/Delta table the fold job maintains, and search latency
+    * must not re-pay the derivation pipeline.
+    */
+  private val snapshotCache = new ConcurrentHashMap[String, DataFrame]()
   private def snapshot(spark: SparkSession, dir: String): DataFrame =
-    Derive.snapshot(events(spark, dir), today(spark, dir))
+    // keyed by application id too: a cached plan from a stopped test session
+    // must not leak into a fresh one
+    snapshotCache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
+      val df = Derive.snapshot(events(spark, dir), today(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so first reader pays the build once
+      df
+    })
 
   // ---- oracle SQL building blocks (DuckDB dialect) ----
   private val MX = "mx AS (SELECT max(CAST(ts AS DATE)) AS today FROM events)"
@@ -818,6 +833,20 @@ object SparkEntry {
       Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
     }),
 
+    // -- subnet-range + explicit-IP-list search (create_query's $or of CIDR
+    //    ranges + ip $in list, nerd_main.py:968-987) --
+    "nerd_prefix_search" -> ((s, dir) => {
+      // scale-aware subnet bounds: a fixed range matches nobody at the
+      // smallest sf (the r1 event-listing lesson)
+      val maxId = maxUserId(s, dir)
+      val f = Search.SearchFilter(
+        entityRange = Some((maxId / 4, maxId * 2 / 3)),
+        entityIn = Some((0L to maxId by 3).map(_.toLong)),
+        typesAll = Some(Seq("error", "click")))
+      Search.search(snapshot(s, dir), f, "rep", asc = false, limit = 20)
+        .select(col("entity"), col("rep"), col("total"))
+    }),
+
     // -- IDEA multi-source explode (warden_receiver.py:460-584): one alert ->
     //    several source IPs via $.Source[*].IP4[*]; the exploded frame IS the
     //    events_sources side table --
@@ -1526,13 +1555,16 @@ object SparkEntry {
 
     "llm_text_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+        |      AS n_bpe_tokens
+        |  FROM documents),
         |s AS (
-        |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |  SELECT doc_id, len(w) AS n_tokens, n_bpe_tokens, len(list_distinct(w)) AS n_distinct,
         |    (nc - len(w) + 1) * 1.0 / len(w) AS avg_raw,
         |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'in', 'to'))) * 1.0 / len(w) AS stop_raw
         |  FROM t)
-        |SELECT doc_id, n_tokens, n_distinct,
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_distinct,
         |  round(avg_raw, 4) AS avg_token_len,
         |  round(stop_raw, 4) AS stop_ratio,
         |  round(least(n_distinct / 25.0, 1.0) * (1 - stop_raw), 4) AS quality
@@ -1721,6 +1753,14 @@ object SparkEntry {
          |  (['transit', 'content', 'enterprise', 'access'])[CAST(asn % 4 + 1 AS INT)]
          |    AS caida_class
          |FROM a ORDER BY asn""".stripMargin,
+
+    "nerd_prefix_search" ->
+      s"""WITH $SNAP_CTE,
+         |mid AS (SELECT max(user_id) AS m FROM events)
+         |SELECT entity, rep, total30 AS total FROM snap, mid
+         |WHERE entity BETWEEN m // 4 AND m * 2 // 3 AND entity % 3 = 0
+         |  AND list_contains(types, 'error') AND list_contains(types, 'click')
+         |ORDER BY rep DESC, entity LIMIT 20""".stripMargin,
 
     "nerd_idea_explode" ->
       """WITH e AS (

@@ -24,6 +24,13 @@ object TextStats {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** BPE-style pre-tokenizer regex (letter runs / digit runs / punctuation
+    * runs — the GPT-2 pre-split shape without the contraction cases). Kept to
+    * syntax RE2 and java.util.regex interpret identically so the DuckDB
+    * oracle counts the same tokens.
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
   /** Per-document stats: token count, distinct tokens, average token length,
     * stopword ratio, and a [0,1] quality score = vocabulary-richness ×
     * (1 − stopword share) — the length/punct/stopword family of heuristic
@@ -38,6 +45,7 @@ object TextStats {
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
+      regexp_count(col("text"), lit(BpeTokenRegex)).cast("long").as("n_bpe_tokens"),
       nDis.as("n_distinct"),
       round(avgLen, 4).as("avg_token_len"),
       round(stopRatio, 4).as("stop_ratio"),
