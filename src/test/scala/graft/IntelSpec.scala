@@ -73,6 +73,22 @@ class IntelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> "tor", 2L -> "pbl", 3L -> "tor"))
   }
 
+  test("intervals: a single-event entity emits no row (ADVICE r3)") {
+    // sequence(1, 0) is DESCENDING in Spark — without the >=2 guard this
+    // entity emitted n_intervals=2 with null mean/median
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 8L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 03:00:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = graft.derive.Derive.intervals(ev)
+      .select($"entity", $"n_intervals", $"mean_interval").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 8L && got.head.getLong(1) === 1L)
+    assert(got.head.getDouble(2) === 97200.0)
+  }
+
   test("ts_validate 'ok' class is exactly StreamIngest.validate's survivor set") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, dir)
