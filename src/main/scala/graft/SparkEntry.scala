@@ -113,10 +113,10 @@ object SparkEntry {
        |  FROM cl WHERE age >= 0 AND age < 14 GROUP BY 1, 2, 3, 4),
        |s AS (
        |  SELECT entity, category, role,
-       |    round(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
+       |    CAST(round(CAST(sum((CASE WHEN n > 20 THEN 1.0 ELSE 1 - pow(0.5, n) END)
        |            * (CASE WHEN nsrc > 20 THEN 1.0 ELSE 1 - pow(0.5, nsrc) END)
        |            * (14 - age))
-       |          / sum(14 - age), 2) AS conf,
+       |          / sum(14 - age) AS DECIMAL(28,10)), 2) AS DOUBLE) AS conf,
        |    CAST(sum(n) AS BIGINT) AS reports
        |  FROM daily GROUP BY 1, 2, 3)""".stripMargin
 
@@ -1061,7 +1061,7 @@ object SparkEntry {
     "nerd_prefix_agg" ->
       s"""WITH $REP_CTE
          |SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
-         |       round(sum(rep) / 16, 6) AS prefix_rep,
+         |       CAST(round(CAST(sum(rep) / 16 AS DECIMAL(28,10)), 6) AS DOUBLE) AS prefix_rep,
          |       count(*) AS n_members,
          |       round(max(rep), 6) AS max_rep
          |FROM rep
@@ -1182,7 +1182,7 @@ object SparkEntry {
       s"""WITH $REP_CTE
          |SELECT * FROM (
          |  SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
-         |         round(sum(rep) / 16, 6) AS prefix_rep, count(*) AS n_members,
+         |         CAST(round(CAST(sum(rep) / 16 AS DECIMAL(28,10)), 6) AS DOUBLE) AS prefix_rep, count(*) AS n_members,
          |         round(max(rep), 6) AS max_rep
          |  FROM rep GROUP BY 1)
          |WHERE prefix_rep > 0.001

@@ -81,7 +81,12 @@ object ThreatCategorize {
         ",").as("subcats")).toList
     daily.groupBy(col("entity"), col("category"), col("role"))
       .agg(
-        round(sum(dc * w) / sum(w), 2).as("conf"),
+        // decimal hop before rounding: a conf landing exactly on a half
+        // boundary (e.g. 14.25/50 = 0.285) rounds UP through Spark's
+        // string-based double round but DOWN through DuckDB's binary round;
+        // rounding the 10-dp decimal instead is engine-independent
+        round((sum(dc * w) / sum(w)).cast("decimal(28,10)"), 2)
+          .cast("double").as("conf"),
         (sum(col("n")).as("reports") +: subcatFinal): _*)
       .filter(col("conf") > 0)
   }

@@ -76,7 +76,13 @@ object Search {
     snapshot
       .groupBy((col("entity") / prefixSize).cast("long").as("prefix"))
       .agg(
-        round(sum(col("rep")) / prefixSize, 6).as("prefix_rep"),
+        // round THROUGH a 10-dp decimal: Spark's double round() goes via the
+        // shortest decimal string while DuckDB rounds the binary value, so a
+        // half-boundary quotient (k + 0.5)/10^6 rounds differently per
+        // engine; the decimal hop absorbs ulp noise and unifies the
+        // half-up decision (hit at sf0.1, prefix 27/59)
+        round((sum(col("rep")) / prefixSize).cast("decimal(28,10)"), 6)
+          .cast("double").as("prefix_rep"),
         count(lit(1)).as("n_members"),
         round(max(col("rep")), 6).as("max_rep"))
       .orderBy(col("prefix"))

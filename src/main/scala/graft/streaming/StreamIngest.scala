@@ -59,7 +59,14 @@ object StreamIngest {
     }
     def write(ds: Dataset[EntityState]): Unit = {
       val next = versions.lastOption.getOrElse(-1L) + 1
-      ds.write.mode("overwrite").parquet(s"$root/v$next")
+      // Range-partition + sort by entity id: parquet min/max zone maps then
+      // prune subnet/range scans over the record table — the columnar
+      // restatement of the reference's int-IP index (SURVEY §4,
+      // core/mongodb.py:81-95). The per-batch shuffle is the standard
+      // layout-maintenance cost of a sorted store.
+      ds.repartitionByRange(org.apache.spark.sql.functions.col("eid"))
+        .sortWithinPartitions("eid")
+        .write.mode("overwrite").parquet(s"$root/v$next")
     }
   }
 

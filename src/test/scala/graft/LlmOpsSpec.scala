@@ -47,9 +47,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(TextStats.classifyTrigram("zzzz qqqq") == "und")
   }
 
+  test("MinHash-LSH finds no false positives and recalls the exact pair set") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.nearDupPairs(docs, n = 3, threshold = 0.5)
+      .select(col("d1"), col("d2")).collect().map(key).toSet
+    val lsh = Dedup.minhashLsh(docs, n = 3, k = 64, rowsPerBand = 4, threshold = 0.5)
+      .select(col("d1"), col("d2")).collect().map(key).toSet
+    // exact-verification step => no false positives, ever
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // banded signatures: P(candidate) ~ 1 for the true-duplicate band, so
+    // recall on the fixture must be high (deterministic given the data)
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.8,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("sign-LSH cosine near-dup is a no-false-positive subset of brute force") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Ann
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val b = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        Ann.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDupPairs(emb, threshold = 0.35)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(b), s"false positives: ${lsh -- b}")
+    assert(b.isEmpty || lsh.nonEmpty, "bucketing lost every true pair")
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
+    // "today" deliberately differs from the data's real max date: SparkEntry
+    // persists its snapshot, and an identical plan here would be substituted
+    // by the cached InMemoryRelation (whose printed child plan inflates the
+    // Exchange count)
     val snap = graft.derive.Derive.snapshot(
-      graft.core.Tables.events(spark, "/root/testdata/sf0.001"), "2024-01-30")
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001"), "2024-01-29")
     val exchanges = "Exchange".r
       .findAllIn(snap.queryExecution.executedPlan.toString).size
     assert(exchanges <= 2, s"snapshot plan grew to $exchanges exchanges")
