@@ -459,7 +459,14 @@ object SparkEntry {
         matchStr(lit("Zone_1"), col("host")).as("ms"),
         normalizeCategories(array(
           concat(lit("Recon.Scan"), col("entity") % 3),
-          lit("Abusive.Spam"))).as("cat_norm"))
+          lit("Abusive.Spam"))).as("cat_norm"),
+        // parse_rfc_time (common/utils.py:22-35): RFC3339 detect-time string
+        // -> UTC epoch, the ingest's timestamp normalization
+        unix_timestamp(
+          to_timestamp(
+            concat(lit("2024-01-15T"), lpad((col("entity") % 24).cast("string"), 2, "0"),
+              lit(":30:00Z")),
+            "yyyy-MM-dd'T'HH:mm:ssX")).as("rfc_epoch"))
         .orderBy(col("entity"))
     }),
 
@@ -1293,7 +1300,9 @@ object SparkEntry {
         |  contains(replace(replace(replace(lower(host), '_', ''), '.', ''), '-', ''),
         |           'zone1') AS ms,
         |  replace('Recon.Scan' || CAST(entity % 3 AS VARCHAR) || '+' || 'Abusive.Spam',
-        |          '.', '') AS cat_norm
+        |          '.', '') AS cat_norm,
+        |  CAST(floor(epoch(strptime('2024-01-15T' || lpad(CAST(entity % 24 AS VARCHAR), 2, '0')
+        |    || ':30:00Z', '%Y-%m-%dT%H:%M:%SZ'))) AS BIGINT) AS rfc_epoch
         |FROM c ORDER BY entity""".stripMargin,
 
     "nerd_range_join" ->
