@@ -840,6 +840,37 @@ object SparkEntry {
       Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
     }),
 
+    // -- detail page assembly (§3.2, nerd_main.py:1420-1560): one composed
+    //    row per selected entity — record + geo + bgppref/asn + worst threat --
+    "nerd_detail" -> ((s, dir) => {
+      import s.implicits._
+      import graft.derive.ThreatCategorize
+      val geo = Seq((0, "cz"), (1, "de"), (2, "us"), (3, "fr"),
+        (4, "jp"), (5, "br"), (6, "in"), (7, "au")).toDF("gk", "ctry")
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val rules = Seq(
+        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
+        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
+        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
+      // argmax threat by (conf, category) via struct max — deterministic
+      val topThreat = ThreatCategorize
+        .summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .groupBy(col("entity"))
+        .agg(max(struct(col("conf"), col("category"))).as("t"))
+      snapshot(s, dir)
+        .orderBy(col("rep").desc, col("entity")).limit(3)
+        .withColumn("gk", (col("entity") % 8).cast("int"))
+        .join(broadcast(geo), Seq("gk"))
+        .withColumn("bgppref", expr("entity div 16"))
+        .join(topThreat, Seq("entity"), "left")
+        .select(col("entity"), col("rep"), col("total30").as("total"),
+          array_join(col("types_arr"), ",").as("cats"), col("ctry"),
+          col("bgppref"), ((col("bgppref") * 7) % 50).as("asn"),
+          col("t").getField("category").as("top_threat"),
+          col("t").getField("conf").as("threat_conf"))
+        .orderBy(col("entity"))
+    }),
+
     // -- subnet-range + explicit-IP-list search (create_query's $or of CIDR
     //    ranges + ip $in list, nerd_main.py:968-987) --
     "nerd_prefix_search" -> ((s, dir) => {
@@ -1762,6 +1793,24 @@ object SparkEntry {
          |  (['transit', 'content', 'enterprise', 'access'])[CAST(asn % 4 + 1 AS INT)]
          |    AS caida_class
          |FROM a ORDER BY asn""".stripMargin,
+
+    "nerd_detail" ->
+      s"""WITH $THREAT_CTE,
+         |$SNAP_TAIL,
+         |sel AS (SELECT entity, rep, total30, types FROM snap
+         |        ORDER BY rep DESC, entity LIMIT 3),
+         |tt AS (SELECT entity, max(struct_pack(conf := conf, category := category)) AS t
+         |       FROM s WHERE conf > 0 GROUP BY 1),
+         |g AS (SELECT CAST(gk AS BIGINT) AS gk, ctry FROM (VALUES
+         |  (0, 'cz'), (1, 'de'), (2, 'us'), (3, 'fr'),
+         |  (4, 'jp'), (5, 'br'), (6, 'in'), (7, 'au')) v(gk, ctry))
+         |SELECT sel.entity, sel.rep, sel.total30 AS total,
+         |  array_to_string(sel.types, ',') AS cats, g.ctry,
+         |  sel.entity // 16 AS bgppref, ((sel.entity // 16) * 7) % 50 AS asn,
+         |  t.category AS top_threat, t.conf AS threat_conf
+         |FROM sel JOIN g ON sel.entity % 8 = g.gk
+         |LEFT JOIN tt ON tt.entity = sel.entity
+         |ORDER BY sel.entity""".stripMargin,
 
     "nerd_prefix_search" ->
       s"""WITH $SNAP_CTE,
