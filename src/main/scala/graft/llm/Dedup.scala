@@ -54,8 +54,15 @@ object Dedup {
     * 10¹² candidate rows); None keeps exact semantics.
     */
   def nearDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(docs, n)
+                   maxShingleDf: Option[Int] = None): DataFrame =
+    nearDupPairsFromShingles(shingles(docs, n), threshold, maxShingleDf)
+
+  /** Same, over a prepared shingle table — at corpus scale the (doc, shingle)
+    * table is materialized ONCE per dedup campaign and shared by every
+    * candidate generator (inverted-index, MinHash), not re-derived per query.
+    */
+  def nearDupPairsFromShingles(sh0: DataFrame, threshold: Double,
+                               maxShingleDf: Option[Int]): DataFrame = {
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
@@ -133,8 +140,14 @@ object Dedup {
     * background, i.e. the candidate set is ~linear in true duplicates.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+                 threshold: Double = 0.5): DataFrame =
+    minhashLshFromShingles(shingles(docs, n), k, rowsPerBand, threshold)
+
+  /** Banded-LSH pipeline over a prepared shingle table (see
+    * [[nearDupPairsFromShingles]] for why the table is shared).
+    */
+  def minhashLshFromShingles(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
+                             threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignaturesWide(sh, k)
     val bandCols = (0 until k / rowsPerBand).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
