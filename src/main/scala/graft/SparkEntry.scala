@@ -825,6 +825,20 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- DNS PTR enrichment (dns.py:27-77): !NEW/!every1w hostname resolve;
+    //    NXDOMAIN removes any stored hostname --
+    "nerd_dns_ptr" -> ((s, dir) => {
+      val ips = entityIps(s, dir)
+      val ptrDb = ips.filter(col("entity") % 2 === 0)
+        .select(col("ip"), concat(lit("h"), col("entity"), lit(".isp"),
+          col("entity") % 5, lit(".example.net")).as("hostname"))
+      ips.join(broadcast(ptrDb), Seq("ip"), "left")
+        .select(col("entity"), col("ip"),
+          coalesce(col("hostname"), lit("")).as("hostname"),
+          when(col("hostname").isNull, 1L).otherwise(0L).as("nxdomain"))
+        .orderBy(col("entity"))
+    }),
+
     // -- ASN-level rank enrichment (bgp_rank.py / eml_asn_rank.py) --
     "nerd_bgp_rank" -> ((s, dir) => {
       import graft.sources.Intel
@@ -1797,6 +1811,17 @@ object SparkEntry {
          |  array_to_string(list_sort(dbl_arr), ',') AS dbl,
          |  CAST(len(dbl_arr) AS BIGINT) AS n_dbl
          |FROM x ORDER BY entity""".stripMargin,
+
+    "nerd_dns_ptr" ->
+      s"""WITH $IPS_CTE,
+         |db AS (SELECT ip, 'h' || CAST(entity AS VARCHAR) || '.isp'
+         |         || CAST(entity % 5 AS VARCHAR) || '.example.net' AS hostname
+         |       FROM ips WHERE entity % 2 = 0)
+         |SELECT i.entity, i.ip,
+         |  coalesce(db.hostname, '') AS hostname,
+         |  CAST(CASE WHEN db.hostname IS NULL THEN 1 ELSE 0 END AS BIGINT) AS nxdomain
+         |FROM ips i LEFT JOIN db ON i.ip = db.ip
+         |ORDER BY i.entity""".stripMargin,
 
     "nerd_bgp_rank" ->
       s"""WITH $IPS_CTE,
