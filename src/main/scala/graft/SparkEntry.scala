@@ -867,17 +867,21 @@ object SparkEntry {
         ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
         ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
         ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
-      // argmax threat by (conf, category) via struct max — deterministic
+      val sel = snapshot(s, dir)
+        .orderBy(col("rep").desc, col("entity")).limit(3)
+      // the selected-entity set prunes the full threat summary BEFORE its
+      // aggregation (broadcast semi join) — a detail page is a point lookup
+      // and must never shuffle the whole summary at corpus scale
       val topThreat = ThreatCategorize
         .summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .join(broadcast(sel.select(col("entity"))), Seq("entity"), "left_semi")
         .groupBy(col("entity"))
-        .agg(max(struct(col("conf"), col("category"))).as("t"))
-      snapshot(s, dir)
-        .orderBy(col("rep").desc, col("entity")).limit(3)
+        .agg(max(struct(col("conf"), col("category"))).as("t")) // argmax, deterministic
+      sel
         .withColumn("gk", (col("entity") % 8).cast("int"))
         .join(broadcast(geo), Seq("gk"))
         .withColumn("bgppref", expr("entity div 16"))
-        .join(topThreat, Seq("entity"), "left")
+        .join(broadcast(topThreat), Seq("entity"), "left")
         .select(col("entity"), col("rep"), col("total30").as("total"),
           array_join(col("types_arr"), ",").as("cats"), col("ctry"),
           col("bgppref"), ((col("bgppref") * 7) % 50).as("asn"),
