@@ -73,6 +73,18 @@ class IntelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> "tor", 2L -> "pbl", 3L -> "tor"))
   }
 
+  test("pre-aggregation bounds a hot entity: tasks = days x categories, not events") {
+    // the 100-TB skew guard: one entity with 10k alerts must arrive at the
+    // fold as (days x cats) tasks, never 10k
+    import spark.implicits._
+    val hot = (1 to 10000).map { i =>
+      (i.toLong, s"2024-01-0${i % 3 + 1} 0${i % 9}:00:00", 7L, if (i % 2 == 0) "error" else "click", 1.5)
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val n = graft.ingest.EventTasks.preAggregated(hot).count()
+    assert(n === 6, s"3 days x 2 categories, got $n tasks")
+  }
+
   test("intervals: a single-event entity emits no row (ADVICE r3)") {
     // sequence(1, 0) is DESCENDING in Spark — without the >=2 guard this
     // entity emitted n_intervals=2 with null mean/median
