@@ -79,11 +79,15 @@ object EntityFold {
       .groupByKey(s => (s.etype, s.eid))
       .cogroup(tasks.groupByKey(t => (t.etype, t.eid))) { (key, states, ts) =>
         val (etype, eid) = key
-        val existing = states.buffered.headOption.map(s => jsonToRec(s.json))
-        val taskList = ts.toArray
-        if (taskList.isEmpty) existing.map(r => EntityState(etype, eid, TaskCodec.recToJson(r))).iterator
-        else foldAll(existing, taskList.iterator, now, eid)
-          .map(r => EntityState(etype, eid, TaskCodec.recToJson(r))).iterator
+        // Task-less entities pass through byte-identical — no JSON parse or
+        // re-render. At a billion-record snapshot with a small micro-batch,
+        // per-batch codec cost is O(touched entities), not O(snapshot).
+        if (ts.isEmpty) states
+        else {
+          val existing = states.buffered.headOption.map(s => jsonToRec(s.json))
+          foldAll(existing, ts, now, eid)
+            .map(r => EntityState(etype, eid, TaskCodec.recToJson(r))).iterator
+        }
       }
   }
 

@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("task-less entities pass through applyToSnapshot byte-identical") {
+    import spark.implicits._
+    import graft.fold.{EntityFold, EntityState, UpdateTask}
+    import graft.ops.TaskCodec
+
+    // Non-canonical JSON (extra whitespace): any parse/re-render would
+    // normalize it, so byte-identical output proves the untouched entity
+    // never went through the codec.
+    val odd = """{ "rep" :  0.5 , "tags" : [ "a" , "b" ] }"""
+    val snap = Seq(
+      EntityState("ip", 1L, odd),
+      EntityState("ip", 2L, """{"n":1}""")).toDS()
+    val tasks = Seq(
+      UpdateTask("ip", 2L, 0L, "t", """[["set","n",5]]""")).toDS()
+    val out = EntityFold.applyToSnapshot(snap, tasks, now = 1000L)
+      .collect().map(s => s.eid -> s.json).toMap
+    assert(out(1L) == odd, "task-less entity was re-encoded")
+    assert(TaskCodec.parseRec(out(2L))("n") == 5L, "touched entity not folded")
+  }
+
   test("mapGroupsWithState counters accumulate across micro-batches") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
