@@ -34,11 +34,18 @@ object StreamIngest {
       unix_timestamp(col("ts")) > nowEpoch - maxAgeDays * 86400L &&
         unix_timestamp(col("ts")) <= nowEpoch + 300L)
 
+  /** A persisted entity snapshot that a micro-batch of tasks folds onto. */
+  trait EntityStore {
+    def read(): Dataset[EntityState]
+    /** Fold one batch of tasks onto the stored snapshot and persist. */
+    def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit
+  }
+
   /** Versioned parquet snapshot store: read the latest version, write the
     * next — never overwrite the directory being read (Spark cannot
     * read-modify-write one parquet path in a single job).
     */
-  final class SnapshotStore(spark: SparkSession, root: String) {
+  final class SnapshotStore(spark: SparkSession, root: String) extends EntityStore {
     import spark.implicits._
     // Hadoop FS, not java.io.File: the store root may be hdfs://, s3a://, or
     // any other FileSystem scheme — local-only listing would silently report
@@ -68,15 +75,137 @@ object StreamIngest {
         .sortWithinPartitions("eid")
         .write.mode("overwrite").parquet(s"$root/v$next")
     }
+    override def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit =
+      write(EntityFold.applyToSnapshot(read(), tasks, nowEpoch))
+  }
+
+  /** Merge-on-read snapshot store: entities hash into `numBuckets` buckets;
+    * a micro-batch rewrites ONLY the buckets its tasks touch, writing them as
+    * a new delta version with a manifest of the buckets it owns. Reads
+    * resolve each bucket to the newest version that wrote it, so per-batch
+    * write cost is O(touched buckets), not O(snapshot) — the difference that
+    * matters when a billion-record snapshot meets a thousand-task batch.
+    * `compact()` folds all live buckets into one full version and drops the
+    * superseded deltas (the read-amplification ceiling).
+    *
+    * Layout: `root/v<n>/bucket=<b>/part-....parquet` + `root/v<n>/_buckets.json`.
+    * The manifest — not the directory listing — is the source of truth for
+    * ownership: a bucket whose fold emptied out (all entities deleted) has a
+    * manifest entry but no directory, and must NOT resurrect from an older
+    * version.
+    */
+  final class MergeOnReadSnapshotStore(spark: SparkSession, root: String,
+                                       numBuckets: Int = 64) extends EntityStore {
+    import spark.implicits._
+    require(numBuckets > 0)
+
+    private def fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def versions: Seq[Long] = {
+      val path = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong)
+        .sorted
+    }
+
+    private def manifestPath(v: Long) =
+      new org.apache.hadoop.fs.Path(s"$root/v$v/_buckets.json")
+
+    private def readManifest(v: Long): Seq[Int] = {
+      val in = fs.open(manifestPath(v))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asInt()).toSeq
+    }
+
+    private def writeManifest(v: Long, buckets: Seq[Int]): Unit = {
+      val out = fs.create(manifestPath(v), true)
+      try out.write(buckets.sorted.mkString("[", ",", "]").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** bucket → newest version owning it (later versions shadow earlier). */
+    private def owners: Map[Int, Long] =
+      versions.foldLeft(Map.empty[Int, Long]) { (acc, v) =>
+        acc ++ readManifest(v).map(_ -> v)
+      }
+
+    private val stateSchema =
+      org.apache.spark.sql.Encoders.product[EntityState].schema
+        .add("bucket", org.apache.spark.sql.types.IntegerType)
+
+    private def bucketCol(etype: org.apache.spark.sql.Column,
+                          eid: org.apache.spark.sql.Column) =
+      pmod(hash(etype, eid), lit(numBuckets))
+
+    /** Read the live state of a bucket subset: for each delta version, scan
+      * only the bucket partitions that version still owns (directory-level
+      * partition pruning via the `bucket=` filter).
+      */
+    private def readOwned(wanted: Int => Boolean): Dataset[EntityState] = {
+      val byVersion = owners.toSeq.filter { case (b, _) => wanted(b) }
+        .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+      val parts = byVersion.map { case (v, buckets) =>
+        spark.read.schema(stateSchema)
+          .option("basePath", s"$root/v$v")
+          .parquet(s"$root/v$v")
+          .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+          .select("etype", "eid", "json").as[EntityState]
+      }
+      parts.reduceOption(_ union _).getOrElse(spark.emptyDataset[EntityState])
+    }
+
+    override def read(): Dataset[EntityState] = readOwned(_ => true)
+
+    override def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit = {
+      // Touched-bucket set: tiny by construction (≤ numBuckets ints).
+      val touched = tasks.select(bucketCol(col("etype"), col("eid")))
+        .distinct().as[Int].collect().toSet
+      if (touched.isEmpty) return
+      val folded = EntityFold.applyToSnapshot(readOwned(touched), tasks, nowEpoch)
+      val next = versions.lastOption.getOrElse(-1L) + 1
+      // One file per bucket, eid-sorted inside: parquet min/max zone maps keep
+      // pruning subnet/range scans, same as the full-rewrite store's layout.
+      folded
+        .withColumn("bucket", bucketCol(col("etype"), col("eid")))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "eid")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
+      writeManifest(next, touched.toSeq)
+    }
+
+    /** Rewrite the live snapshot as one full version and drop superseded
+      * deltas — bounds read amplification after many small batches.
+      */
+    def compact(): Unit = {
+      val olds = versions
+      if (olds.isEmpty) return
+      val next = olds.last + 1
+      read()
+        .withColumn("bucket", bucketCol(col("etype"), col("eid")))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "eid")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
+      writeManifest(next, (0 until numBuckets).toSeq)
+      olds.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    }
+
+    /** Delta-version count since the last compaction (read-amp telemetry). */
+    def versionCount: Int = versions.size
   }
 
   /** One micro-batch: validate → derive tasks → fold onto the snapshot. */
-  def runBatch(store: SnapshotStore, batch: DataFrame, nowEpoch: Long,
+  def runBatch(store: EntityStore, batch: DataFrame, nowEpoch: Long,
                maxAgeDays: Int = 7): Unit = {
     import batch.sparkSession.implicits._
     val tasks = EventTasks.preAggregated(validate(batch, nowEpoch, maxAgeDays))
       .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
-    store.write(EntityFold.applyToSnapshot(store.read(), tasks, nowEpoch))
+    store.applyBatch(tasks, nowEpoch)
   }
 
   /** Streaming-native stateful counters via `mapGroupsWithState` — the
@@ -147,7 +276,7 @@ object StreamIngest {
   /** Start the streaming ingest over a parquet file source. `nowEpoch` is a
     * function so tests can pin batch time (determinism rule SURVEY §7.3).
     */
-  def start(spark: SparkSession, sourceDir: String, store: SnapshotStore,
+  def start(spark: SparkSession, sourceDir: String, store: EntityStore,
             checkpointDir: String, nowEpoch: () => Long): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     spark.readStream

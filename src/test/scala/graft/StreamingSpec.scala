@@ -92,6 +92,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(TaskCodec.parseRec(out(2L))("n") == 5L, "touched entity not folded")
   }
 
+  test("merge-on-read store rewrites only the buckets a batch touches") {
+    import spark.implicits._
+    import graft.fold.{EntityState, UpdateTask}
+    import graft.ops.TaskCodec
+    import org.apache.hadoop.fs.Path
+
+    val root = Files.createTempDirectory("graft-mor").toString
+    val store = new StreamIngest.MergeOnReadSnapshotStore(spark, root, numBuckets = 16)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(v: Int) = fs.getContentSummary(new Path(s"$root/v$v")).getLength
+
+    // batch 0: seed 200 entities spread across all 16 buckets
+    val seed = (0L until 200L).map(i =>
+      UpdateTask("ip", i, 0L, "t", s"""[["set","n",$i]]"""))
+    store.applyBatch(seed.toDS(), nowEpoch = 1000L)
+    assert(store.read().count() == 200)
+
+    // batch 1: touch ONE entity → exactly one bucket rewritten, tiny delta
+    store.applyBatch(Seq(UpdateTask("ip", 5L, 1L, "t", """[["add","n",1]]""")).toDS(), 1001L)
+    val manifest1 = scala.io.Source.fromInputStream(
+      fs.open(new Path(s"$root/v1/_buckets.json")), "UTF-8").mkString
+    assert(manifest1.drop(1).dropRight(1).split(',').length == 1,
+      s"batch touching one entity owns one bucket, got $manifest1")
+    assert(bytes(1) * 4 < bytes(0), s"delta v1 (${bytes(1)}B) not << full v0 (${bytes(0)}B)")
+    val rec5 = TaskCodec.parseRec(store.read().filter(_.eid == 5L).head().json)
+    assert(rec5("n") == 6L)
+    assert(store.read().count() == 200)
+
+    // batch 2: delete an entity — newer empty-ish bucket must shadow, not
+    // resurrect, the old version's copy
+    store.applyBatch(Seq(UpdateTask("ip", 7L, 2L, "t", """[["event","!DELETE"]]""")).toDS(), 1002L)
+    assert(store.read().filter(_.eid == 7L).isEmpty)
+    assert(store.read().count() == 199)
+
+    // compaction folds the deltas into one full version
+    assert(store.versionCount == 3)
+    store.compact()
+    assert(store.versionCount == 1)
+    assert(store.read().count() == 199)
+    assert(TaskCodec.parseRec(store.read().filter(_.eid == 5L).head().json)("n") == 6L)
+  }
+
+  test("merge-on-read store converges with the full-rewrite store on real batches") {
+    import spark.implicits._
+    import graft.ops.TaskCodec
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) + 60
+    val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+    val full = new StreamIngest.SnapshotStore(
+      spark, Files.createTempDirectory("graft-mor-full").toString)
+    val mor = new StreamIngest.MergeOnReadSnapshotStore(
+      spark, Files.createTempDirectory("graft-mor-delta").toString, numBuckets = 8)
+    for (store <- Seq[StreamIngest.EntityStore](full, mor)) {
+      StreamIngest.runBatch(store, ev.filter(col("event_id") <= cut), now, maxAgeDays = 10000)
+      StreamIngest.runBatch(store, ev.filter(col("event_id") > cut), now, maxAgeDays = 10000)
+    }
+    val a = full.read().map(s => (s.eid, s.json)).collect().sortBy(_._1)
+    val b = mor.read().map(s => (s.eid, s.json)).collect().sortBy(_._1)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case ((id1, j1), (id2, j2)) =>
+      assert(id1 == id2)
+      assert(TaskCodec.parseRec(j1) == TaskCodec.parseRec(j2), s"entity $id1 diverged")
+    }
+  }
+
   test("mapGroupsWithState counters accumulate across micro-batches") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
