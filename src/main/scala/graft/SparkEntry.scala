@@ -65,6 +65,44 @@ object SparkEntry {
       df
     })
 
+  /** Threat-categorization CONFIG (reference `etc/threat_categorization.yml`
+    * shape, compiled by `graft.derive.ThreatConfig`): rule changes are config
+    * edits, not code — the same property the reference gets from evaluating
+    * yml trigger strings (`common/threat_categorization.py:112–141`).
+    */
+  private val THREAT_YML =
+    """threat_categories:
+      |  unknown:
+      |    role: src
+      |  scan:
+      |    role: src
+      |    subcategories:
+      |      - port
+      |    triggers:
+      |      general: |-
+      |        event.event_type == 'error' and event.k >= 50
+      |  abuse:
+      |    role: dst
+      |    triggers:
+      |      general: |-
+      |        event.event_type == 'signup'
+      |        event.event_type == 'login'
+      |  fraud:
+      |    role: src
+      |    triggers:
+      |      general: |-
+      |        event.event_type == 'purchase' and event.value > 100
+      |""".stripMargin
+
+  /** Events with the `k` attribute projected (the trigger's JSON-prop
+    * input), plus the config-compiled rules resolved against that schema.
+    */
+  private def classifiableEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+  private def threatRules(schema: org.apache.spark.sql.types.StructType) =
+    graft.derive.ThreatConfig.catRules(THREAT_YML, schema)
+
   // ---- oracle SQL building blocks (DuckDB dialect) ----
   private val MX = "mx AS (SELECT max(CAST(ts AS DATE)) AS today FROM events)"
   private val AGE = "date_diff('day', CAST(ts AS DATE), mx.today)"
@@ -571,13 +609,9 @@ object SparkEntry {
     // -- threat categorization + summary (SURVEY §2.12/§2.6) --
     "nerd_threat_category" -> ((s, dir) => {
       import graft.derive.ThreatCategorize
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      val rules = Seq(
-        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
-        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
-        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
-      val withK = events(s, dir).withColumn("k", k)
-      ThreatCategorize.summary(ThreatCategorize.classify(withK, rules), today(s, dir),
+      val withK = classifiableEvents(s, dir)
+      ThreatCategorize.summary(
+          ThreatCategorize.classify(withK, threatRules(withK.schema)), today(s, dir),
           subcatCol = Some("k"))
         .orderBy(col("entity"), col("category"))
     }),
@@ -585,13 +619,9 @@ object SparkEntry {
     // -- threat-category $elemMatch search (nerd_main.py:1018–1027 analog) --
     "nerd_search_threat" -> ((s, dir) => {
       import graft.derive.ThreatCategorize
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      val rules = Seq(
-        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
-        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
-        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
+      val withK = classifiableEvents(s, dir)
       val threats = ThreatCategorize
-        .summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .summary(ThreatCategorize.classify(withK, threatRules(withK.schema)), today(s, dir))
         .groupBy(col("entity"))
         .agg(collect_list(struct(col("category"), col("role"), col("conf"))).as("threats"))
       // $elemMatch as an array `exists` predicate over the nested summary —
@@ -862,18 +892,14 @@ object SparkEntry {
       import graft.derive.ThreatCategorize
       val geo = Seq((0, "cz"), (1, "de"), (2, "us"), (3, "fr"),
         (4, "jp"), (5, "br"), (6, "in"), (7, "au")).toDF("gk", "ctry")
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      val rules = Seq(
-        ThreatCategorize.CatRule("scan", "src", col("event_type") === "error" && k >= 50),
-        ThreatCategorize.CatRule("abuse", "dst", col("event_type").isin("signup", "login")),
-        ThreatCategorize.CatRule("fraud", "src", col("event_type") === "purchase" && col("value") > 100))
+      val withK = classifiableEvents(s, dir)
       val sel = snapshot(s, dir)
         .orderBy(col("rep").desc, col("entity")).limit(3)
       // the selected-entity set prunes the full threat summary BEFORE its
       // aggregation (broadcast semi join) — a detail page is a point lookup
       // and must never shuffle the whole summary at corpus scale
       val topThreat = ThreatCategorize
-        .summary(ThreatCategorize.classify(events(s, dir), rules), today(s, dir))
+        .summary(ThreatCategorize.classify(withK, threatRules(withK.schema)), today(s, dir))
         .join(broadcast(sel.select(col("entity"))), Seq("entity"), "left_semi")
         .groupBy(col("entity"))
         .agg(max(struct(col("conf"), col("category"))).as("t")) // argmax, deterministic
