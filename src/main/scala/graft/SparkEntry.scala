@@ -606,6 +606,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // -- warden filter over multi-valued IDEA fields: `=`/`!=` are
+    //    set-membership over ALL `$.Source[*].IP4[*]` JSONPath matches
+    //    (warden_receiver.py:326–381) --
+    "nerd_warden_wildcard" -> ((s, dir) => {
+      import graft.ingest.WardenFilter
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      // the same IDEA-shaped reconstruction as nerd_idea_explode: two source
+      // IPs and one dotted category per message
+      val msgs = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        concat(lit("""{"Source":[{"IP4":["""), col("user_id"), lit(","),
+          (k * 7) % 150, lit("""]}],"Category":["Test."""), col("event_type"),
+          lit(""""]}""")).as("msg"))
+      WardenFilter(msgs, Seq(
+        "Source[*].IP4[*] = 42 ; pass",
+        "Category[*] != Test.error ; pass",
+        "; drop"), jsonCol = "msg")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- threat categorization + summary (SURVEY §2.12/§2.6) --
     "nerd_threat_category" -> ((s, dir) => {
       import graft.derive.ThreatCategorize
@@ -1483,6 +1503,17 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY rule ORDER BY event_id) AS rn FROM m)
         |SELECT event_id, user_id, event_type, CAST(k AS BIGINT) AS k FROM w
         |WHERE rule = 2 OR (rule = 1 AND rn % 3 = 0)
+        |ORDER BY event_id""".stripMargin,
+
+    // pass iff 42 ∈ {user_id, (k*7)%150} (wildcard '=' over all matches) OR
+    // the category differs from Test.error (wildcard '!=')
+    "nerd_warden_wildcard" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM ev
+        |WHERE user_id = 42 OR (k * 7) % 150 = 42 OR event_type != 'error'
         |ORDER BY event_id""".stripMargin,
 
     "nerd_threat_category" ->

@@ -40,6 +40,23 @@ object WardenFilter {
   case object Drop extends Action
   final case class SampleN(n: Int) extends Action
 
+  /** How `sample N` picks its 1-in-N.
+    *
+    *  - `Counter` is reference-faithful (`warden_receiver.py:192–206`: every
+    *    Nth matching message, by arrival order) — it needs an occurrence
+    *    index, i.e. one window shuffle partitioned by rule id, which
+    *    serializes a high-volume sample rule through one partition.
+    *  - `Hash` keeps rows where `hash(orderCol) % N == 0`: statistically
+    *    1-in-N, deterministic, zero shuffle — the scale-safe variant for
+    *    sample rules matching a large fraction of the stream. DOCUMENTED
+    *    DIVERGENCE: it is not the exact-every-Nth sequence.
+    */
+  sealed trait SampleMode
+  object SampleMode {
+    case object Counter extends SampleMode
+    case object Hash extends SampleMode
+  }
+
   final case class Clause(path: String, op: String, value: String)
   final case class Rule(logic: String, clauses: Seq[Clause], action: Action)
 
@@ -84,12 +101,64 @@ object WardenFilter {
     (parsed, default)
   }
 
+  /** `=` is set-membership over ALL JSONPath matches (`_evaluate_rule`,
+    * `warden_receiver.py:326–381`: `compared_value in pattern_values`);
+    * `!=` its negation — so a missing attribute satisfies `!=`. Wildcard
+    * paths extract to an array of stringified matches; scalar paths to one
+    * value (a one-element match list).
+    */
   private def clausePredicate(c: Clause, extracted: Map[String, Column]): Column = {
     val matched = extracted(c.path)
+    val isIn =
+      if (isWildcard(c.path)) coalesce(array_contains(matched, c.value), lit(false))
+      else coalesce(matched === c.value, lit(false))
     c.op match {
-      case "="  => coalesce(matched === c.value, lit(false))
-      case "!=" => !coalesce(matched === c.value, lit(false))
+      case "="  => isIn
+      case "!=" => !isIn
     }
+  }
+
+  // ---- multi-match JSONPath extraction (`$.a[*].b[*]` patterns) ----
+
+  private def isWildcard(path: String) = path.contains("[*]")
+
+  private final case class Seg(name: String, wild: Boolean)
+  private def parseSegs(path: String): Seq[Seg] = path.split('.').toSeq.map { s =>
+    if (s.endsWith("[*]")) Seg(s.dropRight(3), wild = true) else Seg(s, wild = false)
+  }
+
+  /** Schema targeting exactly the pattern's spine — `a[*].b[*]` parses with
+    * `STRUCT<a: ARRAY<STRUCT<b: ARRAY<STRING>>>>`; everything else in the
+    * message is skipped by the Jackson parser, so the multi-match costs one
+    * focused parse, like the scalar projection.
+    */
+  private def matchSchema(segs: Seq[Seg]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    segs.foldRight(StringType: DataType) { (seg, inner) =>
+      StructType(Seq(StructField(seg.name, if (seg.wild) ArrayType(inner) else inner)))
+    }
+  }
+
+  /** All matches of a wildcard pattern as `array<string>` (the reference's
+    * `[match.value for match in pattern.find(msg)]`, values stringified).
+    * Nested `[*]` levels flatten; nulls (absent fields under a present
+    * spine) drop out of the match list.
+    */
+  private def multiMatch(jsonCol: Column, path: String): Column = {
+    val segs = parseSegs(path)
+    var expr: Column = from_json(jsonCol, matchSchema(segs))
+    var isArr = false
+    segs.foreach { seg =>
+      if (!isArr) {
+        expr = expr.getField(seg.name)
+        if (seg.wild) isArr = true
+      } else {
+        val mapped = transform(expr, _.getField(seg.name))
+        expr = if (seg.wild) flatten(mapped) else mapped
+      }
+    }
+    val arr = if (isArr) expr else array(expr)
+    filter(arr, v => v.isNotNull)
   }
 
   private def rulePredicate(r: Rule, extracted: Map[String, Column]): Column = {
@@ -108,7 +177,8 @@ object WardenFilter {
     * serialize 100 TB through a few partitions).
     */
   def apply(events: DataFrame, rules: Seq[String], jsonCol: String = "props",
-            orderCol: String = "event_id"): DataFrame = {
+            orderCol: String = "event_id",
+            sampleMode: SampleMode = SampleMode.Counter): DataFrame = {
     val (parsed, default) = parseRules(rules)
     val actions: Seq[Action] = parsed.map(_.action) :+ default
     // Parse the JSON message ONCE per distinct referenced path: the rule
@@ -120,7 +190,8 @@ object WardenFilter {
     val paths = parsed.flatMap(_.clauses.map(_.path)).distinct
     val pathCol = paths.zipWithIndex.map { case (p, i) => p -> s"__wf_jp$i" }.toMap
     val projected = pathCol.foldLeft(events) { case (df, (p, c)) =>
-      df.withColumn(c, get_json_object(col(jsonCol), "$." + p))
+      if (isWildcard(p)) df.withColumn(c, multiMatch(col(jsonCol), p))
+      else df.withColumn(c, get_json_object(col(jsonCol), "$." + p))
     }
     val extracted = pathCol.map { case (p, c) => p -> col(c) }
     // first-match-wins rule index; index == parsed.length means default
@@ -136,15 +207,22 @@ object WardenFilter {
       if (passIdx.isEmpty) events.limit(0)
       else withRule.filter(col("_rule").isInCollection(passIdx)).drop(helperCols: _*)
     if (samples.isEmpty) passRows
-    else {
-      val sampleRows = withRule
-        .filter(col("_rule").isInCollection(samples.map(_._1)))
-        .withColumn("_occ",
-          row_number().over(Window.partitionBy(col("_rule")).orderBy(col(orderCol))))
-      val keep = samples.map { case (i, n) =>
-        col("_rule") === i && col("_occ") % n === 0
-      }.reduce(_ || _)
-      passRows.unionByName(sampleRows.filter(keep).drop(helperCols :+ "_occ": _*))
+    else sampleMode match {
+      case SampleMode.Counter =>
+        val sampleRows = withRule
+          .filter(col("_rule").isInCollection(samples.map(_._1)))
+          .withColumn("_occ",
+            row_number().over(Window.partitionBy(col("_rule")).orderBy(col(orderCol))))
+        val keep = samples.map { case (i, n) =>
+          col("_rule") === i && col("_occ") % n === 0
+        }.reduce(_ || _)
+        passRows.unionByName(sampleRows.filter(keep).drop(helperCols :+ "_occ": _*))
+      case SampleMode.Hash =>
+        // no occurrence index, no window, no shuffle: a pure codegen filter
+        val keep = samples.map { case (i, n) =>
+          col("_rule") === i && pmod(hash(col(orderCol)), lit(n)) === 0
+        }.reduce(_ || _)
+        passRows.unionByName(withRule.filter(keep).drop(helperCols: _*))
     }
   }
 }

@@ -77,6 +77,64 @@ class WardenFilterSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("wildcard path '=' matches when the value is among ALL JSONPath matches") {
+    import spark.implicits._
+    val df = mk(
+      1L -> """{"Source":[{"IP4":["1.2.3.4","5.6.7.8"]},{"IP4":["9.9.9.9"]}]}""",
+      2L -> """{"Source":[{"IP4":["8.8.8.8"]}]}""",
+      3L -> """{"Category":["Test"]}""")
+    val out = WardenFilter(df, Seq("Source[*].IP4[*] = 9.9.9.9 ; pass", "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L)) // 9.9.9.9 is in row 1's flattened match list only
+  }
+
+  test("wildcard path '!=' passes rows whose matches lack the value, incl. missing attr") {
+    import spark.implicits._
+    val df = mk(
+      1L -> """{"Source":[{"IP4":["1.2.3.4","5.6.7.8"]},{"IP4":["9.9.9.9"]}]}""",
+      2L -> """{"Source":[{"IP4":["8.8.8.8"]}]}""",
+      3L -> """{"Category":["Test"]}""")
+    val out = WardenFilter(df, Seq("Source[*].IP4[*] != 8.8.8.8 ; pass", "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L)) // row 2 has it; row 3's missing attr satisfies !=
+  }
+
+  test("wildcard matches stringify numbers (reference str() semantics)") {
+    import spark.implicits._
+    val df = mk(
+      1L -> """{"Target":[{"Port":[5060,443]}]}""",
+      2L -> """{"Target":[{"Port":[22]}]}""")
+    val out = WardenFilter(df, Seq("Target[*].Port[*] = 5060 ; pass", "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L))
+  }
+
+  test("single-level wildcard works (Category[*])") {
+    import spark.implicits._
+    val df = mk(
+      1L -> """{"Category":["Recon.Scanning","Test"]}""",
+      2L -> """{"Category":["Abusive.Spam"]}""")
+    val out = WardenFilter(df, Seq("Category[*] = Recon.Scanning ; pass", "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L))
+  }
+
+  test("hash sample mode is deterministic, 1-in-N-ish, and shuffle-free") {
+    import spark.implicits._
+    val df = mk((1L to 60L).map(i => i -> s"""{"k":"s"}"""): _*)
+    val q = WardenFilter(df, Seq("k = s ; sample 3", "; drop"),
+      sampleMode = WardenFilter.SampleMode.Hash)
+    val out = q.select($"event_id").as[Long].collect().sorted.toSeq
+    assert(out.nonEmpty && out.size < 60) // a strict, non-trivial subset
+    val again = WardenFilter(df, Seq("k = s ; sample 3", "; drop"),
+        sampleMode = WardenFilter.SampleMode.Hash)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(again === out)
+    // the scale contract: zero Exchange — no window, no single-partition ceiling
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash sample mode must not shuffle:\n$plan")
+  }
+
   test("default action defaults to pass when no trailing rule is given") {
     import spark.implicits._
     val df = mk(1L -> """{"k":"z"}""")
