@@ -364,10 +364,13 @@ object SparkEntry {
         .withColumn("_ttl", map_from_entries(filter(array(
           struct(lit("warden").as("k"), col("ttl_warden").as("v")),
           when(col("ttl_highly_active").isNotNull,
-            struct(lit("highly_active").as("k"), col("ttl_highly_active").as("v")))),
+            struct(lit("highly_active").as("k"), col("ttl_highly_active").as("v"))),
+          when(col("ttl_long_active").isNotNull,
+            struct(lit("long_active").as("k"), col("ttl_long_active").as("v")))),
           e => e.isNotNull)))
       ttl.filter(map_contains_key(col("_ttl"), lit("highly_active")))
         .select(col("entity"), col("ttl_warden"), col("ttl_highly_active"),
+          col("ttl_long_active"),
           map_keys(col("_ttl")).getItem(0).as("first_token"))
         .orderBy(col("entity"))
     }),
@@ -412,11 +415,18 @@ object SparkEntry {
       val suffix = element_at(
         array(lit(".cs.uni.edu"), lit(".agency.gov"), lit(".dyn.example.com"), lit(".shady.xyz")),
         (col("entity") % 4 + 1).cast("int"))
+      // deployment-style regex rules: every match tags (hostname.py:103–115)
+      val regexRules = Seq(
+        "[.]dyn[.]" -> "dynamic_regex",
+        "shady" -> "suspicious_regex",
+        "^h[0-9]+[.]" -> "generic_host")
       events(s, dir).select(col("user_id").as("entity")).distinct()
         .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
         .withColumn("host", concat(lit("h"), col("entity"), suffix))
         .withColumn("hostname_class", Funcs.hostnameClass(col("host"), suffixes))
         .withColumn("ip_in_host", Funcs.ipInHostname(col("host"), col("ip")))
+        .withColumn("regex_tags",
+          array_join(Funcs.hostnameRegexTags(col("host"), regexRules), ","))
         .orderBy(col("entity"))
     }),
 
@@ -967,6 +977,21 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- the events_targets side (create_warden_db.sql:28–36): explode
+    //    $.Target[*].IP4[*] with the per-target port list --
+    "nerd_idea_targets" -> ((s, dir) => {
+      import graft.ingest.IdeaParser
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val msgs = events(s, dir).select(col("event_id"),
+        concat(lit("""{"Source":[{"IP4":["""), col("user_id"),
+          lit("""]}],"Target":[{"IP4":["""), (col("user_id") + 3) % 150,
+          lit("""],"Port":["""), k % 1024,
+          lit("""]}],"Category":["Test."""), col("event_type"),
+          lit(""""]}""")).as("msg"))
+      IdeaParser.targetSummary(IdeaParser.explodeTargets(msgs))
+        .orderBy(col("entity"))
+    }),
+
     // -- periodic re-evaluation scheduler (updater.py:96-138, SURVEY §3.3):
     //    fetch entities whose next-regular-update stamp is due, issue the weak
     //    check task, reschedule via the next_step arithmetic --
@@ -1147,16 +1172,24 @@ object SparkEntry {
 
     "nerd_ttl_expiry" ->
       s"""WITH $MX,
-         |p AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
+         |p AS (SELECT user_id AS entity, min(CAST(ts AS DATE)) AS first_day,
+         |        max(CAST(ts AS DATE)) AS last_day,
          |        CAST(sum(CASE WHEN $AGE <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7
-         |      FROM events, mx GROUP BY 1)
-         |SELECT entity, last_day, total7,
-         |  last_day + 14 AS ttl_warden,
-         |  CASE WHEN total7 > 50 THEN last_day + 30 END AS ttl_highly_active,
-         |  greatest(last_day + 14, coalesce(CASE WHEN total7 > 50 THEN last_day + 30 END, last_day + 14)) AS ttl_max,
-         |  CAST(greatest(last_day + 14, coalesce(CASE WHEN total7 > 50 THEN last_day + 30 END, last_day + 14))
+         |      FROM events, mx GROUP BY 1),
+         |t AS (SELECT *,
+         |        last_day + 14 AS ttl_warden,
+         |        CASE WHEN total7 > 50 THEN last_day + 30 END AS ttl_highly_active,
+         |        CASE WHEN date_diff('day', first_day, last_day) > 30
+         |             THEN last_day + 30 END AS ttl_long_active
+         |      FROM p)
+         |SELECT entity, first_day, last_day, total7,
+         |  ttl_warden, ttl_highly_active, ttl_long_active,
+         |  greatest(ttl_warden, coalesce(ttl_highly_active, ttl_warden),
+         |           coalesce(ttl_long_active, ttl_warden)) AS ttl_max,
+         |  CAST(greatest(ttl_warden, coalesce(ttl_highly_active, ttl_warden),
+         |                coalesce(ttl_long_active, ttl_warden))
          |       < (SELECT today FROM mx) AS INT) AS expired
-         |FROM p
+         |FROM t
          |ORDER BY entity""".stripMargin,
 
     "nerd_search_topk" ->
@@ -1217,10 +1250,13 @@ object SparkEntry {
 
     "nerd_ttl_filter" ->
       s"""WITH $MX,
-         |p AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
+         |p AS (SELECT user_id AS entity, min(CAST(ts AS DATE)) AS first_day,
+         |        max(CAST(ts AS DATE)) AS last_day,
          |        CAST(sum(CASE WHEN $AGE <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS total7
          |      FROM events, mx GROUP BY 1)
          |SELECT entity, last_day + 14 AS ttl_warden, last_day + 30 AS ttl_highly_active,
+         |       CASE WHEN date_diff('day', first_day, last_day) > 30
+         |            THEN last_day + 30 END AS ttl_long_active,
          |       'warden' AS first_token
          |FROM p WHERE total7 > 10
          |ORDER BY entity""".stripMargin,
@@ -1273,7 +1309,12 @@ object SparkEntry {
         |  (CASE WHEN contains(host, CAST((ip // 16777216) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
         | + CASE WHEN contains(host, CAST((ip // 65536) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
         | + CASE WHEN contains(host, CAST((ip // 256) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
-        | + CASE WHEN contains(host, CAST(ip % 256 AS VARCHAR)) THEN 1 ELSE 0 END) >= 2 AS ip_in_host
+        | + CASE WHEN contains(host, CAST(ip % 256 AS VARCHAR)) THEN 1 ELSE 0 END) >= 2 AS ip_in_host,
+        |  array_to_string(list_filter([
+        |    CASE WHEN regexp_matches(host, '[.]dyn[.]') THEN 'dynamic_regex' END,
+        |    CASE WHEN regexp_matches(host, 'shady') THEN 'suspicious_regex' END,
+        |    CASE WHEN regexp_matches(host, '^h[0-9]+[.]') THEN 'generic_host' END],
+        |    x -> x IS NOT NULL), ',') AS regex_tags
         |FROM c ORDER BY entity""".stripMargin,
 
     "nerd_blacklist" ->
@@ -1935,6 +1976,21 @@ object SparkEntry {
         |SELECT entity, CAST(count(*) AS BIGINT) AS n_refs,
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
         |  array_to_string(list_sort(list(DISTINCT cat)), ',') AS cats
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "nerd_idea_targets" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, (user_id + 3) % 150 AS entity,
+        |         replace('Test.' || event_type, '.', '') AS cat,
+        |         k % 1024 AS port FROM e)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+        |  array_to_string(list_sort(list(DISTINCT cat)), ',') AS cats,
+        |  array_to_string(list_sort(list(DISTINCT port)), ',') AS ports
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "nerd_nru_schedule" ->

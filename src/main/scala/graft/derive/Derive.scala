@@ -176,21 +176,31 @@ object Derive {
 
   /** TTL expiry (`modules/cleaner.py:204–241` + `modules/ttl_updater.py:46–77`):
     * each source stamps a TTL token (`setmax`); entities whose newest token is
-    * in the past are deleted (`!DELETE`), the highly-active rule extends life
-    * when `total7 > threshold`.
+    * in the past are deleted (`!DELETE`). Two promotion rules extend life:
+    * highly_active when `total7 > threshold` (`check_high_activity`), and
+    * long_active when the record's in-DB age — `last_activity − ts_added`,
+    * here last event day minus first event day (record creation) — exceeds
+    * the threshold (`check_long_activity`, `ttl_updater.py:54–58`).
     */
   def ttlExpiry(events: DataFrame, today: String, wardenTtlDays: Int = 14,
-                highlyActiveThreshold: Long = 50L, highlyActiveTtlDays: Int = 30): DataFrame = {
+                highlyActiveThreshold: Long = 50L, highlyActiveTtlDays: Int = 30,
+                longActiveThresholdDays: Int = 30, longActiveTtlDays: Int = 30): DataFrame = {
     val perEntity = withAge(events, today)
       .groupBy(col("user_id").as("entity"))
       .agg(
+        min(to_date(col("ts"))).as("first_day"), // ts_added analog
         max(to_date(col("ts"))).as("last_day"),
         sum(when(col("age") <= 7, 1L).otherwise(0L)).as("total7"))
     perEntity
       .withColumn("ttl_warden", date_add(col("last_day"), wardenTtlDays))
       .withColumn("ttl_highly_active",
         when(col("total7") > highlyActiveThreshold, date_add(col("last_day"), highlyActiveTtlDays)))
-      .withColumn("ttl_max", greatest(col("ttl_warden"), coalesce(col("ttl_highly_active"), col("ttl_warden"))))
+      .withColumn("ttl_long_active",
+        when(datediff(col("last_day"), col("first_day")) > longActiveThresholdDays,
+          date_add(col("last_day"), longActiveTtlDays)))
+      .withColumn("ttl_max", greatest(col("ttl_warden"),
+        coalesce(col("ttl_highly_active"), col("ttl_warden")),
+        coalesce(col("ttl_long_active"), col("ttl_warden"))))
       .withColumn("expired", (col("ttl_max") < lit(today).cast("date")).cast("int"))
   }
 }

@@ -101,6 +101,17 @@ object Funcs {
       when(host.endsWith(suffix), lit(cls)).otherwise(acc)
     }
 
+  /** Regex tag rules (`modules/hostname.py:103–115` + the
+    * `hostname_tagging.regex_tagging` config pairs): unlike the suffix walk
+    * (first hit wins), EVERY matching regex contributes its tag, in rule
+    * order, deduplicated. `rlike` is a search (Python `re.search`), not a
+    * full match.
+    */
+  def hostnameRegexTags(host: Column, rules: Seq[(String, String)]): Column =
+    array_distinct(filter(
+      array(rules.map { case (re, tag) => when(host.rlike(re), lit(tag)) }: _*),
+      x => x.isNotNull))
+
   def ipInHostname(host: Column, ip: Column): Column = {
     val octets = Seq(
       shiftright(ip, 24).bitwiseAND(255),

@@ -20,7 +20,9 @@ object IdeaParser {
 
   /** The IDEA schema subset the ingest needs (DDL form for `from_json`). */
   val IdeaSchema: String =
-    "Source ARRAY<STRUCT<IP4: ARRAY<BIGINT>>>, Category ARRAY<STRING>"
+    "Source ARRAY<STRUCT<IP4: ARRAY<BIGINT>>>, " +
+      "Target ARRAY<STRUCT<IP4: ARRAY<BIGINT>, Port: ARRAY<BIGINT>>>, " +
+      "Category ARRAY<STRING>"
 
   /** Parse the JSON message column and emit one row per (event, source ip)
     * with the normalized category string — the events_sources frame.
@@ -40,4 +42,31 @@ object IdeaParser {
       count(lit(1)).as("n_refs"),
       size(collect_set(col("event_id"))).cast("long").as("n_events"),
       array_join(sort_array(collect_set(col("cat"))), ",").as("cats"))
+
+  /** The `events_targets` side (`install/create_warden_db.sql:28–36`): one
+    * row per (event, TARGET ip) from `$.Target[*].IP4[*]`, carrying the
+    * target's port list — same generator-in-scan shape as the source side.
+    */
+  def explodeTargets(msgs: DataFrame, msgCol: String = "msg"): DataFrame =
+    msgs
+      .withColumn("idea", from_json(col(msgCol), IdeaSchema, Map.empty[String, String]))
+      .select(col("event_id"),
+        explode(col("idea.Target")).as("tgt"),
+        graft.functions.Funcs.normalizeCategories(col("idea.Category")).as("cat"))
+      .select(col("event_id"),
+        explode(col("tgt.IP4")).as("entity"),
+        col("cat"),
+        col("tgt.Port").as("ports"))
+
+  /** Per-target-entity roll-up, with the distinct contacted ports
+    * (numerically sorted, comma-joined).
+    */
+  def targetSummary(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("entity")).agg(
+      count(lit(1)).as("n_refs"),
+      size(collect_set(col("event_id"))).cast("long").as("n_events"),
+      array_join(sort_array(collect_set(col("cat"))), ",").as("cats"),
+      array_join(
+        transform(sort_array(array_distinct(flatten(collect_list(col("ports"))))),
+          x => x.cast("string")), ",").as("ports"))
 }
