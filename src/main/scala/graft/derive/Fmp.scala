@@ -5,55 +5,174 @@ import org.apache.spark.sql.functions._
 
 /** FMP ("future misbehavior prediction") feature assembly — the DataFrame
   * restatement of the reference's nightly pandas pass
-  * (`NERDd/fmp_updater.py:292–453`): per-entity activity counts with
-  * `log1p` transforms, EWMA features, last-alert age with exponential decay
-  * (`:414–420`), and /24-prefix aggregates joined back (`:292–354`,
-  * `:436–453`), finished by a fixed-weight logistic scorer standing in for
-  * the XGBoost model (the trained model is a fixture concern; the operator
-  * surface is the feature pipeline).
+  * (`NERDd/fmp_updater.py:10–56` feature list, `:355–520` assembly):
   *
-  * Shape at scale: the snapshot is already per-entity; the prefix pass is
-  * one extra groupBy on the prefix key joined back broadcast (prefix table
-  * is |entities|/16), so the whole assembly is 2 shuffles — where the
-  * reference loads every record into a single pandas process.
+  *  - alert metadata: 1d/7d alert+connection+node counts, alert/conn/binary
+  *    EWMA (`get_events_meta`), log1p-transformed as the model input
+  *  - last-alert age with exponential decay (`:414–420`)
+  *  - inter-event interval mean/median over the last-21 ring, `exp(-x)`
+  *    transformed (`:421–433`, `get_intervals_from_timestamps`)
+  *  - prefix aggregates of the same metadata joined back (`:436–463`)
+  *  - blacklist one-hots for the watched feeds (`:370–380,465–472`)
+  *  - hostname/tag features: exists, static/dynamic (+1/−1), dsl,
+  *    ip_in_hostname (`:474–503`)
+  *  - country/ASN badness priors: known-entity count over the address-space
+  *    size, broadcast-joined (`get_ctry_badness`/`get_asn_badness`,
+  *    `:161–216`)
+  *
+  * finished by a fixed-weight logistic scorer standing in for the XGBoost
+  * model (the trained model is a fixture concern; the operator surface is
+  * the feature pipeline). "Connections" are played by the event `value`
+  * column floored to an integer (exact sums cross-engine), blacklist
+  * membership and hostname tags by the deterministic fixtures the blacklist
+  * and hostname queries use.
+  *
+  * Shape at scale: one extra per-entity pass over raw events (conns +
+  * interval ring), one prefix groupBy joined back broadcast
+  * (|entities|/16), and two tiny badness priors joined broadcast — the
+  * whole assembly stays at 3 shuffles where the reference loads every
+  * record into a single pandas process.
   */
 object Fmp {
 
-  /** @param snapshot output of `Derive.snapshot`
-    * @param lastDay  per-entity (entity, last_day) from the raw events
+  /** @param events   raw events (conns, last-day, and the interval ring
+    *                  come from here)
+    * @param snapshot output of `Derive.snapshot` (alert counters, EWMA, rep)
     * @param today    processing day (determinism: passed explicitly)
     */
-  def features(snapshot: DataFrame, lastDay: DataFrame, today: String,
+  def features(events: DataFrame, snapshot: DataFrame, today: String,
                prefixBits: Int = 4): DataFrame = {
     val prefixSize = 1L << prefixBits
-    val prefix = snapshot
+
+    // ---- per-entity extras from raw events ----
+    val aged = events
+      .withColumn("age", datediff(lit(today).cast("date"), to_date(col("ts"))))
+      .withColumn("conns", floor(col("value")).cast("long"))
+    val xtra = aged.groupBy(col("user_id").as("entity")).agg(
+      max(to_date(col("ts"))).as("last_day"),
+      sum(when(col("age") <= 1, col("conns")).otherwise(0L)).as("conns1"),
+      sum(when(col("age") <= 7, col("conns")).otherwise(0L)).as("conns7"),
+      // dyadic weight × integer conns ⇒ exactly-representable terms, the
+      // order-independent-sum rule the snapshot EWMA follows
+      round(coalesce(sum(when(col("age") < 7,
+        col("conns") * lit(0.25d) * pow(lit(0.75d), col("age")))), lit(0d)), 6)
+        .as("conns_ewma"),
+      sort_array(collect_list(unix_timestamp(col("ts")))).as("ts_list"))
+      // last-21 ring (intervals_between_events.py:23–32); the delta mean
+      // telescopes to (last − first)/(n − 1), the median sorts ≤20 deltas
+      .withColumn("ring", expr("slice(ts_list, greatest(size(ts_list) - 20, 1), 21)"))
+      .withColumn("nd", size(col("ring")) - 1)
+      .withColumn("mean_days", when(col("nd") < 1, lit(0d)).otherwise(
+        (element_at(col("ring"), -1) - element_at(col("ring"), 1)).cast("double") /
+          (col("nd").cast("double") * 86400d)))
+      .withColumn("sd", when(col("nd") < 1, array().cast("array<bigint>")).otherwise(
+        expr("array_sort(transform(sequence(1, size(ring) - 1), i -> ring[i] - ring[i - 1]))")))
+      .withColumn("median_days", when(col("nd") < 1, lit(0d)).otherwise(
+        when(col("nd") % 2 === 1,
+            expr("sd[cast((nd + 1) / 2 as int) - 1]").cast("double"))
+          .otherwise((expr("sd[cast(nd / 2 as int) - 1]") +
+            expr("sd[cast(nd / 2 as int)]")) / 2d) / 86400d))
+    // guard against the one-event ring: nd = 0 must not reach sequence(1, 0)
+    val base = snapshot.join(xtra.drop("ts_list", "ring", "sd"), Seq("entity"))
+
+    // ---- /24-prefix analog aggregates (fmp_updater.py:436–463) ----
+    val prefix = base
       .groupBy((col("entity") / prefixSize).cast("long").as("prefix"))
       .agg(
+        sum(col("total1")).as("p_total1"),
         sum(col("total7")).as("p_total7"),
         count(lit(1)).as("p_members"),
-        round(avg(col("rep")), 6).as("p_avg_rep"))
-    val withP = snapshot
+        // exact decimal sum, then the decimal-hop round: the average can land
+        // exactly on a half at 6 dp (seen at sf0.1: 1.1518/16 = 0.0719875),
+        // where Spark's string-based and DuckDB's binary round disagree
+        round((sum(col("rep").cast("decimal(18,6)")) / count(lit(1)))
+          .cast("decimal(28,10)"), 6).cast("double").as("p_avg_rep"),
+        sum(col("nodes_7d")).as("p_nodes7"),
+        sum(col("conns7")).as("p_conns7"),
+        // decimal sums: exact regardless of shuffle order (the members are
+        // 6-dp rounded doubles whose double-sum would be order-dependent)
+        sum(col("ewma").cast("decimal(18,6)")).cast("double").as("p_ewma"),
+        sum(col("bin_ewma").cast("decimal(18,6)")).cast("double").as("p_bin_ewma"))
+
+    // ---- geo badness priors: known-entity count / address-space size,
+    //      computed once and broadcast (get_ctry_badness, :161–216) ----
+    val ctryPrior = snapshot.groupBy((col("entity") % 8).as("gk"))
+      .agg(count(lit(1)).as("ctry_known"))
+      .withColumn("ctry_badness",
+        round((col("ctry_known") / ((col("gk") + 1) * 1000d)).cast("decimal(28,10)"), 6)
+          .cast("double"))
+    val asnPrior = snapshot.groupBy((expr("entity div 16") * 7 % 50).as("ak"))
+      .agg(count(lit(1)).as("asn_known"))
+      .withColumn("asn_badness",
+        round((col("asn_known") / ((col("ak") + 1) * 100d)).cast("decimal(28,10)"), 6)
+          .cast("double"))
+
+    // ---- fixture-backed record attributes (same constructions as the
+    //      blacklist / hostname queries) ----
+    val sfx = (col("entity") % 4).cast("int")
+    val hostExists = col("entity") % 6 =!= 0
+    val suffix = element_at(
+      array(lit(".cs.uni.edu"), lit(".agency.gov"), lit(".dyn.example.com"), lit(".shady.xyz")),
+      sfx + 1)
+    val host = concat(lit("h"), col("entity"), suffix)
+    val ip = (col("entity") * 2654435761L) % 4294967296L
+
+    val withP = base
       .withColumn("prefix", (col("entity") / prefixSize).cast("long"))
       .join(broadcast(prefix), Seq("prefix"))
-      .join(lastDay, Seq("entity"))
+      .withColumn("gk", col("entity") % 8)
+      .join(broadcast(ctryPrior), Seq("gk"))
+      .withColumn("ak", expr("entity div 16") * 7 % 50)
+      .join(broadcast(asnPrior), Seq("ak"))
       .withColumn("last_age", datediff(lit(today).cast("date"), col("last_day")))
     val decay = exp(-col("last_age") / 7.0d)
     val z = lit(-3d) + lit(2d) * col("rep") + lit(0.1d) * log1p(col("total7")) +
       lit(0.5d) * decay
+
     withP.select(
       col("entity"),
+      // alert metadata (log1p model inputs, fmp_updater.py:398–409)
       round(log1p(col("total1")), 4).as("f_e1"),
       round(log1p(col("total7")), 4).as("f_e7"),
       round(log1p(col("total30")), 4).as("f_e30"),
+      col("nodes_1d").cast("long").as("f_nodes1"),
       col("nodes_7d").cast("long").as("f_nodes7"),
+      round(log1p(col("conns1")), 4).as("f_conns1"),
+      round(log1p(col("conns7")), 4).as("f_conns7"),
       col("ewma").as("f_ewma"),
+      col("conns_ewma").as("f_conns_ewma"),
       col("bin_ewma").as("f_bin_ewma"),
       col("rep").as("f_rep"),
+      // last-alert age + decay transform (:414–420)
       col("last_age").cast("long").as("f_last_age"),
       round(decay, 4).as("f_decay"),
+      // interval features, exp(-x) transformed (:421–433)
+      round(exp(-col("mean_days")), 4).as("f_intervals_avg"),
+      round(exp(-col("median_days")), 4).as("f_intervals_med"),
+      // prefix aggregates (:436–463)
+      round(log1p(col("p_total1")), 4).as("f_p_e1"),
+      round(log1p(col("p_total7")), 4).as("f_p_e7"),
       col("p_total7").as("f_p_total7"),
       col("p_members").as("f_p_members"),
       col("p_avg_rep").as("f_p_avg_rep"),
+      col("p_nodes7").as("f_p_nodes7"),
+      round(log1p(col("p_conns7")), 4).as("f_p_conns7"),
+      col("p_ewma").as("f_p_ewma"),
+      col("p_bin_ewma").as("f_p_bin_ewma"),
+      // blacklist one-hots (:370–380)
+      (col("entity") % 5 === 0).cast("int").as("f_bl_tor"),
+      (col("entity") % 7 === 3).cast("int").as("f_bl_ssh"),
+      (col("entity") % 11 === 1).cast("int").as("f_bl_spam"),
+      // hostname / tag features (:474–503)
+      hostExists.cast("int").as("f_hostname"),
+      when(!hostExists, 0).when(sfx.isin(0, 1), 1).when(sfx === 2, -1)
+        .otherwise(0).as("f_dyn_static"),
+      when(hostExists && sfx === 2 && col("entity") % 2 === 0, 1).otherwise(0).as("f_dsl"),
+      when(hostExists, graft.functions.Funcs.ipInHostname(host, ip).cast("int"))
+        .otherwise(0).as("f_ip_in_host"),
+      // geolocation badness (:506–514)
+      col("ctry_badness").as("f_ctry_badness"),
+      col("asn_badness").as("f_asn_badness"),
       round(lit(1d) / (lit(1d) + exp(-z)), 4).as("fmp_general"))
   }
 }
