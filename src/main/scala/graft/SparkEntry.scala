@@ -607,7 +607,9 @@ object SparkEntry {
         "k = 3 OR k = 5 ; sample 3",
         "k != 0 ; pass",
         "; drop")
-      WardenFilter(events(s, dir), rules)
+      // fanned-out scan: the filter is pure map work (JSON parse + codegen
+      // predicates) with no double sums, so partition order is free
+      WardenFilter(Tables.eventsFanned(s, dir), rules)
         .select(col("event_id"), col("user_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("event_id"))
@@ -621,10 +623,11 @@ object SparkEntry {
       val k = get_json_object(col("props"), "$.k").cast("long")
       // the same IDEA-shaped reconstruction as nerd_idea_explode: two source
       // IPs and one dotted category per message
-      val msgs = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
-        concat(lit("""{"Source":[{"IP4":["""), col("user_id"), lit(","),
-          (k * 7) % 150, lit("""]}],"Category":["Test."""), col("event_type"),
-          lit(""""]}""")).as("msg"))
+      val msgs = Tables.eventsFanned(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          concat(lit("""{"Source":[{"IP4":["""), col("user_id"), lit(","),
+            (k * 7) % 150, lit("""]}],"Category":["Test."""), col("event_type"),
+            lit(""""]}""")).as("msg"))
       WardenFilter(msgs, Seq(
         "Source[*].IP4[*] = 42 ; pass",
         "Category[*] != Test.error ; pass",
@@ -719,6 +722,14 @@ object SparkEntry {
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
           maxShingleDf = None)
+        .orderBy(col("d1"), col("d2"))),
+
+    // the PRODUCTION path: stop-shingles above the df cap are dropped before
+    // the inverted-index join, bounding candidates at any corpus size (the
+    // 10x scale smoke measured the uncapped variant superlinear at 59x)
+    "llm_near_dedup_capped" -> ((s, dir) =>
+      Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
+          maxShingleDf = Some(25))
         .orderBy(col("d1"), col("d2"))),
 
     "llm_minhash_lsh" -> ((s, dir) =>
@@ -966,7 +977,7 @@ object SparkEntry {
       // Reconstruct an IDEA-shaped message from the flat event row: two
       // source IPs (the event's own entity plus a k-derived second source)
       // and the dotted category name.
-      val msgs = events(s, dir).select(col("event_id"),
+      val msgs = Tables.eventsFanned(s, dir).select(col("event_id"),
         concat(lit("""{"Source":[{"IP4":["""), col("user_id"), lit(","),
           (k * 7) % 150, lit("""]}],"Category":["Test."""), col("event_type"),
           lit(""""]}""")).as("msg"))
@@ -979,7 +990,7 @@ object SparkEntry {
     "nerd_idea_targets" -> ((s, dir) => {
       import graft.ingest.IdeaParser
       val k = get_json_object(col("props"), "$.k").cast("long")
-      val msgs = events(s, dir).select(col("event_id"),
+      val msgs = Tables.eventsFanned(s, dir).select(col("event_id"),
         concat(lit("""{"Source":[{"IP4":["""), col("user_id"),
           lit("""]}],"Target":[{"IP4":["""), (col("user_id") + 3) % 150,
           lit("""],"Port":["""), k % 1024,
@@ -1699,6 +1710,29 @@ object SparkEntry {
          |SELECT d1, d2, jaccard FROM jac
          |WHERE jaccard >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+
+    // capped variant: shingles with df > 25 leave the index AND the size
+    // denominators, mirroring nearDupPairsFromShingles(maxShingleDf=Some(25))
+    "llm_near_dedup_capped" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       unnest(generate_series(1, len(w) - 2)) AS t(i)),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 25),
+        |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2)
+        |SELECT d1, d2, jaccard FROM jac
+        |WHERE jaccard >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
 
     "llm_minhash_lsh" ->
       s"""WITH $SHINGLES,

@@ -51,4 +51,15 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = fanOut(load(spark, sfDir, "documents"))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = fanOut(load(spark, sfDir, "embeddings"))
+
+  /** Fan-out variant of `events` for map-heavy queries with NO unrounded
+    * double aggregation (pure filters, integer counts, string sets): the
+    * single-file testdata parquet otherwise serializes the whole JSON-parse
+    * map phase through one scan partition (10× scale smoke: warden/idea
+    * queries ran 12–20× instead of ~10×). At cluster scale the input is many
+    * files and this repartition is a no-op. Never use under double sums —
+    * reordered float addition wobbles last-ulp results across runs.
+    */
+  def eventsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(events(spark, sfDir))
 }

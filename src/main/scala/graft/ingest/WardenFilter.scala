@@ -129,24 +129,41 @@ object WardenFilter {
 
   /** Schema targeting exactly the pattern's spine — `a[*].b[*]` parses with
     * `STRUCT<a: ARRAY<STRUCT<b: ARRAY<STRING>>>>`; everything else in the
-    * message is skipped by the Jackson parser, so the multi-match costs one
-    * focused parse, like the scalar projection.
+    * message is skipped by the Jackson parser. The schemas of ALL wildcard
+    * paths in a rule set merge into one tree so the whole filter costs a
+    * single focused parse, like the scalar projection.
     */
-  private def matchSchema(segs: Seq[Seg]): org.apache.spark.sql.types.DataType = {
+  private def matchSchema(segs: Seq[Seg]): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     segs.foldRight(StringType: DataType) { (seg, inner) =>
       StructType(Seq(StructField(seg.name, if (seg.wild) ArrayType(inner) else inner)))
+    }.asInstanceOf[StructType]
+  }
+
+  private def mergeSchemas(a: org.apache.spark.sql.types.StructType,
+                           b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def mergeDt(x: DataType, y: DataType): DataType = (x, y) match {
+      case (ArrayType(p, _), ArrayType(q, _)) => ArrayType(mergeDt(p, q))
+      case (p: StructType, q: StructType)     => mergeSchemas(p, q)
+      case _                                  => x
     }
+    val bMap = b.fields.map(f => f.name -> f).toMap
+    StructType(
+      a.fields.map(f => bMap.get(f.name)
+        .map(g => org.apache.spark.sql.types.StructField(f.name, mergeDt(f.dataType, g.dataType)))
+        .getOrElse(f)) ++
+        b.fields.filterNot(f => a.fieldNames.contains(f.name)))
   }
 
   /** All matches of a wildcard pattern as `array<string>` (the reference's
-    * `[match.value for match in pattern.find(msg)]`, values stringified).
-    * Nested `[*]` levels flatten; nulls (absent fields under a present
-    * spine) drop out of the match list.
+    * `[match.value for match in pattern.find(msg)]`, values stringified),
+    * extracted from the shared parsed-message column. Nested `[*]` levels
+    * flatten; nulls (absent fields under a present spine) drop out of the
+    * match list.
     */
-  private def multiMatch(jsonCol: Column, path: String): Column = {
-    val segs = parseSegs(path)
-    var expr: Column = from_json(jsonCol, matchSchema(segs))
+  private def multiMatch(parsed: Column, segs: Seq[Seg]): Column = {
+    var expr: Column = parsed
     var isArr = false
     segs.foreach { seg =>
       if (!isArr) {
@@ -189,8 +206,16 @@ object WardenFilter {
     // duplicates non-cheap expressions into multiple consumers.
     val paths = parsed.flatMap(_.clauses.map(_.path)).distinct
     val pathCol = paths.zipWithIndex.map { case (p, i) => p -> s"__wf_jp$i" }.toMap
-    val projected = pathCol.foldLeft(events) { case (df, (p, c)) =>
-      if (isWildcard(p)) df.withColumn(c, multiMatch(col(jsonCol), p))
+    // All wildcard paths share ONE from_json over their merged schema: the
+    // parse is the dominant per-row cost, and CollapseProject keeps the
+    // single projected parse from being duplicated into its consumers.
+    val wildSegs = paths.filter(isWildcard).map(p => p -> parseSegs(p)).toMap
+    val withParsed =
+      if (wildSegs.isEmpty) events
+      else events.withColumn("__wf_parsed",
+        from_json(col(jsonCol), wildSegs.values.map(matchSchema).reduce(mergeSchemas)))
+    val projected = pathCol.foldLeft(withParsed) { case (df, (p, c)) =>
+      if (isWildcard(p)) df.withColumn(c, multiMatch(col("__wf_parsed"), wildSegs(p)))
       else df.withColumn(c, get_json_object(col(jsonCol), "$." + p))
     }
     val extracted = pathCol.map { case (p, c) => p -> col(c) }
@@ -202,7 +227,8 @@ object WardenFilter {
     val withRule = projected.withColumn("_rule", ruleIdx)
     val passIdx = actions.zipWithIndex.collect { case (Pass, i) => i }
     val samples = actions.zipWithIndex.collect { case (SampleN(n), i) => (i, n) }
-    val helperCols = pathCol.values.toSeq :+ "_rule"
+    val helperCols = pathCol.values.toSeq ++
+      (if (wildSegs.isEmpty) Seq("_rule") else Seq("__wf_parsed", "_rule"))
     val passRows =
       if (passIdx.isEmpty) events.limit(0)
       else withRule.filter(col("_rule").isInCollection(passIdx)).drop(helperCols: _*)
