@@ -75,6 +75,15 @@ object TaskCodec {
     root.elements().asScala.map(op).toSeq
   }
 
+  /** Parse wire input that may carry the reference's `$datetime`/`$timedelta`
+    * type envelopes (`common/task_queue.py:100–113`): envelopes collapse to
+    * epoch/duration-microsecond numbers before op conversion.
+    */
+  def parseExternal(json: String): Seq[UpdateOp] = {
+    val root = graft.functions.EdgeCodec.stripEnvelopes(mapper.readTree(json))
+    root.elements().asScala.map(op).toSeq
+  }
+
   /** Parse a JSON object into a dynamic record (snapshot deserialization). */
   def parseRec(json: String): Rec = value(mapper.readTree(json)) match {
     case r: Rec @unchecked if r.isInstanceOf[mutable.LinkedHashMap[_, _]] => r
