@@ -636,6 +636,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // -- trigger payload subcategories end-to-end (SURVEY §2.12): the
+    //    '-> {subcat: values}' suffix of the FIRST matching trigger line
+    //    decides the assignment (threat_categorization.py:126-134,157-166) --
+    "nerd_threat_subcats" -> ((s, dir) => {
+      val withK = classifiableEvents(s, dir)
+      val yml =
+        """threat_categories:
+          |  scan:
+          |    role: src
+          |    subcategories:
+          |      - port
+          |    triggers:
+          |      general: |-
+          |        event.event_type == 'error' and event.k >= 50 -> {'port': [22, 2222]}
+          |        event.event_type == 'error' -> {'port': [23]}
+          |""".stripMargin
+      val scan = graft.derive.ThreatConfig.compile(yml, withK.schema).head
+      withK.filter(scan.rule.trigger)
+        .withColumn("ports", scan.payloadFor("port"))
+        .groupBy(col("user_id").as("entity"))
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(array_distinct(flatten(collect_list(col("ports"))))), ",")
+            .as("ports"))
+        .orderBy(col("entity"))
+    }),
+
     // -- threat categorization + summary (SURVEY §2.12/§2.6) --
     "nerd_threat_category" -> ((s, dir) => {
       import graft.derive.ThreatCategorize
@@ -1634,6 +1660,22 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type FROM ev
         |WHERE user_id = 42 OR (k * 7) % 150 = 42 OR event_type != 'error'
         |ORDER BY event_id""".stripMargin,
+
+    // first-match payload: k>=50 error rows carry ['22','2222'], the rest
+    // of the error rows ['23']; lists union-distinct per entity
+    "nerd_threat_subcats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' AND k >= 50 THEN ['22', '2222']
+        |         WHEN event_type = 'error' THEN ['23'] END AS ports
+        |  FROM e WHERE event_type = 'error')
+        |SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n,
+        |  array_to_string(list_sort(list_distinct(flatten(list(ports)))), ',') AS ports
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "nerd_threat_category" ->
       s"""WITH $THREAT_CTE,

@@ -94,8 +94,15 @@ object StreamIngest {
     * manifest entry but no directory, and must NOT resurrect from an older
     * version.
     */
+  /** @param maxDeltas if > 0, `applyBatch` auto-compacts once the delta
+    *                   chain exceeds this many versions — the read-side scans
+    *                   at most `maxDeltas + 1` version directories between
+    *                   compactions, bounding read amplification under a
+    *                   long-running micro-batch stream.
+    */
   final class MergeOnReadSnapshotStore(spark: SparkSession, root: String,
-                                       numBuckets: Int = 64) extends EntityStore {
+                                       numBuckets: Int = 64,
+                                       maxDeltas: Int = 0) extends EntityStore {
     import spark.implicits._
     require(numBuckets > 0)
 
@@ -177,6 +184,7 @@ object StreamIngest {
         .sortWithinPartitions("bucket", "eid")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
       writeManifest(next, touched.toSeq)
+      if (maxDeltas > 0 && versionCount > maxDeltas) compact()
     }
 
     /** Rewrite the live snapshot as one full version and drop superseded

@@ -134,6 +134,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(TaskCodec.parseRec(store.read().filter(_.eid == 5L).head().json)("n") == 6L)
   }
 
+  test("merge-on-read auto-compaction bounds the delta chain") {
+    import spark.implicits._
+    import graft.fold.UpdateTask
+    import graft.ops.TaskCodec
+
+    val root = Files.createTempDirectory("graft-mor-compact").toString
+    val store = new StreamIngest.MergeOnReadSnapshotStore(
+      spark, root, numBuckets = 8, maxDeltas = 3)
+    for (b <- 0 until 6) {
+      store.applyBatch(Seq(
+        UpdateTask("ip", b.toLong, b.toLong, "t", s"""[["add","n",1]]""")).toDS(), 1000L + b)
+      assert(store.versionCount <= 4, s"delta chain unbounded at batch $b")
+    }
+    // all six entities live, each folded exactly once, across compactions
+    val recs = store.read().collect().map(s => s.eid -> TaskCodec.parseRec(s.json)).toMap
+    assert(recs.keySet == (0L until 6L).toSet)
+    assert(recs.values.forall(_("n") == 1L))
+  }
+
   test("merge-on-read store converges with the full-rewrite store on real batches") {
     import spark.implicits._
     import graft.ops.TaskCodec
