@@ -778,6 +778,14 @@ object SparkEntry {
         .withColumn("probe_cluster", col("probe_cluster").cast("long"))
         .orderBy(col("qid"), col("rank"))),
 
+    // nprobe=2: each query scans its TWO nearest clusters — recall grows
+    // with nprobe at linear candidate cost (the standard IVF trade)
+    "llm_ann_ivf_probe2" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), queryMaxId = 5, k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))),
+
     "llm_embed_dedup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy(col("d1"), col("d2"))),
@@ -1847,6 +1855,31 @@ object SparkEntry {
          |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
          |        FROM probe0)
          |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, e.vec_id, ${COS("p.qe", "e.emb")} AS cos
+         |  FROM e JOIN probe p ON e.label = p.probe_cluster AND e.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_ann_ivf_probe2" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank <= 2),
          |scored AS (
          |  SELECT p.qid, p.probe_cluster, e.vec_id, ${COS("p.qe", "e.emb")} AS cos
          |  FROM e JOIN probe p ON e.label = p.probe_cluster AND e.vec_id != p.qid),

@@ -63,12 +63,13 @@ object Ann {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
-  /** IVF probe: route each query to its nearest centroid (nprobe=1), then
-    * exact top-k within that cluster only. Output: (qid, probe_cluster,
-    * vec_id, cos, rank).
+  /** IVF probe: route each query to its `nprobe` nearest centroids, then
+    * exact top-k within those clusters only — recall grows with nprobe at
+    * linear candidate cost, the standard IVF trade. Output: (qid,
+    * probe_cluster, vec_id, cos, rank).
     */
   def ivfTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
-              clusterCol: String = "label"): DataFrame = {
+              clusterCol: String = "label", nprobe: Int = 1): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val cents = centroids(embeddings, clusterCol)
     val q = e.filter(col("vec_id") < queryMaxId)
@@ -77,7 +78,7 @@ object Ann {
       .withColumn("ccos", round(cosine(col("qe"), col("centroid")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cluster"))))
-      .filter(col("crank") === 1)
+      .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
     e.join(broadcast(probe),
         col(clusterCol) === col("probe_cluster") && col("vec_id") =!= col("qid"))

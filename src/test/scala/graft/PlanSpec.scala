@@ -69,8 +69,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("idea explode stays shuffle-free until the entity aggregation") {
     // one Exchange for the groupBy, one for the final orderBy — the
-    // generator/parse stage must not add its own
+    // generator/parse stage must not add its own (plus the deliberate
+    // fan-out repartition of the single-file testdata scan)
     val p = plan("nerd_idea_explode")
-    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("fmp feature assembly broadcasts the prefix and badness priors") {
+    // prefix aggregate + ctry prior + asn prior join back broadcast; only
+    // the per-entity joins may shuffle
+    val p = plan("nerd_fmp_features")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 }
