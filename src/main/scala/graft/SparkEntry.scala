@@ -461,6 +461,14 @@ object SparkEntry {
         .select(col("entity"), col("total"), col("rep"))
     }),
 
+    // -- the web pager's skip/limit (page 2 of the sorted search) --
+    "nerd_search_page" -> ((s, dir) => {
+      val f = Search.SearchFilter(minTotal = Some(30))
+      Search.searchPage(snapshot(s, dir), f, Search.SortKeys("events"), asc = false,
+          skip = 15, limit = 15)
+        .select(col("entity"), col("total"), col("rep"))
+    }),
+
     "nerd_event_pivot" -> ((s, dir) => {
       val sel = Derive.reputationWarden(events(s, dir), today(s, dir))
         .orderBy(col("rep").desc, col("entity")).limit(10)
@@ -1401,6 +1409,13 @@ object SparkEntry {
          |WHERE total30 >= 30
          |ORDER BY total30 DESC, entity
          |LIMIT 15""".stripMargin,
+
+    "nerd_search_page" ->
+      s"""WITH $SNAP_CTE
+         |SELECT entity, total30 AS total, rep FROM snap
+         |WHERE total30 >= 30
+         |ORDER BY total30 DESC, entity
+         |LIMIT 15 OFFSET 15""".stripMargin,
 
     "nerd_event_pivot" ->
       s"""WITH $REP_CTE,

@@ -49,6 +49,18 @@ object Search {
     snapshot.filter(compile(f)).orderBy(k, col("entity").asc).limit(limit)
   }
 
+  /** Paged search (`nerd_main.py:1082–1085` passes Mongo `skip`/`limit` from
+    * the web UI's pager): `offset(skip)` + `limit` after the deterministic
+    * sort — Spark folds both into one TakeOrderedAndProject, so a deep page
+    * never materializes a full sort.
+    */
+  def searchPage(snapshot: DataFrame, f: SearchFilter, sortKey: String,
+                 asc: Boolean, skip: Int, limit: Int): DataFrame = {
+    val k = if (asc) col(sortKey).asc else col(sortKey).desc
+    snapshot.filter(compile(f)).orderBy(k, col("entity").asc)
+      .offset(skip).limit(limit)
+  }
+
   /** Bulk reputation lookup (`nerd_main.py:2408–2468`): left join requested
     * keys against the snapshot, missing entities score 0.0, input order
     * preserved via the request index.

@@ -153,6 +153,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(recs.values.forall(_("n") == 1L))
   }
 
+  test("random batches: merge-on-read and full-rewrite stores stay equal") {
+    import spark.implicits._
+    import graft.fold.UpdateTask
+    import graft.ops.TaskCodec
+
+    val r = new scala.util.Random(7)
+    val full = new StreamIngest.SnapshotStore(
+      spark, Files.createTempDirectory("graft-eq-full").toString)
+    val mor = new StreamIngest.MergeOnReadSnapshotStore(
+      spark, Files.createTempDirectory("graft-eq-mor").toString,
+      numBuckets = 8, maxDeltas = 2)
+    for (b <- 0 until 4) {
+      val tasks = (0 until 40).map { i =>
+        val op = r.nextInt(4) match {
+          case 0 => """[["add","n",1]]"""
+          case 1 => s"""[["setmax","m",${r.nextInt(100)}]]"""
+          case 2 => s"""[["add_to_set","s","v${r.nextInt(5)}"]]"""
+          case 3 => """[["event","!DELETE"]]"""
+        }
+        UpdateTask("ip", r.nextInt(30).toLong, b * 1000L + i, "t", op)
+      }
+      full.applyBatch(tasks.toDS(), 1000L + b)
+      mor.applyBatch(tasks.toDS(), 1000L + b)
+    }
+    val a = full.read().collect().map(s => s.eid -> TaskCodec.parseRec(s.json)).toMap
+    val c = mor.read().collect().map(s => s.eid -> TaskCodec.parseRec(s.json)).toMap
+    assert(a.keySet == c.keySet && a.nonEmpty)
+    a.keySet.foreach(eid => assert(a(eid) == c(eid), s"entity $eid diverged"))
+  }
+
   test("merge-on-read store converges with the full-rewrite store on real batches") {
     import spark.implicits._
     import graft.ops.TaskCodec
