@@ -75,6 +75,11 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
 
+  test("paged search folds offset+limit into TakeOrderedAndProject") {
+    val p = plan("nerd_search_page")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=15"), p)
+  }
+
   test("fmp feature assembly broadcasts the prefix and badness priors") {
     // prefix aggregate + ctry prior + asn prior join back broadcast; only
     // the per-entity joins may shuffle
