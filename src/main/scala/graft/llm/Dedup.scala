@@ -66,7 +66,10 @@ object Dedup {
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        sh0.join(hot, Seq("s"), "left_anti")
+        // the stop-shingle set is small by construction (≤ |occurrences|/cap
+        // distinct values): broadcast it so the anti-join costs a map-side
+        // bloom-style pass instead of re-shuffling the full shingle table
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh0
     }
     // Exact path: intersections straight off the inverted-index self-join —
