@@ -274,6 +274,27 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- op-algebra long tail end-to-end (SURVEY §2.3): append, add_to_set,
+    //    sub, setmin, set, extend_set, rem_from_set folded over real events
+    //    with per-entity (seq, src) ordering --
+    "nerd_ops_longtail" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.{EntityFold, UpdateTask}
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ops = concat(
+        lit("""[["append","ks","""), k,
+        lit("""],["add_to_set","tp",""""), col("event_type"),
+        lit(""""],["sub","c",1],["setmin","mn","""), k,
+        lit("""],["set","lk","""), k,
+        lit("""],["extend_set","es",["""), k % 5,
+        lit(""",7]],["rem_from_set","es",[3]]]"""))
+      val tasks = events(s, dir).select(
+        lit("user").as("etype"), col("user_id").as("eid"),
+        col("event_id").as("seq"), lit("t").as("src"), ops.as("ops")).as[UpdateTask]
+      EntityFold.applyTasks(tasks, nowEpoch(s, dir))(graft.ingest.EventTasks.projectLongtail)
+        .toDF().orderBy(col("entity"))
+    }),
+
     // -- derivation stages (SURVEY §2.6) --
     "nerd_event_counter" -> ((s, dir) => {
       Derive.eventCounter(events(s, dir), today(s, dir))
@@ -465,7 +486,7 @@ object SparkEntry {
     "nerd_search_page" -> ((s, dir) => {
       val f = Search.SearchFilter(minTotal = Some(30))
       Search.searchPage(snapshot(s, dir), f, Search.SortKeys("events"), asc = false,
-          skip = 15, limit = 15)
+          skip = 5, limit = 10)
         .select(col("entity"), col("total"), col("rep"))
     }),
 
@@ -1160,6 +1181,38 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    // append keeps arrival (seq) order; add_to_set/extend_set keep first-
+    // occurrence order; rem_from_set filters without reordering survivors;
+    // sub on a missing key starts from the negated operand
+    "nerd_ops_longtail" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id,
+        |    string_agg(CAST(k AS VARCHAR), ',' ORDER BY event_id) AS ks,
+        |    CAST(-count(*) AS BIGINT) AS c,
+        |    min(k) AS mn,
+        |    arg_max(k, event_id) AS lk
+        |  FROM e GROUP BY 1),
+        |tp AS (
+        |  SELECT user_id, string_agg(event_type, ',' ORDER BY fid) AS tp
+        |  FROM (SELECT user_id, event_type, min(event_id) AS fid FROM e GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |esv AS (
+        |  SELECT user_id, v, min(ord) AS ord FROM (
+        |    SELECT user_id, k % 5 AS v, event_id * 2 AS ord FROM e
+        |    UNION ALL
+        |    SELECT user_id, 7, event_id * 2 + 1 FROM e)
+        |  GROUP BY 1, 2),
+        |es AS (
+        |  SELECT user_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY ord) AS es
+        |  FROM esv WHERE v != 3 GROUP BY 1)
+        |SELECT base.user_id AS entity, base.ks, tp.tp, base.c, base.mn, base.lk, es.es
+        |FROM base JOIN tp USING (user_id) JOIN es USING (user_id)
+        |ORDER BY entity""".stripMargin,
+
     "nerd_ingest_fold" ->
       """SELECT user_id AS entity,
         |  count(*) AS total,
@@ -1415,7 +1468,7 @@ object SparkEntry {
          |SELECT entity, total30 AS total, rep FROM snap
          |WHERE total30 >= 30
          |ORDER BY total30 DESC, entity
-         |LIMIT 15 OFFSET 15""".stripMargin,
+         |LIMIT 10 OFFSET 5""".stripMargin,
 
     "nerd_event_pivot" ->
       s"""WITH $REP_CTE,

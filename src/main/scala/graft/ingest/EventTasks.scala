@@ -144,6 +144,24 @@ object EventTasks {
   case class FoldedEntity(entity: Long, total: Long, types: String, n_buckets: Long,
                           conns: Double, last_activity: Long, ttl_warden: Long)
 
+  /** Projection for the op-algebra long-tail gate query: one column per op
+    * family exercised end-to-end (append / add_to_set / sub / setmin / set /
+    * extend_set+rem_from_set).
+    */
+  case class OpsLongtail(entity: Long, ks: String, tp: String, c: Long,
+                         mn: Long, lk: Long, es: String)
+
+  def projectLongtail(eid: Long, rec: Rec): OpsLongtail = {
+    def buf(k: String) = rec(k).asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+    OpsLongtail(eid,
+      buf("ks").mkString(","),
+      buf("tp").mkString(","),
+      rec("c").asInstanceOf[Long],
+      rec("mn").asInstanceOf[Long],
+      rec("lk").asInstanceOf[Long],
+      buf("es").mkString(","))
+  }
+
   def projectFolded(eid: Long, rec: Rec): FoldedEntity = {
     val meta = rec("events_meta").asInstanceOf[Rec]
     val evs = rec("events").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]

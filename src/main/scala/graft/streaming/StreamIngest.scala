@@ -281,19 +281,56 @@ object StreamIngest {
     }
   }
 
+  /** Batch-level watchdog (`NERDd/core/scheduler.py` + the reference's
+    * worker-watchdog restarts): a failing micro-batch retries up to
+    * `maxAttempts` times before the failure propagates and kills the query —
+    * Spark already retries TASKS; this covers batch-scoped transient faults
+    * (a flaky store listing, an external fixture hiccup) the same way the
+    * reference's supervisor re-runs a crashed worker.
+    */
+  def runBatchWithRetry(store: EntityStore, batch: DataFrame, nowEpoch: Long,
+                        maxAgeDays: Int = 7, maxAttempts: Int = 3): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try { runBatch(store, batch, nowEpoch, maxAgeDays); done = true }
+      catch {
+        case e: Throwable if attempt < maxAttempts =>
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"batch attempt $attempt failed, retrying: ${e.getMessage}")
+      }
+    }
+  }
+
   /** Start the streaming ingest over a parquet file source. `nowEpoch` is a
     * function so tests can pin batch time (determinism rule SURVEY §7.3).
+    *
+    * Backpressure: the reference bounds inflow with RabbitMQ prefetch +
+    * queue length; the Spark analog is source-side trigger admission —
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` cap what each micro-batch
+    * admits, so a backlog drains in bounded-size batches instead of one
+    * giant catch-up batch that overwhelms executor memory.
     */
   def start(spark: SparkSession, sourceDir: String, store: EntityStore,
-            checkpointDir: String, nowEpoch: () => Long): StreamingQuery = {
+            checkpointDir: String, nowEpoch: () => Long,
+            maxFilesPerTrigger: Option[Int] = None,
+            maxBytesPerTrigger: Option[Long] = None,
+            maxAttempts: Int = 1): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
-    spark.readStream
-      .schema(schema)
+    val reader0 = spark.readStream.schema(schema)
+    val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val reader = maxBytesPerTrigger.fold(reader1)(n =>
+      reader1.option("maxBytesPerTrigger", n.toString))
+    reader
       .parquet(sourceDir)
       .withWatermark("ts", "7 days")
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => runBatch(store, batch, nowEpoch()) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        runBatchWithRetry(store, batch, nowEpoch(), maxAttempts = math.max(1, maxAttempts))
+      }
       .start()
   }
 }

@@ -77,7 +77,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("paged search folds offset+limit into TakeOrderedAndProject") {
     val p = plan("nerd_search_page")
-    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=15"), p)
+    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=5"), p)
   }
 
   test("fmp feature assembly broadcasts the prefix and badness priors") {

@@ -258,6 +258,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.read().count() > 0)
   }
 
+  test("maxFilesPerTrigger backpressure drains a backlog in bounded batches") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) + 60
+    val srcDir = Files.createTempDirectory("graft-bp-src").toString
+    val cut = ev.agg(max(col("event_id"))).head.getLong(0)
+    // backlog of 3 files before the query starts
+    ev.filter(col("event_id") % 3 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 2).coalesce(1).write.mode("append").parquet(srcDir)
+    val store = new StreamIngest.MergeOnReadSnapshotStore(
+      spark, Files.createTempDirectory("graft-bp-state").toString, numBuckets = 8)
+    val q = StreamIngest.start(spark, srcDir, store,
+      Files.createTempDirectory("graft-bp-ckpt").toString, () => now,
+      maxFilesPerTrigger = Some(1))
+    q.processAllAvailable()
+    q.stop()
+    // admission control: 3 bounded batches, not one catch-up batch
+    assert(store.versionCount == 3, s"expected 3 delta versions, got ${store.versionCount}")
+    assert(store.read().count() > 0)
+  }
+
+  test("batch watchdog retries transient failures, propagates persistent ones") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf).limit(50)
+    val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) + 60
+    val inner = new StreamIngest.MergeOnReadSnapshotStore(
+      spark, Files.createTempDirectory("graft-wd-state").toString, numBuckets = 4)
+    var calls = 0
+    val flaky = new StreamIngest.EntityStore {
+      override def read() = inner.read()
+      override def applyBatch(t: org.apache.spark.sql.Dataset[graft.fold.UpdateTask],
+                              now: Long): Unit = {
+        calls += 1
+        if (calls == 1) throw new RuntimeException("transient store hiccup")
+        inner.applyBatch(t, now)
+      }
+    }
+    StreamIngest.runBatchWithRetry(flaky, ev, now, maxAgeDays = 10000, maxAttempts = 3)
+    assert(calls == 2 && inner.read().count() > 0)
+    // a persistently-failing batch must surface after maxAttempts
+    calls = 0
+    val dead = new StreamIngest.EntityStore {
+      override def read() = inner.read()
+      override def applyBatch(t: org.apache.spark.sql.Dataset[graft.fold.UpdateTask],
+                              now: Long): Unit = { calls += 1; throw new RuntimeException("down") }
+    }
+    intercept[RuntimeException] {
+      StreamIngest.runBatchWithRetry(dead, ev, now, maxAgeDays = 10000, maxAttempts = 3)
+    }
+    assert(calls == 3)
+  }
+
   test("event-time state TTL evicts idle entities with a tombstone") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
