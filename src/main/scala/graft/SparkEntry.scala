@@ -295,6 +295,33 @@ object SparkEntry {
         .toDF().orderBy(col("entity"))
     }),
 
+    // -- array ops + maintenance tail (SURVEY §2.3): array_upsert counters
+    //    per type, then a final task array_removes one element, removes a
+    //    key, and schedules via next_step --
+    "nerd_ops_array" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.{EntityFold, UpdateTask}
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val perEvent = events(s, dir).select(
+        lit("user").as("etype"), col("user_id").as("eid"),
+        col("event_id").as("seq"), lit("t").as("src"),
+        concat(
+          lit("""[["array_upsert","bl",{"n":""""), col("event_type"),
+          lit(""""},[["add","v",1]]],["set","lk","""), k, lit("""]]""")).as("ops"))
+      // one maintenance task per entity, sequenced after every event task
+      val finalTask = events(s, dir).select(col("user_id")).distinct().select(
+        lit("user").as("etype"), col("user_id").as("eid"),
+        lit(1000000000000L).as("seq"), lit("m").as("src"),
+        concat(
+          lit("""[["array_remove","bl",{"n":"error"}],["remove","lk"],"""),
+          lit("""["set","base","""), col("user_id"),
+          lit("""],["next_step","nru","base","""), col("user_id") + 100,
+          lit(""",7]]""")).as("ops"))
+      val tasks = perEvent.unionByName(finalTask).as[UpdateTask]
+      EntityFold.applyTasks(tasks, nowEpoch(s, dir))(graft.ingest.EventTasks.projectOpsArray)
+        .toDF().orderBy(col("entity"))
+    }),
+
     // -- derivation stages (SURVEY §2.6) --
     "nerd_event_counter" -> ((s, dir) => {
       Derive.eventCounter(events(s, dir), today(s, dir))
@@ -1180,6 +1207,20 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // array_upsert counts per type; the maintenance task removes the 'error'
+    // element, deletes lk, and next_step lands at base + 15*7 (floor((100)/7)
+    // + 1 steps past base)
+    "nerd_ops_array" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type FROM events),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS v
+        |      FROM e WHERE event_type != 'error' GROUP BY 1, 2)
+        |SELECT user_id AS entity,
+        |  string_agg(event_type || ':' || v, ',' ORDER BY event_type) AS bl,
+        |  FALSE AS lk_present,
+        |  user_id + 105 AS nru
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // append keeps arrival (seq) order; add_to_set/extend_set keep first-
     // occurrence order; rem_from_set filters without reordering survivors;

@@ -162,6 +162,19 @@ object EventTasks {
       buf("es").mkString(","))
   }
 
+  /** Projection for the array-op/maintenance gate query: per-type counters
+    * built by array_upsert, one element array_removed, a key removed, and a
+    * next_step schedule.
+    */
+  case class OpsArray(entity: Long, bl: String, lk_present: Boolean, nru: Long)
+
+  def projectOpsArray(eid: Long, rec: Rec): OpsArray = {
+    val bl = rec("bl").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+      .map(_.asInstanceOf[Rec])
+      .map(r => s"${r("n")}:${r("v")}").sorted.mkString(",")
+    OpsArray(eid, bl, rec.contains("lk"), rec("nru").asInstanceOf[Long])
+  }
+
   def projectFolded(eid: Long, rec: Rec): FoldedEntity = {
     val meta = rec("events_meta").asInstanceOf[Rec]
     val evs = rec("events").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
