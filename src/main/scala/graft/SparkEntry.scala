@@ -322,6 +322,31 @@ object SparkEntry {
         .toDF().orderBy(col("entity"))
     }),
 
+    // -- delete-on-event + weak-task skip (SURVEY §2.3): a final !DELETE
+    //    drops every 7th entity's record; all-weak tasks aimed at absent
+    //    entities must NOT create records (update_manager.py:573-607) --
+    "nerd_ops_delete" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.{EntityFold, UpdateTask}
+      val perEvent = events(s, dir).select(
+        lit("user").as("etype"), col("user_id").as("eid"),
+        col("event_id").as("seq"), lit("t").as("src"),
+        lit("""[["add","n",1]]""").as("ops"))
+      val deletes = events(s, dir).select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+        .select(lit("user").as("etype"), col("user_id").as("eid"),
+          lit(1000000000000L).as("seq"), lit("m").as("src"),
+          lit("""[["event","!DELETE"]]""").as("ops"))
+      // all-weak tasks for entities that do not exist: must fold to nothing
+      val weakGhosts = events(s, dir).select(col("user_id")).distinct()
+        .select(lit("user").as("etype"), (col("user_id") + 100000L).as("eid"),
+          lit(0L).as("seq"), lit("w").as("src"),
+          lit("""[["*set","w",1]]""").as("ops"))
+      val tasks = perEvent.unionByName(deletes).unionByName(weakGhosts).as[UpdateTask]
+      EntityFold.applyTasks(tasks, nowEpoch(s, dir))(graft.ingest.EventTasks.projectOpsDelete)
+        .toDF().orderBy(col("entity"))
+    }),
+
     // -- derivation stages (SURVEY §2.6) --
     "nerd_event_counter" -> ((s, dir) => {
       Derive.eventCounter(events(s, dir), today(s, dir))
@@ -1207,6 +1232,12 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // deleted entities (id % 7 = 0) and weak-ghost targets never appear
+    "nerd_ops_delete" ->
+      """SELECT user_id AS entity, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE user_id % 7 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // array_upsert counts per type; the maintenance task removes the 'error'
     // element, deletes lk, and next_step lands at base + 15*7 (floor((100)/7)

@@ -175,6 +175,12 @@ object EventTasks {
     OpsArray(eid, bl, rec.contains("lk"), rec("nru").asInstanceOf[Long])
   }
 
+  /** Projection for the delete/weak-task gate query. */
+  case class OpsDelete(entity: Long, n: Long)
+
+  def projectOpsDelete(eid: Long, rec: Rec): OpsDelete =
+    OpsDelete(eid, rec("n").asInstanceOf[Long])
+
   def projectFolded(eid: Long, rec: Rec): FoldedEntity = {
     val meta = rec("events_meta").asInstanceOf[Rec]
     val evs = rec("events").asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
