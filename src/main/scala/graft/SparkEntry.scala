@@ -288,7 +288,7 @@ object SparkEntry {
         lit("""],["set","lk","""), k,
         lit("""],["extend_set","es",["""), k % 5,
         lit(""",7]],["rem_from_set","es",[3]]]"""))
-      val tasks = events(s, dir).select(
+      val tasks = Tables.eventsFanned(s, dir).select(
         lit("user").as("etype"), col("user_id").as("eid"),
         col("event_id").as("seq"), lit("t").as("src"), ops.as("ops")).as[UpdateTask]
       EntityFold.applyTasks(tasks, nowEpoch(s, dir))(graft.ingest.EventTasks.projectLongtail)
@@ -302,14 +302,14 @@ object SparkEntry {
       import s.implicits._
       import graft.fold.{EntityFold, UpdateTask}
       val k = get_json_object(col("props"), "$.k").cast("long")
-      val perEvent = events(s, dir).select(
+      val perEvent = Tables.eventsFanned(s, dir).select(
         lit("user").as("etype"), col("user_id").as("eid"),
         col("event_id").as("seq"), lit("t").as("src"),
         concat(
           lit("""[["array_upsert","bl",{"n":""""), col("event_type"),
           lit(""""},[["add","v",1]]],["set","lk","""), k, lit("""]]""")).as("ops"))
       // one maintenance task per entity, sequenced after every event task
-      val finalTask = events(s, dir).select(col("user_id")).distinct().select(
+      val finalTask = Tables.eventsFanned(s, dir).select(col("user_id")).distinct().select(
         lit("user").as("etype"), col("user_id").as("eid"),
         lit(1000000000000L).as("seq"), lit("m").as("src"),
         concat(
@@ -328,17 +328,17 @@ object SparkEntry {
     "nerd_ops_delete" -> ((s, dir) => {
       import s.implicits._
       import graft.fold.{EntityFold, UpdateTask}
-      val perEvent = events(s, dir).select(
+      val perEvent = Tables.eventsFanned(s, dir).select(
         lit("user").as("etype"), col("user_id").as("eid"),
         col("event_id").as("seq"), lit("t").as("src"),
         lit("""[["add","n",1]]""").as("ops"))
-      val deletes = events(s, dir).select(col("user_id")).distinct()
+      val deletes = Tables.eventsFanned(s, dir).select(col("user_id")).distinct()
         .filter(col("user_id") % 7 === 0)
         .select(lit("user").as("etype"), col("user_id").as("eid"),
           lit(1000000000000L).as("seq"), lit("m").as("src"),
           lit("""[["event","!DELETE"]]""").as("ops"))
       // all-weak tasks for entities that do not exist: must fold to nothing
-      val weakGhosts = events(s, dir).select(col("user_id")).distinct()
+      val weakGhosts = Tables.eventsFanned(s, dir).select(col("user_id")).distinct()
         .select(lit("user").as("etype"), (col("user_id") + 100000L).as("eid"),
           lit(0L).as("seq"), lit("w").as("src"),
           lit("""[["*set","w",1]]""").as("ops"))
