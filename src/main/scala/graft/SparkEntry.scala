@@ -885,6 +885,11 @@ object SparkEntry {
     "llm_multimodal" -> ((s, dir) =>
       Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // every-3rd 32-byte frame sampled from the payload; head-frame digest
+    "llm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -2093,6 +2098,23 @@ object SparkEntry {
         |  a.checksum, a.f0, a.f1, a.f2, a.f3
         |FROM agg a JOIN documents d USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // fixture text is ASCII, so char positions == byte positions and
+    // md5(substring(text)) hashes the same bytes the Spark stub slices
+    "llm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+        |             CAST((length(text) + 31) // 32 AS BIGINT) AS n_frames
+        |           FROM documents),
+        |s AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n_frames - 1 AS INT), 3)) AS i
+        |      FROM d),
+        |agg AS (SELECT doc_id,
+        |          CAST(count(*) AS BIGINT) AS n_sampled,
+        |          CAST(sum(least(32, n - i * 32)) AS BIGINT) AS sampled_bytes
+        |        FROM s GROUP BY 1)
+        |SELECT d.doc_id, d.n_frames, agg.n_sampled, agg.sampled_bytes,
+        |  md5(substring(d.text, 1, 32)) AS head_frame_md5
+        |FROM d JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "nerd_misp_otx" ->
       """WITH m AS (

@@ -71,6 +71,36 @@ object Multimodal {
     }.toDF("doc_id", "n_bytes", "head_byte", "checksum", "features")
   }
 
+  /** Video-style frame sampling over the opaque payload: the byte stream is
+    * treated as fixed-size frames, every `every`-th frame is kept, and the
+    * sampled frames feed the (stubbed) decoder. Same partition-batched
+    * contract as `decodeStub` — a real implementation replaces the body with
+    * the container demuxer + keyframe seek; the Spark-side shape (binary in,
+    * per-doc sample stats + head-frame digest out) is the production one.
+    */
+  def frameSampleStub(withMedia: DataFrame, frameBytes: Int = 32,
+                      every: Int = 3): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = withMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
+      rows.map { case (id, bytes) =>
+        val n = bytes.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        val sampled = 0 until nFrames by every
+        val sampledBytes = sampled.iterator
+          .map(i => math.min(frameBytes, n - i * frameBytes).toLong).sum
+        md.reset()
+        val md5hex = md.digest(bytes.slice(0, math.min(frameBytes, n)))
+          .map("%02x".format(_)).mkString
+        (id, nFrames.toLong, sampled.size.toLong, sampledBytes, md5hex)
+      }
+    }.toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes", "head_frame_md5")
+  }
+
   /** The multimodal pipeline end-to-end: payload → batch decode → flat
     * feature columns (what a downstream trainer would read).
     */
