@@ -651,6 +651,30 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- the same two-batch fold through the MERGE-ON-READ store: deltas
+    //    rewrite only touched buckets, auto-compaction folds the chain, and
+    //    the read-side must still equal the one-shot oracle --
+    "nerd_incremental_mor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.UpdateTask
+      import graft.ops.TaskCodec
+      val ev = events(s, dir)
+      val cutoff = maxEventIdCache.computeIfAbsent(dir, _ =>
+        ev.agg(max(col("event_id"))).head.getLong(0)) / 2
+      def wire(df: DataFrame) = EventTasks.preAggregated(df)
+        .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+      val now = nowEpoch(s, dir)
+      val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
+        s, java.nio.file.Files.createTempDirectory("graft-mor-q").toString,
+        numBuckets = 8, maxDeltas = 2)
+      store.applyBatch(wire(ev.filter(col("event_id") <= cutoff)), now)
+      store.applyBatch(wire(ev.filter(col("event_id") > cutoff)), now)
+      store.read().map(st => EventTasks.projectFolded(st.eid, TaskCodec.parseRec(st.json)))
+        .toDF()
+        .withColumn("conns", round(col("conns"), 2))
+        .orderBy(col("entity"))
+    }),
+
     // -- multi-source fold: warden stream + blacklist feed into one record --
     "nerd_multi_fold" -> ((s, dir) => {
       import s.implicits._
@@ -1738,6 +1762,18 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     "nerd_incremental" ->
+      """SELECT user_id AS entity,
+        |  count(*) AS total,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT CAST(ts AS DATE) || '|' || event_type) AS n_buckets,
+        |  round(sum(value), 2) AS conns,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
+
+    "nerd_incremental_mor" ->
       """SELECT user_id AS entity,
         |  count(*) AS total,
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
