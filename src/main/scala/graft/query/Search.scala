@@ -71,6 +71,23 @@ object Search {
       .na.fill(0.0, Seq("rep"))
       .orderBy(col("idx"))
 
+  /** The bulk endpoint end-to-end (`nerd_main.py:2427–2468`,
+    * `application/octet-stream` in AND out): big-endian 4-byte IPs in the
+    * request, native-order packed reputation doubles in the response, input
+    * order preserved, missing entities 0.0. The driver-side collect is the
+    * HTTP-response boundary — result size == request size by construction.
+    */
+  def bulkRepBinary(snapshot: DataFrame, payload: Array[Byte]): Array[Byte] = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val ips = graft.functions.EdgeCodec.unpackIps(payload)
+    val req = ips.toSeq.zipWithIndex.map { case (ip, i) => (ip, i.toLong) }
+      .toDF("entity", "idx")
+    val reps = bulkRep(snapshot, req)
+      .select(col("rep").cast("double")).as[Double].collect()
+    graft.functions.EdgeCodec.packDoubles(reps)
+  }
+
   /** Facet counts (`scripts/update_db_meta_info.js`): distinct entities per
     * event category — the materialized aggregate behind the search form.
     */

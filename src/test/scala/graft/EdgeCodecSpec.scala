@@ -66,6 +66,18 @@ class EdgeCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk endpoint end-to-end: binary IPs in, ordered packed reps out") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    import spark.implicits._
+    val snapshot = Seq((10L, 0.25), (20L, 0.5)).toDF("entity", "rep")
+    // request: 20, 99 (unknown), 10 — response order must follow the request
+    val payload = EdgeCodec.packIps(Array(20L, 99L, 10L))
+    val resp = graft.query.Search.bulkRepBinary(snapshot, payload)
+    assert(EdgeCodec.unpackDoubles(resp).toSeq == Seq(0.5, 0.0, 0.25))
+  }
+
   test("ip roundtrip (property)") {
     forAllSamples(r => math.abs(r.nextLong()) % 0x100000000L) { ip =>
       assert(EdgeCodec.unpackIps(EdgeCodec.packIps(Array(ip))).head == ip)
