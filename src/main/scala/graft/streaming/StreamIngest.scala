@@ -170,21 +170,27 @@ object StreamIngest {
     override def read(): Dataset[EntityState] = readOwned(_ => true)
 
     override def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit = {
-      // Touched-bucket set: tiny by construction (≤ numBuckets ints).
-      val touched = tasks.select(bucketCol(col("etype"), col("eid")))
-        .distinct().as[Int].collect().toSet
-      if (touched.isEmpty) return
-      val folded = EntityFold.applyToSnapshot(readOwned(touched), tasks, nowEpoch)
-      val next = versions.lastOption.getOrElse(-1L) + 1
-      // One file per bucket, eid-sorted inside: parquet min/max zone maps keep
-      // pruning subnet/range scans, same as the full-rewrite store's layout.
-      folded
-        .withColumn("bucket", bucketCol(col("etype"), col("eid")))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "eid")
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
-      writeManifest(next, touched.toSeq)
-      if (maxDeltas > 0 && versionCount > maxDeltas) compact()
+      // The task set is read twice (bucket discovery + the fold): pin it for
+      // the batch so a streaming source isn't re-scanned.
+      tasks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Touched-bucket set: tiny by construction (≤ numBuckets ints).
+        val touched = tasks.select(bucketCol(col("etype"), col("eid")))
+          .distinct().as[Int].collect().toSet
+        if (touched.isEmpty) return
+        val folded = EntityFold.applyToSnapshot(readOwned(touched), tasks, nowEpoch)
+        val next = versions.lastOption.getOrElse(-1L) + 1
+        // One file per bucket, eid-sorted inside: parquet min/max zone maps
+        // keep pruning subnet/range scans, same as the full-rewrite store's
+        // layout.
+        folded
+          .withColumn("bucket", bucketCol(col("etype"), col("eid")))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", "eid")
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
+        writeManifest(next, touched.toSeq)
+        if (maxDeltas > 0 && versionCount > maxDeltas) compact()
+      } finally tasks.unpersist()
     }
 
     /** Rewrite the live snapshot as one full version and drop superseded
