@@ -9,7 +9,7 @@ import graft.core.Tables
 import graft.derive.Derive
 import graft.fold.EntityFold
 import graft.ingest.EventTasks
-import graft.llm.{Ann, Dedup, Multimodal, Simhash, TextStats}
+import graft.llm.{Ann, Dedup, Multimodal, Sample, Simhash, TextStats}
 import graft.query.Search
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -894,6 +894,36 @@ object SparkEntry {
     "llm_embed_dedup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
         .orderBy(col("d1"), col("d2"))),
+
+    // pairwise near-dup hits -> transitive dedup GROUPS (large-star/small-star
+    // connected components), every doc labeled with its component minimum
+    "llm_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
+        maxShingleDf = None)
+      Dedup.clusterAssignments(Tables.documents(s, dir), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // eval-set containment scan: benchmark docs are ids <= 24; a corpus doc
+    // containing >= 60% of a benchmark doc's shingles is a contamination hit
+    "llm_contamination" -> ((s, dir) =>
+      Dedup.contamination(shingleTable(s, dir), benchMaxId = 24L, threshold = 0.6)
+        .orderBy(col("doc_id"), col("bench_id"))),
+
+    // deterministic per-language training-mix quota (md5-ranked, RNG-free)
+    "llm_train_mix" -> ((s, dir) =>
+      Sample.stratified(Tables.documents(s, dir), "lang", quota = 40)
+        .orderBy(col("stratum"), col("rk"))),
+
+    // epoch-0 training order: distributed md5 rank (sort + two-pass offset)
+    "llm_shuffle_order" -> ((s, dir) =>
+      Sample.shuffleOrder(Tables.documents(s, dir), salt = "epoch0")
+        .orderBy(col("position"))),
+
+    // corpus keyword profile: per-doc top-3 terms by smoothed tf-idf
+    "llm_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
 
     "llm_text_stats" -> ((s, dir) =>
       TextStats.stats(Tables.documents(s, dir))
@@ -2080,6 +2110,66 @@ object SparkEntry {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE ${COS("a.emb", "c.emb")} >= 0.35
          |ORDER BY d1, d2""".stripMargin,
+
+    // components via transitive closure (a recursive CTE is the oracle's
+    // luxury; the Spark side is the O(log n) star-contraction)
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $SHINGLES,
+         |pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |cl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY 1),
+         |asg AS (
+         |  SELECT d.doc_id, least(coalesce(cl.mn, d.doc_id), d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM asg ORDER BY doc_id""".stripMargin,
+
+    "llm_contamination" ->
+      s"""WITH $SHINGLES,
+         |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id <= 24),
+         |bsz AS (SELECT bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+         |hits AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS i
+         |  FROM sh c JOIN bench b ON c.s = b.s AND c.doc_id > 24
+         |  GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bench_id,
+         |  CAST(round(CAST(h.i * 1.0 / z.bsz AS DECIMAL(28,10)), 6) AS DOUBLE) AS containment
+         |FROM hits h JOIN bsz z ON z.bench_id = h.bench_id
+         |WHERE CAST(round(CAST(h.i * 1.0 / z.bsz AS DECIMAL(28,10)), 6) AS DOUBLE) >= 0.6
+         |ORDER BY h.doc_id, h.bench_id""".stripMargin,
+
+    "llm_train_mix" ->
+      """SELECT doc_id, lang AS stratum, rk
+        |FROM (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 40 ORDER BY stratum, rk""".stripMargin,
+
+    "llm_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('epoch0|' || doc_id), doc_id) AS position
+        |FROM documents ORDER BY position""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score_raw
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, round(score_raw, 4) AS score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "llm_text_stats" ->
       """WITH t AS (

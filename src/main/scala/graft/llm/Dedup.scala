@@ -146,6 +146,109 @@ object Dedup {
                  threshold: Double = 0.5): DataFrame =
     minhashLshFromShingles(shingles(docs, n), k, rowsPerBand, threshold)
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise hits into DEDUP GROUPS (a cluster keeps one canonical
+    * document; transitive duplicates a~b, b~c must land in one group even
+    * when a~c itself scored below threshold).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+    * two shuffle-bounded self-aggregations of the EDGE list (never the pair
+    * closure), and the edge count only shrinks; convergence is O(log n)
+    * rounds. This is the 100-TB shape: label-propagation converges in
+    * graph-diameter rounds (a duplicate chain of length d needs d passes),
+    * star contraction in log. Each round materializes the edge set via
+    * `localCheckpoint` to cut the iterative plan's lineage — on a cluster
+    * with a checkpoint dir, `checkpoint` — so the plan does not grow
+    * per-iteration.
+    *
+    * Input: pairs with columns (d1, d2). Output: one row per NODE that is
+    * not its own component minimum — columns (node, root) with
+    * root = min(component). Nodes absent from any pair are absent here
+    * (callers left-join and coalesce to self, see [[clusterAssignments]]).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    var e = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: every node attaches its LARGER neighbors to the minimum
+      // of its closed neighborhood — long chains fold toward the small ids.
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient edges large→small; every node re-points itself and
+      // all its smaller neighbors at the smallest one.
+      val or = large.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val sMin = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = or.join(sMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    require(converged, s"components() did not converge in $maxIter rounds")
+    e.select(col("u").as("node"), col("v").as("root"))
+  }
+
+  /** Benchmark-contamination scan: for each corpus document, the CONTAINMENT
+    * of each benchmark (eval-set) document's shingle set inside it —
+    * `|shingles(doc) ∩ shingles(bench)| / |shingles(bench)|`. Asymmetric on
+    * purpose: a training document that embeds a whole eval item scores 1.0
+    * no matter how much other text surrounds it, where Jaccard would dilute
+    * the hit below any threshold.
+    *
+    * Scale shape: the eval set is tiny (thousands of items) against a 100-TB
+    * corpus, so BOTH the benchmark shingle table and the per-benchmark sizes
+    * are broadcast — the corpus-side shingle table is scanned once, map-side,
+    * with no shuffle until the (doc, bench) intersection counts (bounded by
+    * hits, not by corpus size).
+    */
+  def contamination(sh: DataFrame, benchMaxId: Long, threshold: Double = 0.5): DataFrame = {
+    val bench = sh.filter(col("doc_id") <= benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val bsizes = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+    val inter = sh.filter(col("doc_id") > benchMaxId)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    // decimal-hop round: integer/integer ratios can land exactly on a 6-dp
+    // half boundary, where Spark (decimal-string HALF_UP) and the DuckDB
+    // oracle (binary round) disagree; the 10-dp decimal hop unifies both.
+    inter.join(broadcast(bsizes), Seq("bench_id"))
+      .withColumn("containment",
+        round((col("inter") / col("bsz")).cast("decimal(28,10)"), 6).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
+  /** Per-document cluster assignment: every document mapped to the minimum
+    * doc_id of its near-duplicate component (itself when it has no
+    * duplicates), plus the cluster size. The canonical "which copy do we
+    * keep" answer: keep `doc_id == cluster`, drop the rest.
+    */
+  def clusterAssignments(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val roots = components(pairs)
+    val asg = docs.select(col("doc_id"))
+      .join(roots.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster"))
+    asg.withColumn("csize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+  }
+
   /** Banded-LSH pipeline over a prepared shingle table (see
     * [[nearDupPairsFromShingles]] for why the table is shared).
     */

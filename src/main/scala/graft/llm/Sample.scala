@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly: deterministic sampling and ordering operators.
+  *
+  * Everything here is RNG-free — sampling and shuffle order both derive from
+  * `md5` of row content, so a training mix is exactly reproducible across
+  * runs, engines, and cluster sizes (no seed plumbing, no partition-order
+  * sensitivity), and any row's inclusion can be audited after the fact.
+  */
+object Sample {
+
+  /** Deterministic stratified sample: up to `quota` documents per stratum
+    * (language, source, quality bucket — any column), chosen by md5 rank.
+    * `md5(text)` is a uniform [0,2¹²⁸) draw that any engine reproduces;
+    * ranking it per stratum IS a uniform random sample, with `doc_id` as the
+    * tiebreak for byte-identical duplicate texts.
+    *
+    * Scale shape: one shuffle partitioning by the stratum column. Strata are
+    * few (languages × sources) but large at 100 TB, so a single giant
+    * stratum serializes through one partition's sort; the scale-out variant
+    * sub-buckets each stratum by an md5 prefix into B buckets and takes
+    * quota/B per bucket — statistically identical, embarrassingly parallel.
+    * The exact-rank variant is implemented because it is oracle-exact.
+    */
+  def stratified(docs: DataFrame, strataCol: String, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(md5(col("text")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col(strataCol).as("stratum"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic global shuffle for training order: position = rank of
+    * `md5(salt || doc_id)`. Changing the salt re-shuffles; the same salt
+    * always yields the same epoch order. The manifest is (position, doc_id)
+    * only — materialize it once per epoch, never sort the payload.
+    *
+    * Scale shape: a range-partitioned total sort on the md5 key (what Spark's
+    * `orderBy` already is), then rank WITHOUT a single-partition window:
+    * `zipWithIndex` is the classic two-pass distributed rank — count rows per
+    * sorted partition, broadcast cumulative offsets, add the local index.
+    * One genuine RDD use: per-partition offset arithmetic has no Column form.
+    */
+  def shuffleOrder(docs: DataFrame, salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .withColumn("k", md5(concat_ws("|", lit(salt), col("doc_id"))))
+      .orderBy(col("k"), col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .rdd.zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }
+      .toDF("doc_id", "position")
+  }
+}

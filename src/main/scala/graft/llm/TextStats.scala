@@ -70,6 +70,38 @@ object TextStats {
       size(filter(tokens, t => t.isInCollection(LangMarkers("en")))).as("en_hits"))
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword/fingerprint
+    * profile over a corpus. Two aggregations: term frequency per (doc, term)
+    * and document frequency per term; `idf = ln((N+1)/(df+1))` (smoothed so
+    * corpus-universal terms score 0 rather than diverging), then a per-doc
+    * top-k by `(score desc, term asc)` — deterministic under ties.
+    *
+    * Scale shape: the tf agg shuffles on (doc_id, term) — the same key space
+    * as the shingle table, map-side combined; the df table is |vocabulary|
+    * rows, orders of magnitude smaller than the corpus, and is BROADCAST
+    * back onto tf. The per-doc top-k window partitions by doc_id — no global
+    * sort, and each partition holds one document's vocabulary.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count() // one scalar to the driver: the corpus size
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rank on the RAW double (ties are exact cross-engine: equal (tf, df)
+    // give the identical double; ln's last-ulp engine skew can't reorder
+    // distinct scores), round only at the output edge — 4 dp because ln is
+    // transcendental and JVM/libm differ in the last ulp.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_raw").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score_raw", col("tf") * log((lit(n) + 1d) / (col("df") + 1d)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        round(col("score_raw"), 4).as("score"))
+  }
+
   /** Character-trigram cosine language classifier (the real n-gram heuristic;
     * profiles are tiny fixtures here, a config file in deployment). Pure
     * Scala — used for single-string classification and unit-tested against

@@ -82,6 +82,91 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(b.isEmpty || lsh.nonEmpty, "bucketing lost every true pair")
   }
 
+  test("star-contraction components match a union-find reference") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 sharing node 12 with 13, pair (20,21),
+    // plus a high-id star — shapes that need transitivity, not just pairs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L), (30L, 33L), (30L, 31L), (30L, 32L))
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical root = component MINIMUM (find() keeps the min because unions
+    // always parent the larger root under the smaller)
+    val want = nodes.map(n => (n, find(n))).filter { case (n, r) => n != r }.toSet
+    val got = Dedup.components(edges.toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("components of an empty pair set is empty; assignments fall back to self") {
+    import spark.implicits._
+    val docs = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val asg = Dedup.clusterAssignments(docs, none).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(asg == Set((7L, 7L, 1L), (8L, 8L, 1L)))
+  }
+
+  test("contamination containment is asymmetric: full embedding scores 1.0") {
+    import spark.implicits._
+    // doc 100 contains ALL of bench doc 1's text plus twice as much more —
+    // Jaccard would be ~0.33, containment must be exactly 1.0
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (100L, "alpha beta gamma delta epsilon pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(Dedup.shingles(docs, 3), benchMaxId = 1L, threshold = 0.5)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits.head.getLong(0) == 100L && hits.head.getLong(1) == 1L)
+    assert(hits.head.getDouble(2) == 1.0)
+  }
+
+  test("stratified sample respects the per-stratum quota and is deterministic") {
+    import graft.llm.Sample
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = Sample.stratified(docs, "lang", quota = 10)
+    val counts = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 10), s"quota exceeded: $counts")
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sample.stratified(docs, "lang", quota = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "same quota, different sample — not deterministic")
+  }
+
+  test("shuffle order is a permutation, salt-sensitive, and salt-stable") {
+    import spark.implicits._
+    import graft.llm.Sample
+    val docs = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val o1 = Sample.shuffleOrder(docs, "epoch0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o1.keySet == (1L to 100L).toSet)
+    assert(o1.values.toSeq.sorted == (1L to 100L))
+    val o1b = Sample.shuffleOrder(docs, "epoch0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o1 == o1b, "same salt must reproduce the same order")
+    val o2 = Sample.shuffleOrder(docs, "epoch1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o1 != o2, "different salt must re-shuffle")
+  }
+
+  test("tf-idf ranks a repeated rare term above common terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common common filler filler filler"),
+      (3L, "common common other other other")
+    ).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "common" is in every doc (idf ~ 0); the per-doc rare term must win
+    assert(top == Map(1L -> "zebra", 2L -> "filler", 3L -> "other"))
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
