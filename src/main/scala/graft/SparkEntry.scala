@@ -896,10 +896,12 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))),
 
     // pairwise near-dup hits -> transitive dedup GROUPS (large-star/small-star
-    // connected components), every doc labeled with its component minimum
+    // connected components), every doc labeled with its component minimum;
+    // pairs come from the CAPPED inverted index — the production candidate
+    // path (the uncapped one is superlinear at scale, see llm_near_dedup)
     "llm_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
-        maxShingleDf = None)
+        maxShingleDf = Some(25))
       Dedup.clusterAssignments(Tables.documents(s, dir), pairs)
         .orderBy(col("doc_id"))
     }),
@@ -2112,9 +2114,25 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     // components via transitive closure (a recursive CTE is the oracle's
-    // luxury; the Spark side is the O(log n) star-contraction)
+    // luxury; the Spark side is the O(log n) star-contraction) over the
+    // CAPPED pair set — df-capped shingle index, like llm_near_dedup_capped
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE $SHINGLES,
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       unnest(generate_series(1, len(w) - 2)) AS t(i)),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 25),
+         |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2),
          |pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
          |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
          |          UNION SELECT d2, d1 FROM pairs),
