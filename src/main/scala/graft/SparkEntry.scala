@@ -859,9 +859,7 @@ object SparkEntry {
     // the inverted-index join, bounding candidates at any corpus size (the
     // 10x scale smoke measured the uncapped variant superlinear at 59x)
     "llm_near_dedup_capped" -> ((s, dir) =>
-      Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
-          maxShingleDf = Some(25))
-        .orderBy(col("d1"), col("d2"))),
+      cappedPairs(s, dir).orderBy(col("d1"), col("d2"))),
 
     "llm_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshFromShingles(shingleTable(s, dir))
@@ -899,12 +897,9 @@ object SparkEntry {
     // connected components), every doc labeled with its component minimum;
     // pairs come from the CAPPED inverted index — the production candidate
     // path (the uncapped one is superlinear at scale, see llm_near_dedup)
-    "llm_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
-        maxShingleDf = Some(25))
-      Dedup.clusterAssignments(Tables.documents(s, dir), pairs)
-        .orderBy(col("doc_id"))
-    }),
+    "llm_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir))
+        .orderBy(col("doc_id"))),
 
     // eval-set containment scan: benchmark docs are ids <= 24; a corpus doc
     // containing >= 60% of a benchmark doc's shingles is a contamination hit
@@ -1222,6 +1217,20 @@ object SparkEntry {
     * re-shuffles it several times per query).
     */
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
+  private val cappedPairsCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The production near-dup pair set (df-capped index, threshold 0.8) —
+    * materialized ONCE per dedup campaign and shared by the pair listing and
+    * the cluster/components queries, exactly as a real campaign shares it.
+    */
+  private def cappedPairs(spark: SparkSession, dir: String): DataFrame =
+    cappedPairsCache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
+      val p = Dedup.nearDupPairsFromShingles(shingleTable(spark, dir), threshold = 0.8,
+          maxShingleDf = Some(25))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
       val sh = graft.llm.Dedup.shingles(Tables.documents(spark, dir), 3)
