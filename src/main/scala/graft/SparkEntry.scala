@@ -922,6 +922,24 @@ object SparkEntry {
       TextStats.tfidfTopTerms(Tables.documents(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    // Gopher-style within-doc repetition: duplicated 3-gram fraction,
+    // computed entirely inside one projection (no explode, no shuffle)
+    "llm_repetition" -> ((s, dir) =>
+      TextStats.repetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // the composed corpus filter: six quality checks fused into one
+    // whole-stage-codegen pass, keep/drop with auditable reasons
+    "llm_quality_gate" -> ((s, dir) =>
+      TextStats.qualityGate(Tables.documents(s, dir), minTokens = 25, maxTokens = 80,
+          maxStopRatio = 0.15, minQuality = 0.6, maxDupFrac = 0.02)
+        .orderBy(col("doc_id"))),
+
+    // embedding sanity filter: worst-25 vectors by cosine to their own
+    // cluster centroid (broadcast centroids, TakeOrderedAndProject top-k)
+    "llm_embed_outliers" -> ((s, dir) =>
+      Ann.centroidOutliers(Tables.embeddings(s, dir), k = 25)
+        .withColumn("cluster", col("cluster").cast("long"))),
+
     "llm_text_stats" -> ((s, dir) =>
       TextStats.stats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -2197,6 +2215,72 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rk, term, round(score_raw, 4) AS score FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END AS g
+        |  FROM t)
+        |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams,
+        |  CASE WHEN len(g) = 0 THEN 0.0 ELSE
+        |    CAST(round(CAST(1.0 - len(list_distinct(g)) * 1.0 / len(g) AS DECIMAL(28,10)), 6) AS DOUBLE)
+        |  END AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_gate" ->
+      """WITH m AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der', 'die', 'das', 'und']),
+        |    ('en', ['the', 'a', 'of', 'and']),
+        |    ('es', ['el', 'la', 'los', 'y']),
+        |    ('fr', ['le', 'la', 'les', 'et'])) AS t(ml, markers)),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |h AS (
+        |  SELECT t.doc_id, m.ml,
+        |    len(list_filter(t.w, x -> list_contains(m.markers, x))) AS hits
+        |  FROM t, m),
+        |p AS (
+        |  SELECT doc_id, max(struct_pack(hits := hits, ml := ml)) AS b
+        |  FROM h GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id, t.lang, len(t.w) AS n_tok,
+        |    round(len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w), 4) AS stop_r,
+        |    round(least(len(list_distinct(t.w)) / 25.0, 1.0) *
+        |      (1.0 - len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w)), 4) AS quality,
+        |    CASE WHEN len(t.w) < 3 THEN 0.0 ELSE
+        |      CAST(round(CAST(1.0 - len(list_distinct(list_transform(generate_series(1, len(t.w) - 2),
+        |        i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]))) * 1.0 /
+        |        (len(t.w) - 2) AS DECIMAL(28,10)), 6) AS DOUBLE) END AS dup_frac,
+        |    CASE WHEN p.b.hits > 0 THEN p.b.ml ELSE 'und' END AS predicted
+        |  FROM t JOIN p ON p.doc_id = t.doc_id),
+        |r AS (
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB; coalesce to
+        |  -- '' so an all-pass doc matches Spark's empty reasons string
+        |  SELECT doc_id, coalesce(array_to_string(list_filter([
+        |    CASE WHEN n_tok < 25 THEN 'too_short' END,
+        |    CASE WHEN n_tok > 80 THEN 'too_long' END,
+        |    CASE WHEN stop_r > 0.15 THEN 'stopword_heavy' END,
+        |    CASE WHEN quality < 0.6 THEN 'low_quality' END,
+        |    CASE WHEN dup_frac > 0.02 THEN 'repetitive' END,
+        |    CASE WHEN predicted != lang AND predicted != 'und' THEN 'lang_mismatch' END
+        |  ], x -> x IS NOT NULL), ','), '') AS reasons
+        |  FROM s)
+        |SELECT doc_id, reasons, CAST(reasons = '' AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cx AS (SELECT label AS cluster, vec_id, unnest(emb) AS x,
+         |         unnest(generate_series(1, len(emb))) AS pos FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1)
+         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS cluster,
+         |  ${COS("e.emb", "c.centroid")} AS ccos
+         |FROM e JOIN cents c ON c.cluster = e.label
+         |ORDER BY ccos ASC, vec_id LIMIT 25""".stripMargin,
 
     "llm_text_stats" ->
       """WITH t AS (

@@ -89,6 +89,24 @@ object Ann {
       .select(col("qid"), col("probe_cluster"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Embedding outlier scan: each vector's cosine against its own cluster's
+    * centroid, worst `k` reported — the standard "mislabeled / garbage
+    * embedding" filter in front of a training corpus. The centroid table is
+    * |clusters| rows and BROADCAST; the corpus is scanned once with no
+    * shuffle, and the global worst-k compiles to `TakeOrderedAndProject`
+    * (per-partition heaps, no total sort). Output: (vec_id, cluster, ccos).
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int,
+                       clusterCol: String = "label"): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val cents = centroids(embeddings, clusterCol)
+    e.join(broadcast(cents), col(clusterCol) === col("cluster"))
+      .withColumn("ccos", round(cosine(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("cluster"), col("ccos"))
+      .orderBy(col("ccos").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Sign-bit LSH bucket id over the first `bits` dimensions: bit i set iff
     * embedding[i] > 0. Deterministic (axis-aligned hyperplanes), so engines
     * agree; a learned random-rotation family drops in by replacing the

@@ -70,6 +70,73 @@ object TextStats {
       size(filter(tokens, t => t.isInCollection(LangMarkers("en")))).as("en_hits"))
   }
 
+  /** Within-document repetition: the duplicated word-n-gram fraction
+    * (`1 − distinct/total` over the doc's own n-grams) — the Gopher-family
+    * boilerplate/repetition quality signal. Entirely narrow: the gram array
+    * is built and deduplicated inside one projection, no explode, no
+    * shuffle — per-document cost, embarrassingly parallel at any corpus
+    * size. Docs shorter than n grams score 0 with n_grams = 0.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("g", when(size(col("w")) >= n, grams).otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"),
+        // decimal-hop: integer/integer ratio can land on a 6-dp half
+        when(size(col("g")) === 0, lit(0d)).otherwise(
+          round((lit(1d) - size(array_distinct(col("g"))) / size(col("g")).cast("double"))
+            .cast("decimal(28,10)"), 6).cast("double")).as("dup_frac"))
+  }
+
+  /** The composed corpus filter — the operator a 100-TB cleaning campaign
+    * actually runs: length window, stopword ceiling, vocabulary-quality
+    * floor, repetition ceiling, and language-consistency check fused into
+    * ONE narrow projection (a single whole-stage-codegen pass over the
+    * scan, no shuffle, no intermediate materialization). Emits keep/drop
+    * plus the comma-joined reasons so rejects are auditable.
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
+                  maxStopRatio: Double = 0.5, minQuality: Double = 0.2,
+                  maxDupFrac: Double = 0.8, gramN: Int = 3): DataFrame = {
+    val w = col("w")
+    val nTok = size(w)
+    val nDis = size(array_distinct(w))
+    val stopRatio = round(
+      size(filter(w, t => t.isInCollection(StopWords))).cast("double") / nTok, 4)
+    val quality = round(
+      least(nDis.cast("double") / 25d, lit(1d)) *
+        (lit(1d) - size(filter(w, t => t.isInCollection(StopWords))).cast("double") / nTok), 4)
+    val grams = expr(
+      s"transform(sequence(0, size(w) - $gramN), i -> concat_ws(' ', slice(w, i + 1, $gramN)))")
+    val dupFrac = when(size(w) < gramN, lit(0d)).otherwise(
+      round((lit(1d) - size(array_distinct(grams)) / size(grams).cast("double"))
+        .cast("decimal(28,10)"), 6).cast("double"))
+    val best = array_max(array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(w, t => t.isInCollection(markers))).as("hits"),
+        lit(lang).as("lang"))
+    }: _*))
+    val predicted = when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    // every signal and the verdict evaluate inside ONE projection over the
+    // scan — whole-stage codegen end to end; thresholds compare the same
+    // rounded values the standalone stats/repetition operators emit
+    val checks = Seq(
+      (nTok < minTokens, "too_short"),
+      (nTok > maxTokens, "too_long"),
+      (stopRatio > maxStopRatio, "stopword_heavy"),
+      (quality < minQuality, "low_quality"),
+      (dupFrac > maxDupFrac, "repetitive"),
+      (predicted =!= col("lang") && predicted =!= "und", "lang_mismatch"))
+    val reasons = array(checks.map { case (c, tag) => when(c, tag) }: _*)
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_join(filter(reasons, v => v.isNotNull), ",").as("reasons"))
+      .withColumn("keep", (col("reasons") === "").cast("long"))
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword/fingerprint
     * profile over a corpus. Two aggregations: term frequency per (doc, term)
     * and document frequency per term; `idf = ln((N+1)/(df+1))` (smoothed so

@@ -167,6 +167,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top == Map(1L -> "zebra", 2L -> "filler", 3L -> "other"))
   }
 
+  test("repetition scores duplicated 3-grams; short docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, 3 distinct -> dup 4/7
+      (2L, "all words here are different ones"),
+      (3L, "x y") // shorter than one gram
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((7L, 3L, 0.571429)))
+    assert(r(2L)._3 == 0.0 && r(2L)._1 == 4L)
+    assert(r(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("quality gate emits each reason and keeps a clean doc") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 distinct, no stopwords
+    val docs = Seq(
+      (1L, "en", clean),
+      (2L, "en", "tiny doc"),                                // too_short (+low_quality)
+      (3L, "en", (1 to 90).map(i => s"w$i").mkString(" ")),  // too_long
+      (4L, "en", "the a of and in to " * 5 + "pad"),         // stopword_heavy
+      (5L, "en", "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep"), // repetitive+low_quality
+      (6L, "fr", "the the a a of of and and " + clean)       // lang_mismatch (en markers, fr label)
+    ).toDF("doc_id", "lang", "text")
+    val g = TextStats.qualityGate(docs, minTokens = 25, maxTokens = 80,
+        maxStopRatio = 0.15, minQuality = 0.6, maxDupFrac = 0.02)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(g(1L) == (("", 1L)))
+    assert(g(2L)._1.contains("too_short") && g(2L)._2 == 0L)
+    assert(g(3L)._1.contains("too_long"))
+    assert(g(4L)._1.contains("stopword_heavy"))
+    assert(g(5L)._1.contains("repetitive") && g(5L)._1.contains("low_quality"))
+    assert(g(6L)._1.contains("lang_mismatch"))
+  }
+
+  test("centroid outlier scan surfaces the vector far from its cluster") {
+    import spark.implicits._
+    import graft.llm.Ann
+    // cluster 0: three near-identical vectors + one opposed; cluster 1: two aligned
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f, 0f, 0f)),
+      (2L, 0, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, 0, Array(0.95f, 0f, 0.05f, 0f)),
+      (4L, 0, Array(-1f, 0f, 0f, 0f)), // the outlier
+      (5L, 1, Array(0f, 1f, 0f, 0f)),
+      (6L, 1, Array(0f, 0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val worst = Ann.centroidOutliers(emb, k = 1).collect()
+    assert(worst.head.getLong(0) == 4L)
+    assert(worst.head.getDouble(2) < 0)
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Build the 10x scale-smoke dataset: replicate sf0.1 preserving schema
+exactly (events ts is timestamp[ns]), shifting id columns per replica and
+PERTURBING document text per replica — identical copies would inflate the
+duplicate rate 10x and explode the near-dedup candidate space, which no real
+corpus scale-up does.  Usage:
+    python3 tools/make_scale_smoke.py /root/testdata/sf0.1 /tmp/sf1x10 10
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+REPLICATED = {
+    # table -> (id columns to shift, text column or None)
+    "events": (["event_id", "user_id"], None),
+    "documents": (["doc_id"], "text"),
+    "embeddings": (["vec_id"], None),
+}
+
+def main():
+    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        if not name.endswith(".parquet"):
+            continue
+        t = name[:-len(".parquet")]
+        tbl = pq.read_table(f"{src}/{name}")
+        if t not in REPLICATED:
+            pq.write_table(tbl, f"{dst}/{name}")
+            continue
+        id_cols, text_col = REPLICATED[t]
+        shift = {c: pc.max(tbl[c]).as_py() + 1 for c in id_cols}
+        parts = []
+        for r in range(n):
+            part = tbl
+            for c in id_cols:
+                if r > 0:
+                    idx = part.schema.get_field_index(c)
+                    shifted = pc.add(part[c], shift[c] * r)
+                    part = part.set_column(idx, part.schema.field(c), shifted)
+            if text_col is not None and r > 0:
+                idx = part.schema.get_field_index(text_col)
+                perturbed = pc.binary_join_element_wise(
+                    part[text_col].cast(pa.string()), f"replica{r}", " ")
+                part = part.set_column(idx, part.schema.field(text_col), perturbed)
+            parts.append(part)
+        out = pa.concat_tables(parts)
+        # keep row groups at the source table's size: one giant row group
+        # would give Spark a single scan partition for 10x the data (parquet
+        # splits at row-group boundaries), serializing every map-heavy phase
+        pq.write_table(out, f"{dst}/{name}", row_group_size=max(tbl.num_rows, 1))
+        print(t, out.num_rows)
+
+if __name__ == "__main__":
+    main()
