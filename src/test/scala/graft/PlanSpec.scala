@@ -86,4 +86,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("nerd_fmp_features")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
+
+  test("quality gate is one shuffle-free codegen pass over the scan") {
+    // six quality checks fused into a single projection: no aggregation or
+    // join shuffle anywhere — the only Exchanges are the presentation
+    // orderBy (range) and the testdata fan-out (round-robin)
+    // (AQE's pre-execution plan string carries no WholeStageCodegen ids —
+    // the projection's codegen is asserted by the absence of any non-codegen
+    // operator between scan and sort: no aggregate, no join, no generator)
+    val p = plan("llm_quality_gate")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Generate"), p)
+  }
+
+  test("embedding outlier scan broadcasts centroids and heaps the top-k") {
+    val p = plan("llm_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("contamination broadcasts the benchmark side, corpus never shuffles before the hit count") {
+    val p = plan("llm_contamination")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("tf-idf broadcasts the document-frequency table") {
+    assert(plan("llm_tfidf").contains("BroadcastHashJoin"))
+  }
 }

@@ -241,6 +241,33 @@ class StreamingSpec extends AnyFunSuite {
       s"state totals diverged: got=$got want=$want")
   }
 
+  test("warden filter in Hash sample mode runs unchanged on a stream") {
+    // Counter mode needs an occurrence window (unsupported over unbounded
+    // input); Hash mode is a pure stateless filter — the documented reason
+    // it exists. The same rule chain must drive readStream with no changes.
+    import graft.ingest.WardenFilter
+    val srcDir = Files.createTempDirectory("graft-warden-src").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    val rules = Seq("k = 87 ; drop", "k = 3 OR k = 5 ; sample 3", "k != 0 ; pass", "; drop")
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-warden-ckpt").toString
+    val q = WardenFilter(stream, rules, sampleMode = WardenFilter.SampleMode.Hash)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("warden_stream").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT event_id FROM warden_stream")
+      .collect().map(_.getLong(0)).toSet
+    val want = WardenFilter(ev, rules, sampleMode = WardenFilter.SampleMode.Hash)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"stream/batch diverged: ${got.size} vs ${want.size} rows")
+  }
+
   test("start() wires the file source to the snapshot store end-to-end") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
