@@ -24,6 +24,9 @@ object Bench {
       // pay multi-second Janino recompiles in the measurement. Size the
       // cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // native graft expressions (cosine_sim) via the declarative hook; the
+      // operators also self-register imperatively on foreign sessions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid).

@@ -34,6 +34,17 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd cosine (`graft.functions.CosineSim`, registered via
+    * `GraftExtensions`): one fused Java loop inside whole-stage codegen where
+    * the HOF [[cosine]] interprets a lambda per element. Bit-identical by
+    * construction (same sequential fold; pinned by `LlmOpsSpec`), so the two
+    * are interchangeable — the operators below use the native one.
+    */
+  private def cosN(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.GraftExtensions.register(df.sparkSession)
+    call_function("cosine_sim", a, b)
+  }
+
   private def asDouble(df: DataFrame, c: String): DataFrame =
     df.withColumn(c, col(c).cast("array<double>"))
 
@@ -45,7 +56,7 @@ object Ann {
     val q = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("cos", round(cosN(e)(col("qe"), col("embedding")), 6))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
@@ -75,14 +86,14 @@ object Ann {
     val q = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val probe = q.join(broadcast(cents), lit(true))
-      .withColumn("ccos", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("ccos", round(cosN(e)(col("qe"), col("centroid")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cluster"))))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
     e.join(broadcast(probe),
         col(clusterCol) === col("probe_cluster") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("cos", round(cosN(e)(col("qe"), col("embedding")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -101,7 +112,7 @@ object Ann {
     val e = asDouble(embeddings, "embedding")
     val cents = centroids(embeddings, clusterCol)
     e.join(broadcast(cents), col(clusterCol) === col("cluster"))
-      .withColumn("ccos", round(cosine(col("embedding"), col("centroid")), 6))
+      .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
       .select(col("vec_id"), col("cluster"), col("ccos"))
       .orderBy(col("ccos").asc, col("vec_id"))
       .limit(k)
@@ -133,7 +144,7 @@ object Ann {
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("cos", round(cosN(b)(col("a.embedding"), col("b.embedding")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
   }

@@ -203,6 +203,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(g(6L)._1.contains("lang_mismatch"))
   }
 
+  test("native codegen cosine is bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Ann
+    graft.GraftExtensions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val self = e.limit(200).select(col("vec_id"),
+      Ann.cosine(col("embedding"), reverse(col("embedding"))).as("hof"),
+      call_function("cosine_sim", col("embedding"), reverse(col("embedding"))).as("native"))
+    // EXACT equality, not approximate: the native loop preserves the fold's
+    // summation order, so any ulp drift is a regression
+    val bad = self.filter(col("hof") =!= col("native")).count()
+    assert(bad == 0, s"$bad rows diverged between HOF and native cosine")
+  }
+
   test("centroid outlier scan surfaces the vector far from its cluster") {
     import spark.implicits._
     import graft.llm.Ann
