@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, DistinctNGrams}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -32,7 +32,15 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSim(es.head, es(1))))
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    (FunctionIdentifier("distinct_ngrams"),
+      new ExpressionInfo(classOf[DistinctNGrams].getName, "distinct_ngrams"),
+      (es: Seq[Expression]) => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          DistinctNGrams(es.head, n)
+        case other => throw new IllegalArgumentException(
+          s"distinct_ngrams(arr, n): n must be an integer literal, got $other")
+      }))
 
   /** Idempotent imperative registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -88,3 +88,62 @@ case class CosineSim(left: Expression, right: Expression)
                                                  newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** Exact distinct word-n-gram count over a token array — the inner loop of
+  * the repetition/quality-gate text filters.
+  *
+  * The Column formulation (`array_distinct(transform(sequence(...), slice +
+  * concat_ws))`) materializes every gram as a fresh array + string per row
+  * and then deduplicates the array — all outside whole-stage codegen because
+  * of the lambda. This expression hashes byte-level gram concatenations into
+  * one set per row (`UTF8String` equality == string equality, so the count
+  * is EXACTLY `len(list_distinct(...))` in the oracle), inside codegen via a
+  * static helper call. Returns 0 for docs shorter than n tokens.
+  */
+case class DistinctNGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"distinct_ngrams expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "distinct_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    DistinctNGrams.count(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DistinctNGrams.count($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctNGrams =
+    copy(child = newChild)
+}
+
+object DistinctNGrams {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Static so generated code can call it directly. */
+  def count(arr: ArrayData, n: Int): Int = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) 0
+    else {
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](m * 2)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = arr.getUTF8String(i + j)
+          j += 1
+        }
+        set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+      set.size()
+    }
+  }
+}

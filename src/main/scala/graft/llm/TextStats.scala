@@ -78,17 +78,20 @@ object TextStats {
     * size. Docs shorter than n grams score 0 with n_grams = 0.
     */
   def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")
+    graft.GraftExtensions.register(docs.sparkSession)
+    val total = greatest(size(col("w")) - (n - 1), lit(0))
+    // native distinct_ngrams (graft.functions.DistinctNGrams): one hashed
+    // pass per row inside codegen, replacing the interpreted
+    // array_distinct(transform(...)) gram materialization
+    val distinctG = call_function("distinct_ngrams", col("w"), lit(n))
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("g", when(size(col("w")) >= n, grams).otherwise(array().cast("array<string>")))
       .select(
         col("doc_id"),
-        size(col("g")).cast("long").as("n_grams"),
-        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"),
+        total.cast("long").as("n_grams"),
+        distinctG.cast("long").as("n_distinct_grams"),
         // decimal-hop: integer/integer ratio can land on a 6-dp half
-        when(size(col("g")) === 0, lit(0d)).otherwise(
-          round((lit(1d) - size(array_distinct(col("g"))) / size(col("g")).cast("double"))
+        when(total === 0, lit(0d)).otherwise(
+          round((lit(1d) - distinctG / total.cast("double"))
             .cast("decimal(28,10)"), 6).cast("double")).as("dup_frac"))
   }
 
@@ -110,10 +113,10 @@ object TextStats {
     val quality = round(
       least(nDis.cast("double") / 25d, lit(1d)) *
         (lit(1d) - size(filter(w, t => t.isInCollection(StopWords))).cast("double") / nTok), 4)
-    val grams = expr(
-      s"transform(sequence(0, size(w) - $gramN), i -> concat_ws(' ', slice(w, i + 1, $gramN)))")
+    graft.GraftExtensions.register(docs.sparkSession)
     val dupFrac = when(size(w) < gramN, lit(0d)).otherwise(
-      round((lit(1d) - size(array_distinct(grams)) / size(grams).cast("double"))
+      round((lit(1d) - call_function("distinct_ngrams", w, lit(gramN)) /
+          (size(w) - (gramN - 1)).cast("double"))
         .cast("decimal(28,10)"), 6).cast("double"))
     val best = array_max(array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(size(filter(w, t => t.isInCollection(markers))).as("hits"),

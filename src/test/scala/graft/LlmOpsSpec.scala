@@ -218,6 +218,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows diverged between HOF and native cosine")
   }
 
+  test("native distinct_ngrams matches the Column array_distinct formulation") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = expr(
+      "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")
+    val bad = docs
+      .withColumn("column_form",
+        when(size(col("w")) >= 3, size(array_distinct(grams))).otherwise(0))
+      .withColumn("native", call_function("distinct_ngrams", col("w"), lit(3)))
+      .filter(col("column_form") =!= col("native")).count()
+    assert(bad == 0, s"$bad docs diverged between Column and native distinct-gram counts")
+  }
+
   test("centroid outlier scan surfaces the vector far from its cluster") {
     import spark.implicits._
     import graft.llm.Ann
