@@ -917,6 +917,18 @@ object SparkEntry {
       Sample.shuffleOrder(Tables.documents(s, dir), salt = "epoch0")
         .orderBy(col("position"))),
 
+    // packing manifest: (bin, offset) inside 512-token training sequences,
+    // contiguous-fill per language stratum
+    "llm_seq_pack" -> ((s, dir) =>
+      Sample.packSequences(Tables.documents(s, dir), ctxLen = 512)
+        .orderBy(col("stratum"), col("doc_id"))),
+
+    // the eval harness for the approximate index: recall@10 of the IVF
+    // probe against the exact top-10, per query
+    "llm_ann_recall" -> ((s, dir) =>
+      Ann.recallReport(Tables.embeddings(s, dir), queryMaxId = 5, k = 10)
+        .orderBy(col("qid"))),
+
     // corpus keyword profile: per-doc top-3 terms by smoothed tf-idf
     "llm_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(Tables.documents(s, dir), k = 3)
@@ -2199,6 +2211,61 @@ object SparkEntry {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5('epoch0|' || doc_id), doc_id) AS position
         |FROM documents ORDER BY position""".stripMargin,
+
+    "llm_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY stratum ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT doc_id, stratum, n_tokens,
+        |  CAST(prior // 512 AS BIGINT) AS bin,
+        |  CAST(prior % 512 AS BIGINT) AS offset
+        |FROM p ORDER BY stratum, doc_id""".stripMargin,
+
+    "llm_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT qid, vec_id, ${COS("qe", "emb")} AS cos
+         |  FROM e, q WHERE vec_id != qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |    FROM bscored) WHERE rank <= 10),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT q.qid, q.qe, c.cluster,
+         |          row_number() OVER (PARTITION BY q.qid
+         |            ORDER BY ${COS("q.qe", "c.centroid")} DESC, c.cluster) AS crank
+         |        FROM q, cents c)
+         |  WHERE crank = 1),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${COS("p.qe", "e.emb")} DESC, e.vec_id) AS rank
+         |    FROM e JOIN probe p ON e.label = p.probe_cluster AND e.vec_id != p.qid)
+         |  WHERE rank <= 10),
+         |hit AS (
+         |  SELECT t.qid, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY 1)
+         |SELECT t.qid, count(*) AS n_true,
+         |  coalesce(any_value(h.n_hit), 0) AS n_hit,
+         |  CAST(round(CAST(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*)
+         |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN hit h ON h.qid = t.qid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     "llm_tfidf" ->
       """WITH tf AS (

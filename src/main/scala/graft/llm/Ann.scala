@@ -118,6 +118,28 @@ object Ann {
       .limit(k)
   }
 
+  /** Recall report: per query, how much of the exact top-k the IVF probe
+    * recovered — the evaluation harness that justifies an approximate index
+    * before pointing it at a corpus. `recall = |ivf ∩ brute| / k`; queries
+    * whose probed cluster contains none of the true neighbors report 0.
+    * Both sides reuse the operators above (broadcast query set, cluster
+    * pruning), so the report costs one brute pass + one probe pass.
+    */
+  def recallReport(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                   clusterCol: String = "label", nprobe: Int = 1): DataFrame = {
+    val truth = bruteTopK(embeddings, queryMaxId, k).select(col("qid"), col("vec_id"))
+    val approx = ivfTopK(embeddings, queryMaxId, k, clusterCol, nprobe)
+      .select(col("qid"), col("vec_id"))
+    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        round((col("n_hit") / col("n_true")).cast("decimal(28,10)"), 6).cast("double"))
+      .select(col("qid"), col("n_true"), col("n_hit"), col("recall"))
+  }
+
   /** Sign-bit LSH bucket id over the first `bits` dimensions: bit i set iff
     * embedding[i] > 0. Deterministic (axis-aligned hyperplanes), so engines
     * agree; a learned random-rotation family drops in by replacing the

@@ -34,6 +34,31 @@ object Sample {
       .select(col("doc_id"), col(strataCol).as("stratum"), col("rk").cast("long").as("rk"))
   }
 
+  /** Sequence-packing manifest: assign each document a (bin, offset) inside
+    * fixed token-budget training sequences, contiguous-fill per stratum —
+    * bin = ⌊prior-token-count / ctxLen⌋ over docs in id order. The manifest
+    * is what a loader needs to assemble packed batches; a document whose
+    * tokens straddle its bin boundary is split/truncated by the downstream
+    * policy (the manifest records the exact offset, so both policies are
+    * implementable without re-reading the corpus).
+    *
+    * Scale shape: one running-sum window PER STRATUM (languages × sources —
+    * many independent partitions), not a global cumulative sum; each stratum
+    * sorts by the already-clustered doc_id. Deterministic and engine-exact:
+    * token counts are integers, so the running sum has no float order
+    * sensitivity.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int, strataCol: String = "lang"): DataFrame = {
+    val prior = Window.partitionBy(col("stratum")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(strataCol).as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        (col("prior") / ctxLen).cast("long").as("bin"),
+        (col("prior") % ctxLen).as("offset"))
+  }
+
   /** Deterministic global shuffle for training order: position = rank of
     * `md5(salt || doc_id)`. Changing the salt re-shuffles; the same salt
     * always yields the same epoch order. The manifest is (position, doc_id)
