@@ -268,6 +268,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream/batch diverged: ${got.size} vs ${want.size} rows")
   }
 
+  test("streaming exact dedup drops cross-batch duplicate texts") {
+    // exact dedup composes with Structured Streaming as stateful
+    // dropDuplicates on the digest: the fingerprint state carries across
+    // micro-batches, so a copy arriving hours later is still dropped.
+    // (Unbounded state without a watermark — a real deployment bounds it
+    // with withWatermark on an arrival-time column, same operator.)
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-dedup-src").toString
+    val b1 = (1L to 10L).map(i => (i, s"text body $i"))
+    val b2 = (11L to 15L).map(i => (i, s"text body ${i - 10}")) ++ // copies
+      (16L to 20L).map(i => (i, s"text body $i"))                  // fresh
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.sql("SELECT text FROM stream_dedup")
+      .collect().map(_.getString(0))
+    assert(kept.length == 15, s"expected 15 survivors, got ${kept.length}")
+    assert(kept.distinct.length == 15, "a duplicate text survived the stateful dedup")
+  }
+
   test("start() wires the file source to the snapshot store end-to-end") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
