@@ -27,6 +27,7 @@ object Bench {
       // native graft expressions (cosine_sim) via the declarative hook; the
       // operators also self-register imperatively on foreign sessions
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid).

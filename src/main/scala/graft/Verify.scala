@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // see Bench.scala
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
