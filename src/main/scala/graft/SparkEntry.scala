@@ -850,6 +850,11 @@ object SparkEntry {
     "llm_fingerprint" -> ((s, dir) =>
       Dedup.fingerprint(Tables.documents(s, dir)).orderBy(col("keeper"))),
 
+    // Rabin–Karp rolling-hash chunk dedup: verbatim passages shared across
+    // documents (order-sensitive, unlike the bag-of-words fingerprint)
+    "llm_chunk_fp" -> ((s, dir) =>
+      Dedup.repeatedChunks(Tables.documents(s, dir)).orderBy(col("fp"))),
+
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
           maxShingleDf = None)
@@ -2006,6 +2011,21 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |       min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "llm_chunk_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hs
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i*16+1 : i*16+32]),
+        |                     (a, h) -> (a * 131 + h) % 2147483647) AS fp
+        |  FROM toks, unnest(generate_series(0, (len(hs) - 32) // 16)) AS t(i)
+        |  WHERE len(hs) >= 32)
+        |SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |       min(doc_id) AS keeper
+        |FROM wins GROUP BY fp HAVING n_docs >= 2 ORDER BY fp""".stripMargin,
 
     "llm_near_dedup" ->
       s"""WITH $SHINGLES

@@ -20,6 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Rabin–Karp rolling-hash chunk fingerprints: one polynomial hash
+    * `fp = Σ h(tok_i)·B^(w-1-i) mod P` per `w`-token window every `stride`
+    * tokens. Order-SENSITIVE where [[fingerprint]] is a bag — a repeated
+    * chunk means a verbatim shared passage (boilerplate, quoted text, a
+    * copied paragraph), the unit content-defined chunk dedup works on.
+    * All-integer modular arithmetic (base 131, mod 2³¹−1) over one md5-derived
+    * 32-bit hash per token, so the DuckDB oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: per-document map-side expression work (the windows never
+    * explode into a shuffle wider than |docs|·windows-per-doc), then one
+    * hash aggregation keyed on the fingerprint. Documents shorter than `w`
+    * have no chunk (also guards Spark's descending `sequence(0, -1)`).
+    */
+  def chunkFingerprints(docs: DataFrame, w: Int = 32, stride: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))").as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(floor((size(hs) - $w) / $stride) as int)), i -> " +
+          s"struct(i * $stride as off, " +
+          s"aggregate(slice(hs, i * $stride + 1, $w), cast(0 as bigint), " +
+          s"(a, h) -> (a * 131 + h) % $MinhashPrime) as fp))")).as("c"))
+      .select(col("doc_id"), col("c.off").as("off"), col("c.fp").as("fp"))
+
+  /** Verbatim-shared passages across documents: chunk fingerprints appearing
+    * in ≥2 distinct documents. `size(collect_set)` not `countDistinct` (one
+    * shuffle, see the snapshot plan pin); the keeper is the minimum holder.
+    */
+  def repeatedChunks(docs: DataFrame, w: Int = 32, stride: Int = 16): DataFrame =
+    chunkFingerprints(docs, w, stride)
+      .groupBy(col("fp"))
+      .agg(size(collect_set(col("doc_id"))).cast("long").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+
   /** Exact duplicate groups: hash-groupBy on the full text. One shuffle keyed
     * on the 128-bit digest; at 100 TB you'd group on (md5, length) prefix
     * buckets the same way.

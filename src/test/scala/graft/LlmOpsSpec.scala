@@ -250,6 +250,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(worst.head.getDouble(2) < 0)
   }
 
+  test("rolling-hash chunks: verbatim shared run fires, reorder does not, short docs drop") {
+    import spark.implicits._
+    val run = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta"),             // run at offset 0
+      (2L, s"one two $run tail1 tail2"),                // same run, offset 2 (unaligned)
+      (3L, run.split(" ").reverse.mkString(" ")),       // same bag, reversed order
+      (4L, "short doc under the window size")           // < w tokens: no chunks
+    ).toDF("doc_id", "text")
+    val fps = Dedup.chunkFingerprints(docs, w = 32, stride = 1)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(4L))
+    // stride 1 slides over every offset, so doc 2's unaligned copy of the run
+    // still produces the identical fingerprint docs 1 and 3 would need...
+    val fp1 = byDoc(1L).find(_.getInt(1) == 0).get.getLong(2)
+    val fp2 = byDoc(2L).find(_.getInt(1) == 2).get.getLong(2)
+    assert(fp1 == fp2)
+    // ...but the reversed doc (same token BAG) shares nothing: order matters.
+    assert(!byDoc(3L).map(_.getLong(2)).contains(fp1))
+    // default stride (16) only keys aligned offsets; repeatedChunks still
+    // groups the doc-1/doc-2 pair when both runs sit on stride boundaries
+    val aligned = Seq((1L, run), (2L, s"pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 " +
+      s"pad9 pad10 pad11 pad12 pad13 pad14 pad15 pad16 $run")).toDF("doc_id", "text")
+    val rep = Dedup.repeatedChunks(aligned).collect()
+    assert(rep.exists(r => r.getLong(1) == 2L && r.getLong(3) == 1L))
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
