@@ -559,6 +559,14 @@ object SparkEntry {
       graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir))
         .orderBy(col("entity"))),
 
+    // tree-ensemble model apply (fmp_updater.py:521): the ensemble compiles
+    // to nested CASE columns — map-side, codegen'd, no UDF, no model object
+    "nerd_fmp_trees" -> ((s, dir) =>
+      graft.derive.Fmp.scoreTrees(
+          graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir)),
+          graft.derive.Fmp.DemoEnsemble)
+        .orderBy(col("entity"))),
+
     // -- export sinks (generate_ip_rep_list / blocklist scripts) --
     "nerd_export_iprep" -> ((s, dir) =>
       graft.sinks.Exports.ipRepFrame(
@@ -1309,6 +1317,112 @@ object SparkEntry {
   private def COS(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** FMP feature-frame SQL (no ORDER BY) shared by the features oracle and
+    * the tree-ensemble scoring oracle.
+    */
+  private val FMP_FEATURES_SQL: String =
+    s"""WITH $SNAP_CTE,
+       |n1 AS (SELECT user_id AS entity,
+       |         count(DISTINCT CASE WHEN age <= 1 THEN event_type END) AS nodes_1d
+       |       FROM se GROUP BY 1),
+       |x0 AS (SELECT user_id, ts, CAST(floor(value) AS BIGINT) AS conns, $AGE AS age
+       |       FROM events, mx),
+       |x AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
+       |        CAST(sum(CASE WHEN age <= 1 THEN conns ELSE 0 END) AS BIGINT) AS conns1,
+       |        CAST(sum(CASE WHEN age <= 7 THEN conns ELSE 0 END) AS BIGINT) AS conns7,
+       |        round(coalesce(sum(CASE WHEN age < 7 THEN conns * 0.25 * pow(0.75, age) END), 0), 6) AS conns_ewma,
+       |        list_sort(list(CAST(floor(epoch(ts)) AS BIGINT))) AS tl
+       |      FROM x0 GROUP BY 1),
+       |iv AS (SELECT entity, ring, len(ring) - 1 AS nd,
+       |         CASE WHEN len(ring) < 2 THEN CAST([] AS BIGINT[])
+       |              ELSE list_sort(list_transform(generate_series(2, len(ring)),
+       |                                            i -> ring[i] - ring[i-1])) END AS sd
+       |       FROM (SELECT entity, tl[greatest(len(tl) - 20, 1):len(tl)] AS ring FROM x)),
+       |iv2 AS (SELECT entity,
+       |          CASE WHEN nd < 1 THEN 0
+       |               ELSE (ring[len(ring)] - ring[1]) / (nd * 86400.0) END AS mean_days,
+       |          CASE WHEN nd < 1 THEN 0 ELSE
+       |            (CASE WHEN nd % 2 = 1 THEN CAST(sd[(nd + 1) // 2] AS DOUBLE)
+       |                  ELSE (sd[nd // 2] + sd[nd // 2 + 1]) / 2.0 END) / 86400.0 END AS median_days
+       |        FROM iv),
+       |b AS (SELECT snap.*, n1.nodes_1d, x.conns1, x.conns7, x.conns_ewma, x.last_day
+       |      FROM snap JOIN n1 USING (entity) JOIN x USING (entity)),
+       |pfx AS (
+       |  SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
+       |    CAST(sum(total1) AS BIGINT) AS p_total1,
+       |    CAST(sum(total7) AS BIGINT) AS p_total7,
+       |    count(*) AS p_members,
+       |    CAST(round(CAST(sum(CAST(rep AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,10)), 6)
+       |         AS DOUBLE) AS p_avg_rep,
+       |    CAST(sum(nodes_7d) AS BIGINT) AS p_nodes7,
+       |    CAST(sum(conns7) AS BIGINT) AS p_conns7,
+       |    CAST(sum(CAST(ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_ewma,
+       |    CAST(sum(CAST(bin_ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_bin_ewma
+       |  FROM b GROUP BY 1),
+       |cp AS (SELECT entity % 8 AS gk, count(*) AS ctry_known FROM snap GROUP BY 1),
+       |ap AS (SELECT ((entity // 16) * 7) % 50 AS ak, count(*) AS asn_known FROM snap GROUP BY 1),
+       |j AS (
+       |  SELECT b.*, iv2.mean_days, iv2.median_days,
+       |    pfx.p_total1, pfx.p_total7, pfx.p_members, pfx.p_avg_rep,
+       |    pfx.p_nodes7, pfx.p_conns7, pfx.p_ewma, pfx.p_bin_ewma,
+       |    CAST(round(CAST(cp.ctry_known / ((cp.gk + 1) * 1000.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS ctry_badness,
+       |    CAST(round(CAST(ap.asn_known / ((ap.ak + 1) * 100.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS asn_badness,
+       |    'h' || b.entity || ['.cs.uni.edu', '.agency.gov', '.dyn.example.com',
+       |                        '.shady.xyz'][CAST(b.entity % 4 AS INT) + 1] AS host,
+       |    (b.entity * 2654435761) % 4294967296 AS ip,
+       |    date_diff('day', b.last_day, (SELECT today FROM mx)) AS last_age
+       |  FROM b
+       |  JOIN iv2 USING (entity)
+       |  JOIN pfx ON pfx.prefix = CAST(floor(b.entity / 16.0) AS BIGINT)
+       |  JOIN cp ON cp.gk = b.entity % 8
+       |  JOIN ap ON ap.ak = ((b.entity // 16) * 7) % 50)
+       |SELECT entity,
+       |  round(ln(1 + total1), 4) AS f_e1,
+       |  round(ln(1 + total7), 4) AS f_e7,
+       |  round(ln(1 + total30), 4) AS f_e30,
+       |  CAST(nodes_1d AS BIGINT) AS f_nodes1,
+       |  nodes_7d AS f_nodes7,
+       |  round(ln(1 + conns1), 4) AS f_conns1,
+       |  round(ln(1 + conns7), 4) AS f_conns7,
+       |  ewma AS f_ewma,
+       |  conns_ewma AS f_conns_ewma,
+       |  bin_ewma AS f_bin_ewma,
+       |  rep AS f_rep,
+       |  CAST(last_age AS BIGINT) AS f_last_age,
+       |  round(exp(-last_age / 7.0), 4) AS f_decay,
+       |  round(exp(-mean_days), 4) AS f_intervals_avg,
+       |  round(exp(-median_days), 4) AS f_intervals_med,
+       |  round(ln(1 + p_total1), 4) AS f_p_e1,
+       |  round(ln(1 + p_total7), 4) AS f_p_e7,
+       |  p_total7 AS f_p_total7,
+       |  p_members AS f_p_members,
+       |  p_avg_rep AS f_p_avg_rep,
+       |  p_nodes7 AS f_p_nodes7,
+       |  round(ln(1 + p_conns7), 4) AS f_p_conns7,
+       |  p_ewma AS f_p_ewma,
+       |  p_bin_ewma AS f_p_bin_ewma,
+       |  CAST(entity % 5 = 0 AS INT) AS f_bl_tor,
+       |  CAST(entity % 7 = 3 AS INT) AS f_bl_ssh,
+       |  CAST(entity % 11 = 1 AS INT) AS f_bl_spam,
+       |  CAST(entity % 6 != 0 AS INT) AS f_hostname,
+       |  CASE WHEN entity % 6 = 0 THEN 0
+       |       WHEN CAST(entity % 4 AS INT) IN (0, 1) THEN 1
+       |       WHEN CAST(entity % 4 AS INT) = 2 THEN -1 ELSE 0 END AS f_dyn_static,
+       |  CASE WHEN entity % 6 != 0 AND entity % 4 = 2 AND entity % 2 = 0
+       |       THEN 1 ELSE 0 END AS f_dsl,
+       |  CASE WHEN entity % 6 = 0 THEN 0 ELSE CAST((
+       |      CASE WHEN contains(host, CAST((ip // 16777216) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+       |    + CASE WHEN contains(host, CAST((ip // 65536) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+       |    + CASE WHEN contains(host, CAST((ip // 256) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
+       |    + CASE WHEN contains(host, CAST(ip % 256 AS VARCHAR)) THEN 1 ELSE 0 END) >= 2 AS INT) END
+       |    AS f_ip_in_host,
+       |  ctry_badness AS f_ctry_badness,
+       |  asn_badness AS f_asn_badness,
+       |  round(1 / (1 + exp(-(-3 + 2 * rep + 0.1 * ln(1 + total7)
+       |                       + 0.5 * exp(-last_age / 7.0)))), 4) AS fmp_general
+       |FROM j""".stripMargin
+
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1681,107 +1795,17 @@ object SparkEntry {
         |        ELSE (sd[n // 2] + sd[n // 2 + 1]) / 2.0 END, 4) AS median_interval
         |FROM f ORDER BY entity""".stripMargin,
 
-    "nerd_fmp_features" ->
-      s"""WITH $SNAP_CTE,
-         |n1 AS (SELECT user_id AS entity,
-         |         count(DISTINCT CASE WHEN age <= 1 THEN event_type END) AS nodes_1d
-         |       FROM se GROUP BY 1),
-         |x0 AS (SELECT user_id, ts, CAST(floor(value) AS BIGINT) AS conns, $AGE AS age
-         |       FROM events, mx),
-         |x AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_day,
-         |        CAST(sum(CASE WHEN age <= 1 THEN conns ELSE 0 END) AS BIGINT) AS conns1,
-         |        CAST(sum(CASE WHEN age <= 7 THEN conns ELSE 0 END) AS BIGINT) AS conns7,
-         |        round(coalesce(sum(CASE WHEN age < 7 THEN conns * 0.25 * pow(0.75, age) END), 0), 6) AS conns_ewma,
-         |        list_sort(list(CAST(floor(epoch(ts)) AS BIGINT))) AS tl
-         |      FROM x0 GROUP BY 1),
-         |iv AS (SELECT entity, ring, len(ring) - 1 AS nd,
-         |         CASE WHEN len(ring) < 2 THEN CAST([] AS BIGINT[])
-         |              ELSE list_sort(list_transform(generate_series(2, len(ring)),
-         |                                            i -> ring[i] - ring[i-1])) END AS sd
-         |       FROM (SELECT entity, tl[greatest(len(tl) - 20, 1):len(tl)] AS ring FROM x)),
-         |iv2 AS (SELECT entity,
-         |          CASE WHEN nd < 1 THEN 0
-         |               ELSE (ring[len(ring)] - ring[1]) / (nd * 86400.0) END AS mean_days,
-         |          CASE WHEN nd < 1 THEN 0 ELSE
-         |            (CASE WHEN nd % 2 = 1 THEN CAST(sd[(nd + 1) // 2] AS DOUBLE)
-         |                  ELSE (sd[nd // 2] + sd[nd // 2 + 1]) / 2.0 END) / 86400.0 END AS median_days
-         |        FROM iv),
-         |b AS (SELECT snap.*, n1.nodes_1d, x.conns1, x.conns7, x.conns_ewma, x.last_day
-         |      FROM snap JOIN n1 USING (entity) JOIN x USING (entity)),
-         |pfx AS (
-         |  SELECT CAST(floor(entity / 16.0) AS BIGINT) AS prefix,
-         |    CAST(sum(total1) AS BIGINT) AS p_total1,
-         |    CAST(sum(total7) AS BIGINT) AS p_total7,
-         |    count(*) AS p_members,
-         |    CAST(round(CAST(sum(CAST(rep AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,10)), 6)
-         |         AS DOUBLE) AS p_avg_rep,
-         |    CAST(sum(nodes_7d) AS BIGINT) AS p_nodes7,
-         |    CAST(sum(conns7) AS BIGINT) AS p_conns7,
-         |    CAST(sum(CAST(ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_ewma,
-         |    CAST(sum(CAST(bin_ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_bin_ewma
-         |  FROM b GROUP BY 1),
-         |cp AS (SELECT entity % 8 AS gk, count(*) AS ctry_known FROM snap GROUP BY 1),
-         |ap AS (SELECT ((entity // 16) * 7) % 50 AS ak, count(*) AS asn_known FROM snap GROUP BY 1),
-         |j AS (
-         |  SELECT b.*, iv2.mean_days, iv2.median_days,
-         |    pfx.p_total1, pfx.p_total7, pfx.p_members, pfx.p_avg_rep,
-         |    pfx.p_nodes7, pfx.p_conns7, pfx.p_ewma, pfx.p_bin_ewma,
-         |    CAST(round(CAST(cp.ctry_known / ((cp.gk + 1) * 1000.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS ctry_badness,
-         |    CAST(round(CAST(ap.asn_known / ((ap.ak + 1) * 100.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS asn_badness,
-         |    'h' || b.entity || ['.cs.uni.edu', '.agency.gov', '.dyn.example.com',
-         |                        '.shady.xyz'][CAST(b.entity % 4 AS INT) + 1] AS host,
-         |    (b.entity * 2654435761) % 4294967296 AS ip,
-         |    date_diff('day', b.last_day, (SELECT today FROM mx)) AS last_age
-         |  FROM b
-         |  JOIN iv2 USING (entity)
-         |  JOIN pfx ON pfx.prefix = CAST(floor(b.entity / 16.0) AS BIGINT)
-         |  JOIN cp ON cp.gk = b.entity % 8
-         |  JOIN ap ON ap.ak = ((b.entity // 16) * 7) % 50)
-         |SELECT entity,
-         |  round(ln(1 + total1), 4) AS f_e1,
-         |  round(ln(1 + total7), 4) AS f_e7,
-         |  round(ln(1 + total30), 4) AS f_e30,
-         |  CAST(nodes_1d AS BIGINT) AS f_nodes1,
-         |  nodes_7d AS f_nodes7,
-         |  round(ln(1 + conns1), 4) AS f_conns1,
-         |  round(ln(1 + conns7), 4) AS f_conns7,
-         |  ewma AS f_ewma,
-         |  conns_ewma AS f_conns_ewma,
-         |  bin_ewma AS f_bin_ewma,
-         |  rep AS f_rep,
-         |  CAST(last_age AS BIGINT) AS f_last_age,
-         |  round(exp(-last_age / 7.0), 4) AS f_decay,
-         |  round(exp(-mean_days), 4) AS f_intervals_avg,
-         |  round(exp(-median_days), 4) AS f_intervals_med,
-         |  round(ln(1 + p_total1), 4) AS f_p_e1,
-         |  round(ln(1 + p_total7), 4) AS f_p_e7,
-         |  p_total7 AS f_p_total7,
-         |  p_members AS f_p_members,
-         |  p_avg_rep AS f_p_avg_rep,
-         |  p_nodes7 AS f_p_nodes7,
-         |  round(ln(1 + p_conns7), 4) AS f_p_conns7,
-         |  p_ewma AS f_p_ewma,
-         |  p_bin_ewma AS f_p_bin_ewma,
-         |  CAST(entity % 5 = 0 AS INT) AS f_bl_tor,
-         |  CAST(entity % 7 = 3 AS INT) AS f_bl_ssh,
-         |  CAST(entity % 11 = 1 AS INT) AS f_bl_spam,
-         |  CAST(entity % 6 != 0 AS INT) AS f_hostname,
-         |  CASE WHEN entity % 6 = 0 THEN 0
-         |       WHEN CAST(entity % 4 AS INT) IN (0, 1) THEN 1
-         |       WHEN CAST(entity % 4 AS INT) = 2 THEN -1 ELSE 0 END AS f_dyn_static,
-         |  CASE WHEN entity % 6 != 0 AND entity % 4 = 2 AND entity % 2 = 0
-         |       THEN 1 ELSE 0 END AS f_dsl,
-         |  CASE WHEN entity % 6 = 0 THEN 0 ELSE CAST((
-         |      CASE WHEN contains(host, CAST((ip // 16777216) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
-         |    + CASE WHEN contains(host, CAST((ip // 65536) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
-         |    + CASE WHEN contains(host, CAST((ip // 256) % 256 AS VARCHAR)) THEN 1 ELSE 0 END
-         |    + CASE WHEN contains(host, CAST(ip % 256 AS VARCHAR)) THEN 1 ELSE 0 END) >= 2 AS INT) END
-         |    AS f_ip_in_host,
-         |  ctry_badness AS f_ctry_badness,
-         |  asn_badness AS f_asn_badness,
-         |  round(1 / (1 + exp(-(-3 + 2 * rep + 0.1 * ln(1 + total7)
-         |                       + 0.5 * exp(-last_age / 7.0)))), 4) AS fmp_general
-         |FROM j ORDER BY entity""".stripMargin,
+    "nerd_fmp_features" -> s"$FMP_FEATURES_SQL\nORDER BY entity",
+
+    // tree-ensemble apply over the same feature frame; margin rendered from
+    // the SAME Scala ensemble definition the Spark side compiles
+    "nerd_fmp_trees" ->
+      s"""WITH feats AS ($FMP_FEATURES_SQL)
+         |SELECT entity, margin, CAST(margin > 0 AS INT) AS predicted
+         |FROM (SELECT entity,
+         |        ${graft.derive.Fmp.DemoEnsemble.map(graft.derive.Fmp.treeSql).mkString(" + ")} AS margin
+         |      FROM feats)
+         |ORDER BY entity""".stripMargin,
 
     "nerd_export_iprep" ->
       s"""WITH $REP_CTE

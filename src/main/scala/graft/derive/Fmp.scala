@@ -175,4 +175,70 @@ object Fmp {
       col("asn_badness").as("f_asn_badness"),
       round(lit(1d) / (lit(1d) + exp(-z)), 4).as("fmp_general"))
   }
+
+  // ---- tree-ensemble model apply (fmp_updater.py:521 `clf.predict_proba`) --
+
+  /** A regression-tree node. The reference scores its feature frame with a
+    * trained XGBoost classifier; the Spark-first restatement of *model apply*
+    * is compiling the ensemble into native Catalyst expressions — each tree
+    * becomes one nested CASE WHEN column, the margin their sum, so scoring is
+    * a map-side, whole-stage-codegen'd projection with zero UDFs, zero
+    * shuffles, and no per-executor model object to ship.
+    */
+  sealed trait Tree
+  final case class Leaf(weight: Double) extends Tree
+  /** Rows with `feature < threshold` descend into `lo`, others (including
+    * NULL — XGBoost's default-right missing direction) into `hi`.
+    */
+  final case class Split(feature: String, threshold: Double, lo: Tree, hi: Tree) extends Tree
+
+  /** One tree → one Column. `when(pred, lo)` leaves NULL predicates to the
+    * otherwise branch, giving the documented default-right missing routing.
+    */
+  def treeColumn(t: Tree): org.apache.spark.sql.Column = t match {
+    case Leaf(w)               => lit(w)
+    case Split(f, th, lo, hi)  =>
+      when(col(f) < lit(th), treeColumn(lo)).otherwise(treeColumn(hi))
+  }
+
+  /** The same tree as ANSI SQL (for cross-engine oracles): CASE WHEN with a
+    * NULL comparison falls to ELSE, matching [[treeColumn]]'s routing.
+    * Integer thresholds render as integer literals; weights as explicit
+    * DOUBLE casts (a bare decimal literal is DECIMAL-typed in DuckDB and
+    * would switch the margin sum to decimal arithmetic).
+    */
+  def treeSql(t: Tree): String = t match {
+    case Leaf(w)              => s"CAST($w AS DOUBLE)"
+    case Split(f, th, lo, hi) =>
+      val lith = if (th == th.floor) th.toLong.toString else s"CAST($th AS DOUBLE)"
+      s"CASE WHEN $f < $lith THEN ${treeSql(lo)} ELSE ${treeSql(hi)} END"
+  }
+
+  /** Ensemble apply: margin = Σ tree outputs (left-to-right, the same fold
+    * order [[treeSql]] renders, so cross-engine sums are bit-identical),
+    * predicted = margin > 0. No output rounding needed: the demo ensemble's
+    * weights are dyadic (k/2¹⁰), so every partial sum is exact.
+    */
+  def scoreTrees(features: DataFrame, ensemble: Seq[Tree],
+                 idCol: String = "entity"): DataFrame =
+    features
+      .select(col(idCol), ensemble.map(treeColumn).reduce(_ + _).as("margin"))
+      .withColumn("predicted", (col("margin") > 0).cast("int"))
+
+  /** Fixture ensemble standing in for the trained model (same stance as the
+    * logistic `fmp_general`). Splits use only integer-valued features with
+    * integer thresholds and dyadic leaf weights — every comparison and sum
+    * reproduces exactly in any engine.
+    */
+  val DemoEnsemble: Seq[Tree] = Seq(
+    Split("f_nodes7", 3,
+      Split("f_bl_tor", 1, Leaf(-0.125), Leaf(0.25)),
+      Split("f_last_age", 8, Leaf(0.375), Leaf(0.0625))),
+    Split("f_p_members", 10,
+      Leaf(-0.1875),
+      Split("f_hostname", 1, Leaf(0.125), Leaf(-0.0625))),
+    Split("f_dyn_static", 0,
+      Leaf(0.3125),
+      Split("f_dsl", 1, Split("f_bl_spam", 1, Leaf(-0.03125), Leaf(0.21875)),
+        Leaf(-0.25))))
 }
