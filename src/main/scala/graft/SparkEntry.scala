@@ -984,6 +984,19 @@ object SparkEntry {
       Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // box-filter resize of the payload grid to a fixed 2x2 tensor column
+    "llm_resize" -> ((s, dir) => {
+      val r = Multimodal.resizeStub(
+        Multimodal.withPayload(Tables.documents(s, dir)), outW = 2, outH = 2)
+      r.select(col("doc_id"),
+          element_at(col("pixels"), 1).as("p00"),
+          element_at(col("pixels"), 2).as("p01"),
+          element_at(col("pixels"), 3).as("p10"),
+          element_at(col("pixels"), 4).as("p11"),
+          col("mean_px"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -2463,6 +2476,35 @@ object SparkEntry {
         |  md5(substring(d.text, 1, 32)) AS head_frame_md5
         |FROM d JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n, length(text) % 64 + 1 AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, text, n, w, greatest(1, (n + w - 1) // w) AS h FROM d),
+        |cells AS (
+        |  SELECT doc_id, text, n, w, oy, ox,
+        |         oy * h // 2 AS y0, greatest(oy * h // 2 + 1, (oy + 1) * h // 2) AS y1,
+        |         ox * w // 2 AS x0, greatest(ox * w // 2 + 1, (ox + 1) * w // 2) AS x1
+        |  FROM g, unnest([0, 1]) AS t1(oy), unnest([0, 1]) AS t2(ox)),
+        |vals AS (
+        |  SELECT doc_id, oy, ox,
+        |    CAST(sum(CASE WHEN y * w + x < n
+        |                  THEN ord(substring(text, y * w + x + 1, 1)) END) AS BIGINT) AS s,
+        |    count(CASE WHEN y * w + x < n THEN 1 END) AS c
+        |  FROM cells,
+        |       unnest(generate_series(y0, y1 - 1)) AS ty(y),
+        |       unnest(generate_series(x0, x1 - 1)) AS tx(x)
+        |  GROUP BY 1, 2, 3),
+        |pix AS (SELECT doc_id, oy, ox,
+        |          CASE WHEN c = 0 THEN CAST(0 AS BIGINT) ELSE s // c END AS p
+        |        FROM vals)
+        |SELECT doc_id,
+        |  max(CASE WHEN oy = 0 AND ox = 0 THEN p END) AS p00,
+        |  max(CASE WHEN oy = 0 AND ox = 1 THEN p END) AS p01,
+        |  max(CASE WHEN oy = 1 AND ox = 0 THEN p END) AS p10,
+        |  max(CASE WHEN oy = 1 AND ox = 1 THEN p END) AS p11,
+        |  CAST(sum(p) AS BIGINT) / 4.0 AS mean_px
+        |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "nerd_misp_otx" ->
       """WITH m AS (

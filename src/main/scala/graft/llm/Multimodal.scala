@@ -101,6 +101,53 @@ object Multimodal {
     }.toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes", "head_frame_md5")
   }
 
+  /** Image-style resize over the opaque payload: the byte stream is read as
+    * a `media_meta.width`-pixel-wide grayscale grid and box-filtered down to
+    * `outW`×`outH` (integer mean per box — deterministic, no float filter
+    * kernels). Same partition-batched contract as [[decodeStub]]; a real
+    * implementation swaps the body for the native resampler. Output: the
+    * resized pixel grid flattened row-major, plus its mean, so a downstream
+    * fixed-shape tensor column is `pixels` directly.
+    */
+  def resizeStub(withMedia: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte], Int, Int)] = withMedia
+      .select(col("doc_id"), col("media"),
+        col("media_meta.width"), col("media_meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+    in.mapPartitions { rows =>
+      rows.map { case (id, bytes, w, _) =>
+        val h = math.max(1, (bytes.length + w - 1) / w) // rows actually present
+        val out = new Array[Long](outW * outH)
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            // source box [y0,y1) x [x0,x1), proportional split (ceil-start)
+            val y0 = oy * h / outH; val y1 = math.max(y0 + 1, (oy + 1) * h / outH)
+            val x0 = ox * w / outW; val x1 = math.max(x0 + 1, (ox + 1) * w / outW)
+            var sum = 0L; var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val idx = y * w + x
+                if (idx < bytes.length) { sum += bytes(idx) & 0xff; cnt += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            out(oy * outW + ox) = if (cnt == 0) 0L else sum / cnt
+            ox += 1
+          }
+          oy += 1
+        }
+        (id, out.toSeq, out.sum.toDouble / out.length)
+      }
+    }.toDF("doc_id", "pixels", "mean_px")
+  }
+
   /** The multimodal pipeline end-to-end: payload → batch decode → flat
     * feature columns (what a downstream trainer would read).
     */

@@ -277,6 +277,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rep.exists(r => r.getLong(1) == 2L && r.getLong(3) == 1L))
   }
 
+  test("resizeStub box-filters the pixel grid with integer means") {
+    import org.apache.spark.sql.functions.{col, expr, lit, struct}
+    import spark.implicits._
+    // 4-wide, 2-row grid: "abcd" / "wxyz" -> 2x2 boxes of 1x2 pixels each
+    val df = Seq((1L, "abcdwxyz")).toDF("doc_id", "text")
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("media_meta", struct(lit("raw").as("format"),
+        lit(4).as("width"), lit(2).as("height")))
+    val r = graft.llm.Multimodal.resizeStub(df, outW = 2, outH = 2).collect().head
+    assert(r.getSeq[Long](1) == Seq(97L, 99L, 119L, 121L)) // ('a'+'b')/2, ...
+    assert(r.getDouble(2) == 109.0)
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
