@@ -9,7 +9,7 @@ import graft.core.Tables
 import graft.derive.Derive
 import graft.fold.EntityFold
 import graft.ingest.EventTasks
-import graft.llm.{Ann, Dedup, Multimodal, Sample, Simhash, TextStats}
+import graft.llm.{Ann, Dedup, Multimodal, Privacy, Sample, Simhash, TextStats}
 import graft.query.Search
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -996,6 +996,35 @@ object SparkEntry {
           col("mean_px"))
         .orderBy(col("doc_id"))
     }),
+
+    // PII scrub: typed redaction of emails / IPv4s / phone fragments with
+    // per-doc audit counts. The corpus text is synthetic vocabulary, so the
+    // PII is injected deterministically per doc_id — the operator under test
+    // is the scrubber, same fixture pattern as the enrichment queries.
+    "llm_pii_scrub" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com asap")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" seen from 10."), (col("doc_id") % 200) + 1,
+            lit(".0."), col("doc_id") % 250, lit(" today")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ref")))
+        .otherwise(col("text")))
+      Privacy.scrub(withPii).orderBy(col("doc_id"))
+    }),
+
+    // tokenizer fit: global token frequencies + adjacent-pair (BPE merge
+    // candidate) frequencies, top-20 each
+    "llm_vocab_merges" -> ((s, dir) =>
+      TextStats.vocabMerges(Tables.documents(s, dir), k = 20)
+        .orderBy(col("kind"), col("cnt").desc, col("token"))),
+
+    // per-language corpus rollup: the data-mix reporting table
+    "llm_corpus_stats" -> ((s, dir) =>
+      TextStats.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"))),
 
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
@@ -2394,6 +2423,54 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, reasons, CAST(reasons = '' AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@mail.example.com asap'
+         |      WHEN doc_id % 4 = 1 THEN text || ' seen from 10.' || (doc_id % 200 + 1) || '.0.' || (doc_id % 250) || ' today'
+         |      WHEN doc_id % 4 = 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ref'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Privacy.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Privacy.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Privacy.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Privacy.Ipv4Re}', '<IP>', 'g'),
+         |    '${Privacy.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "llm_vocab_merges" ->
+      """WITH u AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (
+        |  SELECT 'unigram' AS kind, token, count(*) AS cnt FROM u
+        |  GROUP BY 2 ORDER BY cnt DESC, token LIMIT 20),
+        |d AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT unnest(list_zip(l, list_slice(l, 2, len(l)))) AS z FROM d),
+        |pr AS (
+        |  SELECT 'pair' AS kind, z[1] || ' ' || z[2] AS token, count(*) AS cnt
+        |  FROM p WHERE z[2] IS NOT NULL
+        |  GROUP BY 2 ORDER BY cnt DESC, token LIMIT 20)
+        |SELECT * FROM uni UNION ALL SELECT * FROM pr""".stripMargin,
+
+    "llm_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, source, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT lang, source, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    round(least(len(list_distinct(w)) / 25.0, 1.0) *
+        |      (1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(w)), 4) AS q
+        |  FROM t)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS median_tokens,
+        |  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

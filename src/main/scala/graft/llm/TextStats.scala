@@ -172,6 +172,62 @@ object TextStats {
         round(col("score_raw"), 4).as("score"))
   }
 
+  /** Tokenizer-fit statistics: the global token frequency table and the
+    * adjacent-pair (bigram) frequency table — the two inputs of a BPE-style
+    * merge step (the most frequent pair is the next merge candidate). Emits
+    * the top-k of each, tagged `unigram` / `pair`, deterministic under ties
+    * by (count desc, token asc).
+    *
+    * Scale shape: both branches are explode → hash-agg on the term key —
+    * map-side combined, one shuffle each over the vocabulary (not the
+    * corpus); the pair array is built positionally inside the projection
+    * (no self-join). The top-k compiles to `TakeOrderedAndProject`, so no
+    * global sort ever materializes.
+    */
+  def vocabMerges(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("w"))
+    def topK(terms: DataFrame, kind: String): DataFrame =
+      terms.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(k)
+        .select(lit(kind).as("kind"), col("token"), col("cnt"))
+    val uni = topK(toks.select(explode(col("w")).as("token")), "unigram")
+    val pairs = topK(
+      toks.select(explode(
+        expr("transform(slice(w, 1, size(w) - 1), (t, i) -> concat(t, ' ', w[i + 1]))"))
+        .as("token")), "pair")
+    uni.unionAll(pairs)
+  }
+
+  /** Corpus-level rollup by language: document/source counts, total token
+    * volume, exact median document length, and mean quality — the reporting
+    * table a data-mix decision reads. One `groupBy(lang)` with partial
+    * (map-side) aggregation; the mean accumulates in DECIMAL so the sum is
+    * order-independent (double addition is not associative and a 1000-way
+    * cluster would sum in a different order every run).
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nTok = size(w)
+    val stop = size(filter(w, t => t.isInCollection(StopWords))).cast("double") / nTok
+    val quality = round(
+      least(size(array_distinct(w)).cast("double") / 25d, lit(1d)) * (lit(1d) - stop), 4)
+    docs
+      .select(col("lang"), col("source"), nTok.cast("long").as("n_tokens"),
+        quality.cast("decimal(18,6)").as("q"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("median_tokens"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("mean_q_raw"))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("total_tokens"),
+        col("median_tokens").cast("double").as("median_tokens"),
+        round(col("mean_q_raw"), 4).as("mean_quality"))
+  }
+
   /** Character-trigram cosine language classifier (the real n-gram heuristic;
     * profiles are tiny fixtures here, a config file in deployment). Pure
     * Scala — used for single-string classification and unit-tested against

@@ -290,6 +290,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 109.0)
   }
 
+  test("PII scrub redacts all three classes and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and carol@ex.io end"),
+      (2L, "host 192.168.1.20 then 10.0.0.1 call 555-0142"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val r = graft.llm.Privacy.scrub(docs).collect().sortBy(_.getLong(0))
+    assert(r(0).getLong(1) == 2 && r(0).getString(4) == "mail <EMAIL> and <EMAIL> end")
+    assert(r(1).getLong(2) == 2 && r(1).getLong(3) == 1 &&
+      r(1).getString(4) == "host <IP> then <IP> call <PHONE>")
+    assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0 && r(2).getLong(3) == 0 &&
+      r(2).getString(4) == "clean text only")
+  }
+
+  test("vocabMerges ranks the most frequent adjacent pair as the BPE merge candidate") {
+    import spark.implicits._
+    // "b c" occurs 3x (the merge candidate); "a b" 2x; tokens b and c tie
+    // at 3x and the (cnt desc, token asc) tie-break puts b first.
+    val docs = Seq(
+      (1L, "a b c b c"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val r = TextStats.vocabMerges(docs, k = 2).collect()
+    val pairs = r.filter(_.getString(0) == "pair").map(x => (x.getString(1), x.getLong(2)))
+    val unis = r.filter(_.getString(0) == "unigram").map(x => (x.getString(1), x.getLong(2)))
+    assert(pairs.toSeq.sortBy(-_._2).head == ("b c", 3L))
+    assert(unis.toSeq.sortBy(-_._2).head == ("b", 3L))
+    // top-k is deterministic under ties: (cnt desc, token asc)
+    assert(pairs.length == 2 && unis.length == 2)
+  }
+
+  test("corpusStats medians interpolate and the mean accumulates in decimal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four", "en", "s1"),      // 4 tokens
+      (2L, "one two three four five six", "en", "s1"), // 6 -> median (4+6)/2 = 5
+      (3L, "uno dos", "es", "s2")).toDF("doc_id", "text", "lang", "source")
+    val r = TextStats.corpusStats(docs).collect().sortBy(_.getString(0))
+    val en = r(0)
+    assert(en.getString(0) == "en" && en.getLong(1) == 2 && en.getLong(2) == 1)
+    assert(en.getLong(3) == 10 && en.getDouble(4) == 5.0)
+    val es = r(1)
+    assert(es.getString(0) == "es" && es.getLong(1) == 1 && es.getDouble(4) == 2.0)
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted

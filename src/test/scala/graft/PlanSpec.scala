@@ -113,4 +113,27 @@ class PlanSpec extends AnyFunSuite {
   test("tf-idf broadcasts the document-frequency table") {
     assert(plan("llm_tfidf").contains("BroadcastHashJoin"))
   }
+
+  test("PII scrub is one narrow pass: no shuffle, no join, no explode") {
+    val p = plan("llm_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+  }
+
+  test("vocab/merge mining heaps both top-k branches (no global sort)") {
+    // the operator itself, without the query wrapper's presentation orderBy
+    val p = graft.llm.TextStats.vocabMerges(
+        graft.core.Tables.documents(spark, sf), k = 20)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Sort "), p) // sortBy lives inside TakeOrdered only
+  }
+
+  test("corpus rollup shuffles only for the lang agg, never joins") {
+    val p = graft.llm.TextStats.corpusStats(
+        graft.core.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p) // agg + countDistinct expand
+    assert(!p.contains("Join"), p)
+  }
 }
