@@ -46,12 +46,26 @@ object Bench {
     }
     ordered.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
     failed.clear() // only the timed pass decides the reported error set
-    val results = ordered.map { case (n, f) => n -> runOne(n, f) }
+    val results = ordered.map { case (n, f) =>
+      // park cross-query garbage (broadcast blocks, codegen classes, shuffle
+      // buffers from the previous query) OUTSIDE the next timed region — a
+      // full-suite run otherwise lands a multi-second GC pause on whichever
+      // query happens to run when the heap fills, misattributing the cost
+      System.gc()
+      n -> runOne(n, f)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // stdout is captured tail-first downstream (last ~2000 chars survive), so
+    // the headline value/errors go LAST on the line; the full per-query map
+    // is also written to a file next to the run for durable inspection.
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"value":$total}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }
 }
