@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DistinctNGrams}
+import graft.functions.{CosineSim, DistinctNGrams, LatestK}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -40,6 +40,14 @@ object GraftExtensions {
           DistinctNGrams(es.head, n)
         case other => throw new IllegalArgumentException(
           s"distinct_ngrams(arr, n): n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("latest_k"),
+      new ExpressionInfo(classOf[LatestK].getName, "latest_k"),
+      (es: Seq[Expression]) => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          LatestK(es.head, n).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"latest_k(col, k): k must be an integer literal, got $other")
       }))
 
   /** Idempotent imperative registration into an existing session. */

@@ -148,18 +148,21 @@ object Derive {
     * sort is cheap and matches the reference, which never approximates).
     */
   def intervals(events: DataFrame, keep: Int = 21): DataFrame = {
-    val ring = expr(s"slice(ts_list, greatest(size(ts_list) - ${keep - 1}, 1), $keep)")
+    graft.GraftExtensions.register(events.sparkSession)
     val deltas = expr("transform(sequence(1, size(ring) - 1), i -> ring[i] - ring[i - 1])")
     val sortedD = expr("array_sort(deltas)")
     val n = expr("size(deltas)")
     events
       .groupBy(col("user_id").as("entity"))
-      .agg(sort_array(collect_list(unix_timestamp(col("ts")))).as("ts_list"))
+      // native bounded aggregate (graft.functions.LatestK): the k latest
+      // timestamps, ascending — O(k) group state instead of collect_list's
+      // O(events-per-entity), the difference between a ring buffer and an
+      // OOM on a hot entity at corpus scale
+      .agg(call_function("latest_k", unix_timestamp(col("ts")), lit(keep)).as("ring"))
       // sequence(1, size-1) with size = 1 is sequence(1, 0) = DESCENDING [1, 0]
       // (default step -1), which would emit two null deltas for a one-event
       // entity; the reference produces no intervals there, so require >= 2.
-      .filter(size(col("ts_list")) >= 2)
-      .withColumn("ring", ring)
+      .filter(size(col("ring")) >= 2)
       .withColumn("deltas", deltas)
       .filter(size(col("deltas")) > 0)
       .withColumn("n_intervals", n.cast("long"))

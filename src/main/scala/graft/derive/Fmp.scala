@@ -42,6 +42,7 @@ object Fmp {
     */
   def features(events: DataFrame, snapshot: DataFrame, today: String,
                prefixBits: Int = 4): DataFrame = {
+    graft.GraftExtensions.register(events.sparkSession)
     val prefixSize = 1L << prefixBits
 
     // ---- per-entity extras from raw events ----
@@ -57,10 +58,11 @@ object Fmp {
       round(coalesce(sum(when(col("age") < 7,
         col("conns") * lit(0.25d) * pow(lit(0.75d), col("age")))), lit(0d)), 6)
         .as("conns_ewma"),
-      sort_array(collect_list(unix_timestamp(col("ts")))).as("ts_list"))
-      // last-21 ring (intervals_between_events.py:23–32); the delta mean
-      // telescopes to (last − first)/(n − 1), the median sorts ≤20 deltas
-      .withColumn("ring", expr("slice(ts_list, greatest(size(ts_list) - 20, 1), 21)"))
+      // last-21 ring (intervals_between_events.py:23–32) via the bounded
+      // native latest_k aggregate — O(21) group state, not O(events); the
+      // delta mean telescopes to (last − first)/(n − 1), the median sorts
+      // ≤20 deltas
+      call_function("latest_k", unix_timestamp(col("ts")), lit(21)).as("ring"))
       .withColumn("nd", size(col("ring")) - 1)
       .withColumn("mean_days", when(col("nd") < 1, lit(0d)).otherwise(
         (element_at(col("ring"), -1) - element_at(col("ring"), 1)).cast("double") /
@@ -73,7 +75,7 @@ object Fmp {
           .otherwise((expr("sd[cast(nd / 2 as int) - 1]") +
             expr("sd[cast(nd / 2 as int)]")) / 2d) / 86400d))
     // guard against the one-event ring: nd = 0 must not reach sequence(1, 0)
-    val base = snapshot.join(xtra.drop("ts_list", "ring", "sd"), Seq("entity"))
+    val base = snapshot.join(xtra.drop("ring", "sd"), Seq("entity"))
 
     // ---- /24-prefix analog aggregates (fmp_updater.py:436–463) ----
     val prefix = base

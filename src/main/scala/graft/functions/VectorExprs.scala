@@ -147,3 +147,99 @@ object DistinctNGrams {
     }
   }
 }
+
+/** Bounded "latest k" aggregate: the k LARGEST long values per group,
+  * emitted ascending — the ring-buffer primitive behind the last-21-event
+  * intervals (reference `modules/intervals_between_events.py:23–32` keeps
+  * exactly the last 21 timestamps per record).
+  *
+  * Why not `slice(sort_array(collect_list(ts)), -k, k)`: `collect_list`
+  * accumulates EVERY row of the group before the slice throws all but k
+  * away — per-group state is O(events-per-entity) on both the map and
+  * reduce side, which is exactly the unbounded-state shape that OOMs on a
+  * hot entity at corpus scale. This aggregate's buffer is a k-element
+  * min-heap: O(k) memory per group everywhere, partial aggregation merges
+  * two heaps by keeping the k largest, and the result is the identical
+  * multiset (duplicates preserved) the sort+slice formulation produces.
+  */
+case class LatestK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]] {
+
+  require(k > 0, s"latest_k: k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "latest_k"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"latest_k expects a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](k + 1)
+
+  override def update(heap: java.util.PriorityQueue[java.lang.Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      // min-heap of the k largest: only contend when the candidate beats
+      // the current minimum (O(1) reject for the common below-window case)
+      if (heap.size() < k) heap.add(l)
+      else if (l > heap.peek()) { heap.poll(); heap.add(l) }
+    }
+    heap
+  }
+
+  override def merge(a: java.util.PriorityQueue[java.lang.Long],
+                     b: java.util.PriorityQueue[java.lang.Long])
+      : java.util.PriorityQueue[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      val l = it.next().longValue()
+      if (a.size() < k) a.add(l)
+      else if (l > a.peek()) { a.poll(); a.add(l) }
+    }
+    a
+  }
+
+  override def eval(heap: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val out = new Array[Long](heap.size())
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(heap: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * heap.size())
+    val it = heap.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+    val heap = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) heap.add(bb.getLong())
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LatestK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LatestK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): LatestK =
+    copy(child = newChildren.head)
+}

@@ -28,9 +28,22 @@ class BucketingSpec extends AnyFunSuite {
     val snap = graft.derive.Derive.snapshot(
         graft.core.Tables.events(spark, sf), "2024-01-29")
       .select(col("entity"), col("rep"), col("total30"))
-    def save(name: String): Unit = snap.write
-      .bucketBy(8, "entity").sortBy("entity")
-      .mode("overwrite").format("parquet").saveAsTable(name)
+    def save(name: String): Unit = {
+      // the session race decides which suite's warehouse config wins, and a
+      // killed JVM leaves table DIRECTORIES behind with no catalog entry —
+      // overwrite can't replace a location the catalog doesn't own, so clear
+      // both the entry and any stale location before writing
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+      snap.write.bucketBy(8, "entity").sortBy("entity")
+        .mode("overwrite").format("parquet").saveAsTable(name)
+    }
     save("graft_bl_a")
     save("graft_bl_b")
 

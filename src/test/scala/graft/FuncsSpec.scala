@@ -63,4 +63,31 @@ class FuncsSpec extends AnyFunSuite {
       .as[Boolean].collect().toSeq
     assert(got === Seq(true, true, false))
   }
+
+  test("latest_k equals sort+slice on random data, including duplicates and k > n (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, collect_list, lit, slice, sort_array}
+    graft.GraftExtensions.register(spark)
+    // values drawn from a SMALL domain so boundary duplicates are common —
+    // the case where a wrong tie-break would diverge from sort+slice
+    val rows = Gen.listOfN(400, Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0L, 50L)))
+      .sample.get
+    val df = rows.toDF("g", "v").repartition(4)
+    val k = 5
+    val got = df.groupBy(col("g"))
+      .agg(call_function("latest_k", col("v"), lit(k)).as("ring"))
+    val want = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.expr(
+        s"slice(sort_array(collect_list(v)), greatest(size(collect_list(v)) - ${k - 1}, 1), $k)")
+        .as("ring"))
+    val g = got.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val w = want.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(g === w)
+    // k larger than any group: every value comes back, ascending
+    val all = df.groupBy(col("g"))
+      .agg(call_function("latest_k", col("v"), lit(10000)).as("ring"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val allWant = rows.groupBy(_._1).map { case (gk, vs) => gk -> vs.map(_._2).sorted }
+    assert(all === allWant)
+  }
 }
