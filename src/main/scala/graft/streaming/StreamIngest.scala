@@ -34,6 +34,25 @@ object StreamIngest {
       unix_timestamp(col("ts")) > nowEpoch - maxAgeDays * 86400L &&
         unix_timestamp(col("ts")) <= nowEpoch + 300L)
 
+  /** Day-tumbling windowed event counters with a watermark — the §2.13
+    * "calendar-day buckets relative to event time" shape as a genuine
+    * Structured-Streaming aggregation (reference `event_counter.py:77–105`
+    * recomputes the same per-day vector from stored events; here the stream
+    * maintains it incrementally). The 7-day watermark mirrors
+    * `max_event_reception_age`: state for a day window is dropped once the
+    * watermark passes its end, so event-time state is bounded by
+    * |entities| × 7 windows regardless of stream length. In append output
+    * mode a window emits exactly once, when the watermark closes it —
+    * downstream gets immutable per-(entity, day) rows.
+    */
+  def dailyCounts(events: DataFrame, watermark: String = "7 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id").as("entity"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value")).cast("long")).as("conns"))
+      .select(col("entity"), to_date(col("w").getField("start")).as("d"),
+        col("n"), col("conns"))
+
   /** A persisted entity snapshot that a micro-batch of tasks folds onto. */
   trait EntityStore {
     def read(): Dataset[EntityState]

@@ -299,6 +299,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.distinct.length == 15, "a duplicate text survived the stateful dedup")
   }
 
+  test("watermarked day windows emit exactly the watermark-closed buckets, equal to batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.core.Tables.events(spark, sf)
+    val srcDir = Files.createTempDirectory("graft-win-src").toString
+    // two files so the source takes two micro-batches and the watermark
+    // actually advances between them
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = StreamIngest.dailyCounts(stream).writeStream
+      .format("memory").queryName("win_counts").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-win-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT entity, d, n, conns FROM win_counts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+      .toSet
+    // append mode emits a window only once the watermark (max event time −
+    // 7 d) passes its END; the still-open tail stays in state. The emitted
+    // set must equal the batch day-counts restricted to closed windows.
+    val wmCut = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0) - 7 * 86400L
+    val want = ev
+      .groupBy(col("user_id").as("entity"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value")).cast("long")).as("conns"))
+      .filter(unix_timestamp(date_add(col("d"), 1).cast("timestamp")) <= wmCut)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture too short: no window closes under the 7-day watermark")
+    assert(got === want)
+  }
+
   test("start() wires the file source to the snapshot store end-to-end") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
