@@ -28,14 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${es.length}")
+
   /** (identifier, info, builder) triples for every native function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+      (es: Seq[Expression]) => {
+        arity("cosine_sim", es, 2)
+        CosineSim(es.head, es(1))
+      }),
     (FunctionIdentifier("distinct_ngrams"),
       new ExpressionInfo(classOf[DistinctNGrams].getName, "distinct_ngrams"),
-      (es: Seq[Expression]) => es(1) match {
+      (es: Seq[Expression]) => { arity("distinct_ngrams", es, 2); es(1) } match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
           DistinctNGrams(es.head, n)
         case other => throw new IllegalArgumentException(
@@ -43,7 +50,7 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("latest_k"),
       new ExpressionInfo(classOf[LatestK].getName, "latest_k"),
-      (es: Seq[Expression]) => es(1) match {
+      (es: Seq[Expression]) => { arity("latest_k", es, 2); es(1) } match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
           LatestK(es.head, n).toAggregateExpression()
         case other => throw new IllegalArgumentException(

@@ -2433,15 +2433,21 @@ object SparkEntry {
          |      WHEN doc_id % 4 = 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ref'
          |      ELSE text END AS text
          |  FROM documents)
+         |, staged AS (
+         |  -- counts follow the sequential redaction: each class is counted
+         |  -- on the text the previous passes already consumed
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${Privacy.EmailRe}', '<EMAIL>', 'g') AS after_email
+         |  FROM pii),
+         |staged2 AS (
+         |  SELECT *, regexp_replace(after_email, '${Privacy.Ipv4Re}', '<IP>', 'g') AS after_ip
+         |  FROM staged)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Privacy.EmailRe}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '${Privacy.Ipv4Re}')) AS BIGINT) AS n_ips,
-         |  CAST(len(regexp_extract_all(text, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phones,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${Privacy.EmailRe}', '<EMAIL>', 'g'),
-         |    '${Privacy.Ipv4Re}', '<IP>', 'g'),
-         |    '${Privacy.PhoneRe}', '<PHONE>', 'g') AS scrubbed
-         |FROM pii ORDER BY doc_id""".stripMargin,
+         |  CAST(len(regexp_extract_all(after_email, '${Privacy.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(after_ip, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(after_ip, '${Privacy.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM staged2 ORDER BY doc_id""".stripMargin,
 
     "llm_vocab_merges" ->
       """WITH u AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -204,6 +204,16 @@ object Dedup {
     * root = min(component). Nodes absent from any pair are absent here
     * (callers left-join and coalesce to self, see [[clusterAssignments]]).
     */
+  /** Drop the cached blocks behind a `localCheckpoint`ed frame. The blocks
+    * belong to the checkpointed RDD inside the frame's `LogicalRDD`, not to
+    * the Dataset cache, so `Dataset.unpersist` cannot reach them.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     var e = pairs
@@ -236,6 +246,11 @@ object Dedup {
       // equal-size + one-sided multiset difference ⇒ set equality (both are
       // distinct), at half the exceptAll cost of the naive two-sided check
       converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // the convergence count() above materialized `next`, so the previous
+      // round's checkpointed edge blocks are dead — free them eagerly
+      // instead of waiting for the ContextCleaner's GC-driven sweep, which
+      // on a long-lived session can retain O(rounds) full edge sets
+      if (!converged) freeLocalCheckpoint(e)
       e = next
       i += 1
     }

@@ -28,18 +28,21 @@ object Privacy {
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 
   /** Per-doc scrub: counts per PII class + the redacted text. Replacement
-    * order is email → IP → phone; the classes cannot overlap (an email match
-    * consumes its digits before the IP/phone pass sees them).
+    * is sequential (email → IP → phone) and each class is COUNTED on the
+    * text the previous passes already redacted, so the counts are exactly
+    * the placeholder tokens emitted — an IP nested inside an email (e.g. a
+    * dotted-quad domain) is consumed by the email pass and never
+    * double-counted as an unredacted IP.
     */
-  def scrub(docs: DataFrame): DataFrame =
+  def scrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(Ipv4Re), lit("<IP>"))
+    val afterPhone = regexp_replace(afterIp, lit(PhoneRe), lit("<PHONE>"))
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
-          lit(Ipv4Re), lit("<IP>")),
-        lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
+      regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phones"),
+      afterPhone.as("scrubbed"))
+  }
 }

@@ -216,6 +216,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // summation order, so any ulp drift is a regression
     val bad = self.filter(col("hof") =!= col("native")).count()
     assert(bad == 0, s"$bad rows diverged between HOF and native cosine")
+    // length mismatch → NULL, same as the zip_with fold: a truncated
+    // embedding must fail threshold filters, not rank on a prefix
+    val mm = e.limit(5).select(
+      call_function("cosine_sim", col("embedding"), slice(col("embedding"), 1, 3)))
+      .collect()
+    assert(mm.forall(_.isNullAt(0)), "mismatched-length cosine must be NULL")
   }
 
   test("native distinct_ngrams matches the Column array_distinct formulation") {
@@ -295,13 +301,19 @@ class LlmOpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "mail bob.smith+x@corp.example.org and carol@ex.io end"),
       (2L, "host 192.168.1.20 then 10.0.0.1 call 555-0142"),
-      (3L, "clean text only")).toDF("doc_id", "text")
+      (3L, "clean text only"),
+      // PII nested inside an earlier class: the email pass consumes the
+      // dotted-quad domain, so it must NOT also count as an unredacted IP
+      (4L, "reach bob@10.1.2.3.com maybe")).toDF("doc_id", "text")
     val r = graft.llm.Privacy.scrub(docs).collect().sortBy(_.getLong(0))
     assert(r(0).getLong(1) == 2 && r(0).getString(4) == "mail <EMAIL> and <EMAIL> end")
     assert(r(1).getLong(2) == 2 && r(1).getLong(3) == 1 &&
       r(1).getString(4) == "host <IP> then <IP> call <PHONE>")
     assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0 && r(2).getLong(3) == 0 &&
       r(2).getString(4) == "clean text only")
+    assert(r(3).getLong(1) == 1 && r(3).getLong(2) == 0 &&
+      r(3).getString(4) == "reach <EMAIL> maybe",
+      s"nested-IP email row: ${r(3)}")
   }
 
   test("vocabMerges ranks the most frequent adjacent pair as the BPE merge candidate") {

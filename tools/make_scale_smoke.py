@@ -40,9 +40,22 @@ def main():
                     shifted = pc.add(part[c], shift[c] * r)
                     part = part.set_column(idx, part.schema.field(c), shifted)
             if text_col is not None and r > 0:
+                # Replace every 7th token (phase shifted per replica), not a
+                # single appended marker: one appended token leaves replica
+                # pairs sharing (n-2)/n of their 3-gram shingles -> Jaccard
+                # ~0.95, which MANUFACTURES ~C(replicas,2) near-dup pairs per
+                # source doc and inflates every shingle's df. Disrupting 1/7
+                # of positions kills ~3/7 of shingles per pair (Jaccard ~0.4,
+                # under any dedup threshold in use) while keeping most of the
+                # shingle-frequency structure scaling naturally.
                 idx = part.schema.get_field_index(text_col)
-                perturbed = pc.binary_join_element_wise(
-                    part[text_col].cast(pa.string()), f"replica{r}", " ")
+                phase = r % 7
+                perturbed = pa.array(
+                    [" ".join(
+                        (f"r{r}x{i}" if i % 7 == phase else t)
+                        for i, t in enumerate(s.split(" ")))
+                     for s in part[text_col].to_pylist()],
+                    type=pa.string())
                 part = part.set_column(idx, part.schema.field(text_col), perturbed)
             parts.append(part)
         out = pa.concat_tables(parts)
