@@ -55,6 +55,26 @@ object GraftExtensions {
           LatestK(es.head, n).toAggregateExpression()
         case other => throw new IllegalArgumentException(
           s"latest_k(col, k): k must be an integer literal, got $other")
+      }),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // runtime-filter optimizer but does not register them for users; expose
+    // them under graft_ names for the incremental-dedup pruning path.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (es: Seq[Expression]) => {
+        arity("graft_bloom_agg", es, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (es: Seq[Expression]) => {
+        arity("graft_might_contain", es, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
       }))
 
   /** Idempotent imperative registration into an existing session. */

@@ -1026,6 +1026,17 @@ object SparkEntry {
     "llm_corpus_stats" -> ((s, dir) =>
       TextStats.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"))),
 
+    // incremental crawl-vs-corpus exact dedup: Bloom-pruned (definitely-new
+    // docs never join; maybe-dups verify exactly), result fpp-independent.
+    // Cutoff at 40% of the corpus so the fixture's duplicate groups span it.
+    "llm_incr_dedup" -> ((s, dir) => {
+      val cut = Tables.documents(s, dir)
+        .agg(max(col("doc_id"))).head.getLong(0) * 2 / 5
+      Dedup.incrementalExactDedup(Tables.documents(s, dir), cutoff = cut,
+          expectedPrior = 100000L, numBits = 800000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -2448,6 +2459,15 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(after_ip, '${Privacy.PhoneRe}')) AS BIGINT) AS n_phones,
          |  regexp_replace(after_ip, '${Privacy.PhoneRe}', '<PHONE>', 'g') AS scrubbed
          |FROM staged2 ORDER BY doc_id""".stripMargin,
+
+    "llm_incr_dedup" ->
+      """WITH m AS (SELECT max(doc_id) * 2 // 5 AS c FROM documents),
+        |prior AS (SELECT md5(text) AS digest FROM documents, m WHERE doc_id < m.c),
+        |incoming AS (
+        |  SELECT doc_id, md5(text) AS digest FROM documents, m WHERE doc_id >= m.c)
+        |SELECT i.doc_id, i.digest FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.digest = i.digest)
+        |ORDER BY i.doc_id""".stripMargin,
 
     "llm_vocab_merges" ->
       """WITH u AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -303,6 +303,48 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
   }
 
+  /** Incremental exact dedup of an incoming batch against a prior corpus,
+    * Bloom-pruned: the common case at 100 TB is "new crawl vs. existing
+    * corpus", where joining every incoming digest against the full prior
+    * digest table shuffles the (huge) prior side for a batch that is mostly
+    * novel. Instead:
+    *
+    *  1. ONE aggregate pass over prior digests builds a Bloom filter
+    *     (Spark's native `BloomFilterAggregate`, the same sketch the
+    *     runtime-filter optimizer injects), collected to the driver and
+    *     embedded as a plan literal — the broadcast shape, sized by
+    *     `expectedPrior`/`fpp`.
+    *  2. Incoming docs whose digest the filter rules out are DEFINITELY new
+    *     and never touch a join.
+    *  3. Only the maybe-duplicates (true dups + fpp false positives) run
+    *     the exact anti-join verification, so the join input is a sliver of
+    *     the batch and the result is EXACT regardless of the fpp.
+    *
+    * Output: the incoming rows that are not byte-duplicates of any prior
+    * doc, with their digests.
+    */
+  def incrementalExactDedup(docs: DataFrame, cutoff: Long,
+                            expectedPrior: Long = 1000000L,
+                            numBits: Long = 8000000L): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val withDigest = docs.withColumn("digest", md5(col("text")))
+    val prior = withDigest.filter(col("doc_id") < cutoff).select(col("digest"))
+    val incoming = withDigest.filter(col("doc_id") >= cutoff)
+      .select(col("doc_id"), col("digest"))
+    val bf = prior
+      .agg(expr(s"graft_bloom_agg(xxhash64(digest), ${expectedPrior}L, ${numBits}L)"))
+      .head.getAs[Array[Byte]](0)
+    if (bf == null) incoming // empty prior: everything is new
+    else {
+      val maybeDup = call_function("graft_might_contain", lit(bf), xxhash64(col("digest")))
+      incoming.filter(!maybeDup)
+        .unionByName(
+          incoming.filter(maybeDup)
+            .join(prior.distinct(), Seq("digest"), "left_anti")
+            .select(col("doc_id"), col("digest")))
+    }
+  }
+
   /** Banded-LSH pipeline over a prepared shingle table (see
     * [[nearDupPairsFromShingles]] for why the table is shared).
     */

@@ -346,6 +346,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(es.getString(0) == "es" && es.getLong(1) == 1 && es.getDouble(4) == 2.0)
   }
 
+  test("incremental Bloom dedup is exact even with a saturated filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"),
+      // incoming: 10 is a byte-dup of prior 1, 11/12 are new
+      (10L, "alpha beta"), (11L, "fresh text here"), (12L, "gamma delta x"))
+      .toDF("doc_id", "text")
+    // 8 bits for 3 priors: the filter is saturated, nearly everything is a
+    // "maybe" — the anti-join verification must still yield the exact set
+    val tiny = Dedup.incrementalExactDedup(docs, cutoff = 10L,
+      expectedPrior = 3L, numBits = 8L)
+    assert(tiny.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+    // roomy filter: same exact result
+    val roomy = Dedup.incrementalExactDedup(docs, cutoff = 10L,
+      expectedPrior = 1000L, numBits = 80000L)
+    assert(roomy.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+    // empty prior: everything is new, no filter built
+    val none = Dedup.incrementalExactDedup(docs, cutoff = 0L,
+      expectedPrior = 10L, numBits = 800L)
+    assert(none.count() == 6)
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
