@@ -129,6 +129,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p) // sortBy lives inside TakeOrdered only
   }
 
+  test("incremental bloom dedup joins only the maybe-duplicate sliver") {
+    // exactly ONE join in the whole plan: the anti-join verification on the
+    // bloom-positive branch; the definitely-new branch is filter-only
+    val p = plan("llm_incr_dedup")
+    assert("Join".r.findAllIn(p).size >= 1, p)
+    val joins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly 1 physical join, got $joins:\n$p")
+    assert(p.contains("might_contain"), p)
+  }
+
   test("corpus rollup shuffles only for the lang agg, never joins") {
     val p = graft.llm.TextStats.corpusStats(
         graft.core.Tables.documents(spark, sf))
