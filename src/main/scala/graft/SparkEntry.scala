@@ -920,6 +920,14 @@ object SparkEntry {
       Dedup.contamination(shingleTable(s, dir), benchMaxId = 24L, threshold = 0.6)
         .orderBy(col("doc_id"), col("bench_id"))),
 
+    // temperature-scaled language rebalancing (τ=2, half the corpus kept):
+    // head languages downsample, tail languages survive — deterministic
+    // md5-draw vs broadcast per-stratum probability, no corpus shuffle
+    "llm_temp_sample" -> ((s, dir) =>
+      Sample.temperatureSample(Tables.documents(s, dir), "lang", tau = 2.0,
+          targetFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
     // deterministic per-language training-mix quota (md5-ranked, RNG-free)
     "llm_train_mix" -> ((s, dir) =>
       Sample.stratified(Tables.documents(s, dir), "lang", quota = 40)
@@ -2296,6 +2304,20 @@ object SparkEntry {
          |FROM hits h JOIN bsz z ON z.bench_id = h.bench_id
          |WHERE CAST(round(CAST(h.i * 1.0 / z.bsz AS DECIMAL(28,10)), 6) AS DOUBLE) >= 0.6
          |ORDER BY h.doc_id, h.bench_id""".stripMargin,
+
+    "llm_temp_sample" ->
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, cnt, pow(cnt / nn.n, 1.0 / 2.0) AS w FROM s, nn),
+        |t AS (SELECT sum(w) AS tot FROM w),
+        |p AS (
+        |  SELECT stratum, least(1.0, (0.5 * nn.n / t.tot) * w / cnt) AS p
+        |  FROM w, t, nn)
+        |SELECT d.doc_id, d.lang AS stratum, round(p.p, 6) AS keep_p
+        |FROM documents d JOIN p ON p.stratum = d.lang
+        |WHERE CAST('0x' || substring(md5('tsamp|' || d.doc_id), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < p.p
+        |ORDER BY d.doc_id""".stripMargin,
 
     "llm_train_mix" ->
       """SELECT doc_id, lang AS stratum, rk

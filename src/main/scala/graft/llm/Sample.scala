@@ -59,6 +59,38 @@ object Sample {
         (col("prior") % ctxLen).as("offset"))
   }
 
+  /** Temperature-scaled stratum rebalancing — the multilingual data-mix
+    * sampler: stratum keep-probability ∝ share^(1/τ) (τ=1 preserves the
+    * natural distribution, τ→∞ approaches uniform across strata), scaled so
+    * the expected kept volume is `targetFrac` of the corpus, capped at 1.
+    * Head languages are downsampled, tail languages keep (nearly) all docs.
+    *
+    * Deterministic and auditable like everything here: a document's uniform
+    * draw is its salted md5 — keep iff `u < p(stratum)` — so the same corpus
+    * always yields the same mix and any inclusion is recomputable. The
+    * per-stratum table is a handful of rows, broadcast onto the scan: one
+    * aggregate pass + one narrow filtered projection, no shuffle of the
+    * corpus itself.
+    */
+  def temperatureSample(docs: DataFrame, strataCol: String, tau: Double,
+                        targetFrac: Double = 0.5): DataFrame = {
+    val n = docs.count().toDouble // one scalar: the corpus size
+    val shares = docs.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", pow(col("cnt") / n, 1.0d / tau))
+    val totW = shares.agg(sum(col("w"))).head.getDouble(0)
+    // expected kept rows per stratum = n·targetFrac·w/totW ⇒ per-doc
+    // probability is that over the stratum count, capped at keep-everything
+    val probs = shares.withColumn("p",
+      least(lit(1d), lit(targetFrac * n / totW) * col("w") / col("cnt")))
+    val u = conv(substring(md5(concat_ws("|", lit("tsamp"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0d
+    docs.select(col("doc_id"), col(strataCol).as("stratum"))
+      .join(broadcast(probs.select(col("stratum"), col("p"))), Seq("stratum"))
+      .filter(u < col("p"))
+      .select(col("doc_id"), col("stratum"), round(col("p"), 6).as("keep_p"))
+  }
+
   /** Deterministic global shuffle for training order: position = rank of
     * `md5(salt || doc_id)`. Changing the salt re-shuffles; the same salt
     * always yields the same epoch order. The manifest is (position, doc_id)

@@ -346,6 +346,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(es.getString(0) == "es" && es.getLong(1) == 1 && es.getDouble(4) == 2.0)
   }
 
+  test("temperature sampling flattens the mix: head downsampled, tail kept") {
+    import spark.implicits._
+    // 900 "en" docs vs 100 "sw": natural shares 0.9/0.1
+    val docs = (1L to 1000L).map(i =>
+      (i, s"tok$i text", if (i <= 900) "en" else "sw")).toDF("doc_id", "text", "lang")
+    val kept = graft.llm.Sample.temperatureSample(docs, "lang", tau = 3.0, targetFrac = 0.4)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L) / 900d
+    val swRate = kept.getOrElse("sw", 0L) / 100d
+    // τ=3 compresses 9:1 shares to 9^(1/3)≈2.08:1 weights — the tail's
+    // keep-RATE must exceed the head's by a wide margin
+    assert(swRate > 2 * enRate, s"en=$enRate sw=$swRate")
+    // determinism: the identical call yields the identical set
+    val again = graft.llm.Sample.temperatureSample(docs, "lang", tau = 3.0, targetFrac = 0.4)
+    assert(again.collect().map(_.getLong(0)).sorted.toSeq ==
+      graft.llm.Sample.temperatureSample(docs, "lang", 3.0, 0.4)
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(math.abs(kept.values.sum - 400L) < 80, s"total kept ${kept.values.sum} far from target 400")
+  }
+
   test("incremental Bloom dedup is exact even with a saturated filter") {
     import spark.implicits._
     val docs = Seq(
