@@ -61,7 +61,9 @@ object Bench {
     // stdout is captured tail-first downstream (last ~2000 chars survive), so
     // the headline value/errors go LAST on the line; the full per-query map
     // is also written to a file next to the run for durable inspection.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"value":$total}"""
+    // gc_between_queries: totals exclude cross-query GC pauses (System.gc()
+    // before each timed region) — only compare against runs of this harness
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"queries":$qs,"errors":$errs,"value":$total}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

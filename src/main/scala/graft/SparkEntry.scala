@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -556,14 +556,16 @@ object SparkEntry {
 
     // -- FMP feature assembly (fmp_updater.py:292–453) --
     "nerd_fmp_features" -> ((s, dir) =>
-      graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir))
+      graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir),
+          watchedBlHits(s, dir))
         .orderBy(col("entity"))),
 
     // tree-ensemble model apply (fmp_updater.py:521): the ensemble compiles
     // to nested CASE columns — map-side, codegen'd, no UDF, no model object
     "nerd_fmp_trees" -> ((s, dir) =>
       graft.derive.Fmp.scoreTrees(
-          graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir)),
+          graft.derive.Fmp.features(events(s, dir), snapshot(s, dir), today(s, dir),
+            watchedBlHits(s, dir)),
           graft.derive.Fmp.DemoEnsemble)
         .orderBy(col("entity"))),
 
@@ -933,6 +935,15 @@ object SparkEntry {
       Sample.stratified(Tables.documents(s, dir), "lang", quota = 40)
         .orderBy(col("stratum"), col("rk"))),
 
+    // the SCALE-OUT stratified sampler: each stratum fans out across 4
+    // salted-md5 sub-buckets, each ranking its quota share independently —
+    // a dominant stratum (English at 60% of 100 TB) never serializes
+    // through one partition's sort
+    "llm_strat_bucketed" -> ((s, dir) =>
+      Sample.stratifiedBucketed(Tables.documents(s, dir), "lang", quota = 40,
+          buckets = 4)
+        .orderBy(col("stratum"), col("bucket"), col("rk"))),
+
     // epoch-0 training order: distributed md5 rank (sort + two-pass offset)
     "llm_shuffle_order" -> ((s, dir) =>
       Sample.shuffleOrder(Tables.documents(s, dir), salt = "epoch0")
@@ -1041,7 +1052,7 @@ object SparkEntry {
       val cut = Tables.documents(s, dir)
         .agg(max(col("doc_id"))).head.getLong(0) * 2 / 5
       Dedup.incrementalExactDedup(Tables.documents(s, dir), cutoff = cut,
-          expectedPrior = 100000L, numBits = 800000L)
+          expectedPrior = 100000L, fpp = 0.02)
         .orderBy(col("doc_id"))
     }),
 
@@ -1351,6 +1362,39 @@ object SparkEntry {
     events(spark, dir).select(col("user_id").as("entity")).distinct()
       .withColumn("ip", (col("entity") * 2654435761L) % 4294967296L)
 
+  /** Watched-blacklist membership for the FMP one-hots (`fmp_updater.py:371–
+    * 382`): ten deterministic feed fixtures materialized through the
+    * engine's OWN ingestion paths — the tor list arrives as feed TEXT
+    * through `Feeds.parseBlacklistLines` (entity→ip is a bijection mod 2³²,
+    * so parsing the rendered lines reproduces the membership exactly), the
+    * rest as set/prefix lists through `Intel.blMembership` (the redis_bl
+    * join shapes). Output: one (entity, bl_id) row per hit.
+    */
+  private def watchedBlHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Funcs
+    val ips = entityIps(s, dir)
+    def setList(id: String, pred: Column): DataFrame =
+      ips.filter(pred).select(lit(id).as("bl_id"), col("ip"))
+    val torFeed = ips.filter(col("entity") % 5 === 0)
+      .select(concat(Funcs.int2ipstr(col("ip")), lit(" # tor exit")).as("line"))
+    val torList = graft.sources.Feeds.parseBlacklistLines(torFeed)
+      .select(lit("tor_project_org_ips").as("bl_id"), col("ip"))
+    val setLists = torList
+      .unionByName(setList("blocklist-de-ssh", col("ip") % 7 === 0))
+      .unionByName(setList("uceprotect", col("ip") % 11 === 3))
+      .unionByName(setList("sorbs-dul", col("ip") % 13 === 5))
+      .unionByName(setList("sorbs-noserver", col("ip") % 17 === 2))
+      .unionByName(setList("sorbs-spam", col("ip") % 19 === 7))
+      .unionByName(setList("spamcop", col("ip") % 23 === 1))
+      .unionByName(setList("spamhaus-xbl-cbl", col("ip") % 29 === 0))
+    val prefixLists = Seq(
+      ("spamhaus-pbl", 5L * 268435456L, 6L * 268435456L - 1L),
+      ("spamhaus-pbl-isp", 13L * 268435456L, 14L * 268435456L - 1L))
+      .toDF("bl_id", "first", "last")
+    graft.sources.Intel.blMembership(ips, setLists, prefixLists)
+  }
+
   /** Word-3-shingle + exact-Jaccard CTE chain shared by the dedup oracles
     * (DuckDB dialect). Mirrors `Dedup.shingles`/`attachJaccard`: distinct word
     * 3-grams, pair intersections off the inverted-index self-join, Jaccard
@@ -1413,19 +1457,25 @@ object SparkEntry {
        |    CAST(sum(total1) AS BIGINT) AS p_total1,
        |    CAST(sum(total7) AS BIGINT) AS p_total7,
        |    count(*) AS p_members,
+       |    CAST(sum(CASE WHEN total1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_ips1,
+       |    CAST(sum(CASE WHEN total7 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_ips7,
        |    CAST(round(CAST(sum(CAST(rep AS DECIMAL(18,6))) / count(*) AS DECIMAL(28,10)), 6)
        |         AS DOUBLE) AS p_avg_rep,
+       |    CAST(sum(nodes_1d) AS BIGINT) AS p_nodes1,
        |    CAST(sum(nodes_7d) AS BIGINT) AS p_nodes7,
+       |    CAST(sum(conns1) AS BIGINT) AS p_conns1,
        |    CAST(sum(conns7) AS BIGINT) AS p_conns7,
        |    CAST(sum(CAST(ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_ewma,
+       |    CAST(sum(CAST(conns_ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_conns_ewma,
        |    CAST(sum(CAST(bin_ewma AS DECIMAL(18,6))) AS DOUBLE) AS p_bin_ewma
        |  FROM b GROUP BY 1),
        |cp AS (SELECT entity % 8 AS gk, count(*) AS ctry_known FROM snap GROUP BY 1),
        |ap AS (SELECT ((entity // 16) * 7) % 50 AS ak, count(*) AS asn_known FROM snap GROUP BY 1),
        |j AS (
        |  SELECT b.*, iv2.mean_days, iv2.median_days,
-       |    pfx.p_total1, pfx.p_total7, pfx.p_members, pfx.p_avg_rep,
-       |    pfx.p_nodes7, pfx.p_conns7, pfx.p_ewma, pfx.p_bin_ewma,
+       |    pfx.p_total1, pfx.p_total7, pfx.p_members, pfx.p_ips1, pfx.p_ips7,
+       |    pfx.p_avg_rep, pfx.p_nodes1, pfx.p_nodes7, pfx.p_conns1,
+       |    pfx.p_conns7, pfx.p_ewma, pfx.p_conns_ewma, pfx.p_bin_ewma,
        |    CAST(round(CAST(cp.ctry_known / ((cp.gk + 1) * 1000.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS ctry_badness,
        |    CAST(round(CAST(ap.asn_known / ((ap.ak + 1) * 100.0) AS DECIMAL(28,10)), 6) AS DOUBLE) AS asn_badness,
        |    'h' || b.entity || ['.cs.uni.edu', '.agency.gov', '.dyn.example.com',
@@ -1457,14 +1507,26 @@ object SparkEntry {
        |  round(ln(1 + p_total7), 4) AS f_p_e7,
        |  p_total7 AS f_p_total7,
        |  p_members AS f_p_members,
+       |  p_ips1 AS f_p_ips1,
+       |  p_ips7 AS f_p_ips7,
        |  p_avg_rep AS f_p_avg_rep,
+       |  p_nodes1 AS f_p_nodes1,
        |  p_nodes7 AS f_p_nodes7,
+       |  round(ln(1 + p_conns1), 4) AS f_p_conns1,
        |  round(ln(1 + p_conns7), 4) AS f_p_conns7,
        |  p_ewma AS f_p_ewma,
+       |  p_conns_ewma AS f_p_conns_ewma,
        |  p_bin_ewma AS f_p_bin_ewma,
        |  CAST(entity % 5 = 0 AS INT) AS f_bl_tor,
-       |  CAST(entity % 7 = 3 AS INT) AS f_bl_ssh,
-       |  CAST(entity % 11 = 1 AS INT) AS f_bl_spam,
+       |  CAST(ip % 7 = 0 AS INT) AS f_bl_ssh,
+       |  CAST(ip % 11 = 3 AS INT) AS f_bl_uce,
+       |  CAST(ip % 13 = 5 AS INT) AS f_bl_sorbs_dul,
+       |  CAST(ip % 17 = 2 AS INT) AS f_bl_sorbs_noserver,
+       |  CAST(ip % 19 = 7 AS INT) AS f_bl_sorbs_spam,
+       |  CAST(ip % 23 = 1 AS INT) AS f_bl_spamcop,
+       |  CAST(ip // 268435456 = 5 AS INT) AS f_bl_pbl,
+       |  CAST(ip // 268435456 = 13 AS INT) AS f_bl_pbl_isp,
+       |  CAST(ip % 29 = 0 AS INT) AS f_bl_xbl,
        |  CAST(entity % 6 != 0 AS INT) AS f_hostname,
        |  CASE WHEN entity % 6 = 0 THEN 0
        |       WHEN CAST(entity % 4 AS INT) IN (0, 1) THEN 1
@@ -2305,14 +2367,17 @@ object SparkEntry {
          |WHERE CAST(round(CAST(h.i * 1.0 / z.bsz AS DECIMAL(28,10)), 6) AS DOUBLE) >= 0.6
          |ORDER BY h.doc_id, h.bench_id""".stripMargin,
 
+    // weights as cnt^(1/τ) (the n^(1/τ) factor cancels against the total —
+    // same algebra as Sample.temperatureSample, one aggregate pass) and p
+    // quantized to 12 decimals BEFORE the membership comparison so a last-ulp
+    // pow/sum divergence between engines cannot flip a draw at the boundary
     "llm_temp_sample" ->
-      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |s AS (SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY 1),
-        |w AS (SELECT stratum, cnt, pow(cnt / nn.n, 1.0 / 2.0) AS w FROM s, nn),
-        |t AS (SELECT sum(w) AS tot FROM w),
+      """WITH s AS (SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, cnt, pow(cnt, 1.0 / 2.0) AS pw FROM s),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, sum(pw) AS tot FROM w),
         |p AS (
-        |  SELECT stratum, least(1.0, (0.5 * nn.n / t.tot) * w / cnt) AS p
-        |  FROM w, t, nn)
+        |  SELECT stratum, round(least(1.0, (0.5 * t.n / t.tot) * pw / cnt), 12) AS p
+        |  FROM w, t)
         |SELECT d.doc_id, d.lang AS stratum, round(p.p, 6) AS keep_p
         |FROM documents d JOIN p ON p.stratum = d.lang
         |WHERE CAST('0x' || substring(md5('tsamp|' || d.doc_id), 1, 8) AS BIGINT)
@@ -2325,6 +2390,19 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
         |      FROM documents)
         |WHERE rk <= 40 ORDER BY stratum, rk""".stripMargin,
+
+    // sub-bucketed variant: bucket from an INDEPENDENT salted hash, rank
+    // within (stratum, bucket), quota/B per bucket (40/4 = 10 — no remainder)
+    "llm_strat_bucketed" ->
+      """SELECT doc_id, stratum, bucket, rk
+        |FROM (SELECT doc_id, lang AS stratum,
+        |        CAST('0x' || substring(md5('bkt|' || text), 1, 8) AS BIGINT) % 4 AS bucket,
+        |        row_number() OVER (
+        |          PARTITION BY lang,
+        |            CAST('0x' || substring(md5('bkt|' || text), 1, 8) AS BIGINT) % 4
+        |          ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10 ORDER BY stratum, bucket, rk""".stripMargin,
 
     "llm_shuffle_order" ->
       """SELECT doc_id,

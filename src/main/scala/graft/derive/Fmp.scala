@@ -35,13 +35,36 @@ import org.apache.spark.sql.functions._
   */
 object Fmp {
 
+  /** The ten watched blacklist feeds (`fmp_updater.py:371–382` `watched_bl`)
+    * and the feature column each one-hot lands in.
+    */
+  val WatchedBl: Seq[(String, String)] = Seq(
+    "tor_project_org_ips" -> "f_bl_tor",
+    "blocklist-de-ssh"    -> "f_bl_ssh",
+    "uceprotect"          -> "f_bl_uce",
+    "sorbs-dul"           -> "f_bl_sorbs_dul",
+    "sorbs-noserver"      -> "f_bl_sorbs_noserver",
+    "sorbs-spam"          -> "f_bl_sorbs_spam",
+    "spamcop"             -> "f_bl_spamcop",
+    "spamhaus-pbl"        -> "f_bl_pbl",
+    "spamhaus-pbl-isp"    -> "f_bl_pbl_isp",
+    "spamhaus-xbl-cbl"    -> "f_bl_xbl")
+
   /** @param events   raw events (conns, last-day, and the interval ring
     *                  come from here)
     * @param snapshot output of `Derive.snapshot` (alert counters, EWMA, rep)
     * @param today    processing day (determinism: passed explicitly)
+    * @param watchedBl materialized blacklist membership, one (entity, bl_id)
+    *                  row per hit — the `rec['bl']` array the reference's
+    *                  updater reads (`fmp_updater.py:371–382`), produced by
+    *                  the engine's own feed joins (`Intel.blMembership`).
+    *                  Blacklists are tiny against a 100-TB entity space, so
+    *                  the aggregated per-entity sets broadcast onto the
+    *                  feature assembly; entities with no hits see all-zero
+    *                  one-hots through the left join.
     */
   def features(events: DataFrame, snapshot: DataFrame, today: String,
-               prefixBits: Int = 4): DataFrame = {
+               watchedBl: DataFrame, prefixBits: Int = 4): DataFrame = {
     graft.GraftExtensions.register(events.sparkSession)
     val prefixSize = 1L << prefixBits
 
@@ -84,16 +107,23 @@ object Fmp {
         sum(col("total1")).as("p_total1"),
         sum(col("total7")).as("p_total7"),
         count(lit(1)).as("p_members"),
+        // active-member counts (prefix_ips_1d / prefix_ips_7d): members with
+        // any alert inside the window, not the full membership count
+        sum(when(col("total1") > 0, 1L).otherwise(0L)).as("p_ips1"),
+        sum(when(col("total7") > 0, 1L).otherwise(0L)).as("p_ips7"),
         // exact decimal sum, then the decimal-hop round: the average can land
         // exactly on a half at 6 dp (seen at sf0.1: 1.1518/16 = 0.0719875),
         // where Spark's string-based and DuckDB's binary round disagree
         round((sum(col("rep").cast("decimal(18,6)")) / count(lit(1)))
           .cast("decimal(28,10)"), 6).cast("double").as("p_avg_rep"),
+        sum(col("nodes_1d")).as("p_nodes1"),
         sum(col("nodes_7d")).as("p_nodes7"),
+        sum(col("conns1")).as("p_conns1"),
         sum(col("conns7")).as("p_conns7"),
         // decimal sums: exact regardless of shuffle order (the members are
         // 6-dp rounded doubles whose double-sum would be order-dependent)
         sum(col("ewma").cast("decimal(18,6)")).cast("double").as("p_ewma"),
+        sum(col("conns_ewma").cast("decimal(18,6)")).cast("double").as("p_conns_ewma"),
         sum(col("bin_ewma").cast("decimal(18,6)")).cast("double").as("p_bin_ewma"))
 
     // ---- geo badness priors: known-entity count / address-space size,
@@ -119,6 +149,11 @@ object Fmp {
     val host = concat(lit("h"), col("entity"), suffix)
     val ip = (col("entity") * 2654435761L) % 4294967296L
 
+    // per-entity blacklist-hit sets: the `bl[]` array the updater reads,
+    // broadcast (membership ≪ entity space) with all-zero fallback
+    val blSets = watchedBl.groupBy(col("entity"))
+      .agg(collect_set(col("bl_id")).as("bl"))
+
     val withP = base
       .withColumn("prefix", (col("entity") / prefixSize).cast("long"))
       .join(broadcast(prefix), Seq("prefix"))
@@ -126,12 +161,13 @@ object Fmp {
       .join(broadcast(ctryPrior), Seq("gk"))
       .withColumn("ak", expr("entity div 16") * 7 % 50)
       .join(broadcast(asnPrior), Seq("ak"))
+      .join(broadcast(blSets), Seq("entity"), "left")
       .withColumn("last_age", datediff(lit(today).cast("date"), col("last_day")))
     val decay = exp(-col("last_age") / 7.0d)
     val z = lit(-3d) + lit(2d) * col("rep") + lit(0.1d) * log1p(col("total7")) +
       lit(0.5d) * decay
 
-    withP.select(
+    withP.select(Seq(
       col("entity"),
       // alert metadata (log1p model inputs, fmp_updater.py:398–409)
       round(log1p(col("total1")), 4).as("f_e1"),
@@ -151,20 +187,26 @@ object Fmp {
       // interval features, exp(-x) transformed (:421–433)
       round(exp(-col("mean_days")), 4).as("f_intervals_avg"),
       round(exp(-col("median_days")), 4).as("f_intervals_med"),
-      // prefix aggregates (:436–463)
+      // prefix aggregates (:436–463) — the full 1d/7d/ewma set
       round(log1p(col("p_total1")), 4).as("f_p_e1"),
       round(log1p(col("p_total7")), 4).as("f_p_e7"),
       col("p_total7").as("f_p_total7"),
       col("p_members").as("f_p_members"),
+      col("p_ips1").as("f_p_ips1"),
+      col("p_ips7").as("f_p_ips7"),
       col("p_avg_rep").as("f_p_avg_rep"),
+      col("p_nodes1").as("f_p_nodes1"),
       col("p_nodes7").as("f_p_nodes7"),
+      round(log1p(col("p_conns1")), 4).as("f_p_conns1"),
       round(log1p(col("p_conns7")), 4).as("f_p_conns7"),
       col("p_ewma").as("f_p_ewma"),
-      col("p_bin_ewma").as("f_p_bin_ewma"),
-      // blacklist one-hots (:370–380)
-      (col("entity") % 5 === 0).cast("int").as("f_bl_tor"),
-      (col("entity") % 7 === 3).cast("int").as("f_bl_ssh"),
-      (col("entity") % 11 === 1).cast("int").as("f_bl_spam"),
+      col("p_conns_ewma").as("f_p_conns_ewma"),
+      col("p_bin_ewma").as("f_p_bin_ewma")
+    ) ++ WatchedBl.map { case (blId, colName) =>
+      // blacklist one-hots (:370–380): JOINED membership, not a synthesized
+      // predicate — array_contains over the broadcast bl[] set
+      coalesce(array_contains(col("bl"), lit(blId)).cast("int"), lit(0)).as(colName)
+    } ++ Seq(
       // hostname / tag features (:474–503)
       hostExists.cast("int").as("f_hostname"),
       when(!hostExists, 0).when(sfx.isin(0, 1), 1).when(sfx === 2, -1)
@@ -175,7 +217,7 @@ object Fmp {
       // geolocation badness (:506–514)
       col("ctry_badness").as("f_ctry_badness"),
       col("asn_badness").as("f_asn_badness"),
-      round(lit(1d) / (lit(1d) + exp(-z)), 4).as("fmp_general"))
+      round(lit(1d) / (lit(1d) + exp(-z)), 4).as("fmp_general")): _*)
   }
 
   // ---- tree-ensemble model apply (fmp_updater.py:521 `clf.predict_proba`) --
@@ -241,6 +283,6 @@ object Fmp {
       Split("f_hostname", 1, Leaf(0.125), Leaf(-0.0625))),
     Split("f_dyn_static", 0,
       Leaf(0.3125),
-      Split("f_dsl", 1, Split("f_bl_spam", 1, Leaf(-0.03125), Leaf(0.21875)),
+      Split("f_dsl", 1, Split("f_bl_sorbs_spam", 1, Leaf(-0.03125), Leaf(0.21875)),
         Leaf(-0.25))))
 }

@@ -83,15 +83,27 @@ object Dedup {
         explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("s"))
       .distinct()
 
+  /** Default document-frequency cap for the inverted-index candidate join.
+    * A shingle shared by df documents contributes df² candidate rows, so the
+    * uncapped index is super-linear in corpus size (measured 3.3× normalized
+    * at a 10× scale smoke); capping bounds any single shingle's contribution
+    * at cap² while dropping only stop-shingles that carry no near-dup signal
+    * (a pair at Jaccard ≥ 0.8 shares hundreds of DISCRIMINATIVE shingles —
+    * `LlmOpsSpec` pins recall vs. the exact result at the default threshold).
+    */
+  val DefaultMaxShingleDf = 1000
+
   /** Exact shingle-Jaccard near-duplicate pairs via an inverted-index join:
     * candidates are pairs sharing at least one shingle (a superset of any
     * positive-threshold result), intersections counted per pair, sizes joined
     * back. `maxShingleDf` drops shingles whose document frequency exceeds the
     * cap — the skew guard for 100 TB (a shingle in 10⁶ docs would contribute
-    * 10¹² candidate rows); None keeps exact semantics.
+    * 10¹² candidate rows). CAPPED BY DEFAULT: the uncapped index is the one
+    * job shape here that cannot finish at corpus scale, so exact semantics
+    * are opt-in (`maxShingleDf = None`), not a flag you can forget.
     */
   def nearDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxShingleDf: Option[Int] = None): DataFrame =
+                   maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
     nearDupPairsFromShingles(shingles(docs, n), threshold, maxShingleDf)
 
   /** Same, over a prepared shingle table — at corpus scale the (doc, shingle)
@@ -99,7 +111,7 @@ object Dedup {
     * candidate generator (inverted-index, MinHash), not re-derived per query.
     */
   def nearDupPairsFromShingles(sh0: DataFrame, threshold: Double,
-                               maxShingleDf: Option[Int]): DataFrame = {
+                               maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
@@ -207,6 +219,14 @@ object Dedup {
   /** Drop the cached blocks behind a `localCheckpoint`ed frame. The blocks
     * belong to the checkpointed RDD inside the frame's `LogicalRDD`, not to
     * the Dataset cache, so `Dataset.unpersist` cannot reach them.
+    *
+    * WARNING: the freed blocks are the ONLY copy of the checkpointed data —
+    * `localCheckpoint` truncates lineage, so there is no recompute path.
+    * Call this only when the frame is provably dead (every action on it has
+    * completed and nothing will reference it again); a use-after-free fails
+    * at RUNTIME with "checkpoint block not found", not at compile time. In
+    * [[components]] the free sits immediately before the `e = next`
+    * reassignment for exactly this reason — keep it there.
     */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
@@ -320,29 +340,62 @@ object Dedup {
     *     the exact anti-join verification, so the join input is a sliver of
     *     the batch and the result is EXACT regardless of the fpp.
     *
+    * Sizing is DERIVED, not caller-supplied: `numBits` comes from the
+    * standard `(expectedPrior, fpp)` formula (see [[bloomBitsFor]]), so the
+    * two knobs cannot drift apart — an under-bit filter silently degrades to
+    * all-maybe-dup, which keeps the answer exact but pays the full join this
+    * operator exists to avoid. When honest sizing would exceed `maxBits`
+    * (the sketch is a driver-side plan literal; ~10⁹ priors at 1% is ~1.2 GB)
+    * the operator logs and falls back to the plain distinct anti-join rather
+    * than ship a filter that no longer filters.
+    *
     * Output: the incoming rows that are not byte-duplicates of any prior
     * doc, with their digests.
     */
   def incrementalExactDedup(docs: DataFrame, cutoff: Long,
                             expectedPrior: Long = 1000000L,
-                            numBits: Long = 8000000L): DataFrame = {
+                            fpp: Double = 0.02,
+                            maxBits: Long = 1L << 30): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
     val withDigest = docs.withColumn("digest", md5(col("text")))
     val prior = withDigest.filter(col("doc_id") < cutoff).select(col("digest"))
     val incoming = withDigest.filter(col("doc_id") >= cutoff)
       .select(col("doc_id"), col("digest"))
-    val bf = prior
-      .agg(expr(s"graft_bloom_agg(xxhash64(digest), ${expectedPrior}L, ${numBits}L)"))
-      .head.getAs[Array[Byte]](0)
-    if (bf == null) incoming // empty prior: everything is new
-    else {
-      val maybeDup = call_function("graft_might_contain", lit(bf), xxhash64(col("digest")))
-      incoming.filter(!maybeDup)
-        .unionByName(
-          incoming.filter(maybeDup)
-            .join(prior.distinct(), Seq("digest"), "left_anti")
-            .select(col("doc_id"), col("digest")))
+    val exactAntiJoin = incoming.join(prior.distinct(), Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+    val numBits = bloomBitsFor(expectedPrior, fpp)
+    if (numBits > maxBits) {
+      log.warn(s"incrementalExactDedup: honest Bloom sizing ($numBits bits for " +
+        s"$expectedPrior priors at fpp=$fpp) exceeds maxBits=$maxBits; " +
+        "falling back to the plain anti-join")
+      exactAntiJoin
+    } else {
+      val bf = prior
+        .agg(expr(s"graft_bloom_agg(xxhash64(digest), ${expectedPrior}L, ${numBits}L)"))
+        .head.getAs[Array[Byte]](0)
+      if (bf == null) incoming // empty prior: everything is new
+      else {
+        val maybeDup = call_function("graft_might_contain", lit(bf), xxhash64(col("digest")))
+        incoming.filter(!maybeDup)
+          .unionByName(
+            incoming.filter(maybeDup)
+              .join(prior.distinct(), Seq("digest"), "left_anti")
+              .select(col("doc_id"), col("digest")))
+      }
     }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Standard Bloom sizing: m = ⌈−n·ln(p) / (ln 2)²⌉ bits for n expected
+    * items at false-positive rate p (with the optimal hash count Spark's
+    * implementation derives from m/n, the realized rate lands on p).
+    */
+  def bloomBitsFor(expectedItems: Long, fpp: Double): Long = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val ln2 = math.log(2)
+    math.max(64L, math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
   }
 
   /** Banded-LSH pipeline over a prepared shingle table (see

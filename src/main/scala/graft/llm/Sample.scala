@@ -21,10 +21,9 @@ object Sample {
     *
     * Scale shape: one shuffle partitioning by the stratum column. Strata are
     * few (languages × sources) but large at 100 TB, so a single giant
-    * stratum serializes through one partition's sort; the scale-out variant
-    * sub-buckets each stratum by an md5 prefix into B buckets and takes
-    * quota/B per bucket — statistically identical, embarrassingly parallel.
-    * The exact-rank variant is implemented because it is oracle-exact.
+    * stratum serializes through one partition's sort; [[stratifiedBucketed]]
+    * is the scale-out form. The exact-rank variant stays because it is
+    * oracle-exact and the right tool when strata are modest.
     */
   def stratified(docs: DataFrame, strataCol: String, quota: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol)).orderBy(md5(col("text")), col("doc_id"))
@@ -32,6 +31,40 @@ object Sample {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= quota)
       .select(col("doc_id"), col(strataCol).as("stratum"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Scale-out stratified sample: each stratum is sub-bucketed by an
+    * INDEPENDENT salted md5 hash into `buckets` buckets and each bucket takes
+    * its share of the quota (quota/B, the first quota%B buckets one extra) by
+    * the same md5 rank [[stratified]] uses. Statistically identical to the
+    * exact-rank sample — bucket membership is a uniform draw independent of
+    * the rank key — but the sort partitions by (stratum, bucket), so a
+    * dominant stratum (English at 60% of a 100-TB corpus) fans out across B
+    * parallel sorts instead of serializing through one partition.
+    *
+    * `buckets = 1` degenerates to exactly [[stratified]] (plus the bucket
+    * column); at any B the per-stratum total is exactly `quota` whenever
+    * every bucket holds at least its share (short buckets under-fill, never
+    * spill into neighbors — the price of zero cross-bucket coordination).
+    */
+  def stratifiedBucketed(docs: DataFrame, strataCol: String, quota: Int,
+                         buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // salted hash ("bkt|" prefix): bucket membership must be independent of
+    // the md5(text) RANK key, or low buckets would collect low ranks
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("bkt|"), col("text"))), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val share = when(col("bucket") < lit(quota % buckets), lit(quota / buckets + 1))
+      .otherwise(lit(quota / buckets))
+    val w = Window.partitionBy(col(strataCol), col("bucket"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= share)
+      .select(col("doc_id"), col(strataCol).as("stratum"), col("bucket"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** Sequence-packing manifest: assign each document a (bin, offset) inside
@@ -70,19 +103,31 @@ object Sample {
     * always yields the same mix and any inclusion is recomputable. The
     * per-stratum table is a handful of rows, broadcast onto the scan: one
     * aggregate pass + one narrow filtered projection, no shuffle of the
-    * corpus itself.
+    * corpus itself. The two corpus scalars (size, weight total) come from ONE
+    * driver action over the per-stratum counts: with
+    * `w = (cnt/n)^(1/τ)`, `p = targetFrac·n·w / (cnt·Σw)` rewrites to
+    * `targetFrac·n·cnt^(1/τ) / (cnt·Σ cnt^(1/τ))` — the n^(1/τ) factor
+    * cancels, so no pass needs `n` before the weights exist.
+    *
+    * `p` is quantized to 12 decimals BEFORE the membership comparison:
+    * the weight total is a float sum whose last ulp can differ between
+    * engines (partition order, libm pow), and an unquantized `u < p` flips
+    * any doc whose draw lands within that ulp. 12 decimals is far below any
+    * sampling-precision concern (quota error ≤ n·10⁻¹²) and far above
+    * cross-engine float noise.
     */
   def temperatureSample(docs: DataFrame, strataCol: String, tau: Double,
                         targetFrac: Double = 0.5): DataFrame = {
-    val n = docs.count().toDouble // one scalar: the corpus size
     val shares = docs.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("w", pow(col("cnt") / n, 1.0d / tau))
-    val totW = shares.agg(sum(col("w"))).head.getDouble(0)
-    // expected kept rows per stratum = n·targetFrac·w/totW ⇒ per-doc
+      .withColumn("pw", pow(col("cnt"), 1.0d / tau))
+    val totals = shares.agg(sum(col("cnt")), sum(col("pw"))).head
+    val n = totals.getLong(0).toDouble
+    val totPw = totals.getDouble(1)
+    // expected kept rows per stratum = n·targetFrac·w/Σw ⇒ per-doc
     // probability is that over the stratum count, capped at keep-everything
     val probs = shares.withColumn("p",
-      least(lit(1d), lit(targetFrac * n / totW) * col("w") / col("cnt")))
+      round(least(lit(1d), lit(targetFrac * n / totPw) * col("pw") / col("cnt")), 12))
     val u = conv(substring(md5(concat_ws("|", lit("tsamp"), col("doc_id"))), 1, 8), 16, 10)
       .cast("double") / 4294967296.0d
     docs.select(col("doc_id"), col(strataCol).as("stratum"))

@@ -61,6 +61,22 @@ object Intel {
         size(collect_set(col("bl_id"))).cast("long").as("n_hits"))
   }
 
+  /** Watched-blacklist membership rows — the materialization the FMP
+    * updater's one-hots read (`NERDd/fmp_updater.py:371–382` consumes the
+    * record's `bl[]` array, which the blacklist module filled from exactly
+    * these set/prefix feeds). Same join shapes as [[redisBlHits]] but emitting
+    * one (entity, bl_id) row per hit, un-aggregated, so consumers choose
+    * their own shape (one-hot pivot, set collection, counts).
+    */
+  def blMembership(ips: DataFrame, setLists: DataFrame, prefixLists: DataFrame): DataFrame = {
+    val setHits = ips.join(broadcast(setLists), Seq("ip"))
+      .select(col("entity"), col("bl_id"))
+    val prefixHits = ips.join(broadcast(prefixLists),
+        col("ip").between(col("first"), col("last")))
+      .select(col("entity"), col("bl_id"))
+    setHits.unionByName(prefixHits)
+  }
+
   /** DNSBL lookups (reference `NERDd/modules/dnsbl.py:73–86,89–249`): the
     * query name is the octet-reversed IP prefixed to the zone; the daily
     * request budget (`dnsbl.max_requests`, 150k/day) caps how many entities

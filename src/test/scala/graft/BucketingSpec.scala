@@ -37,7 +37,9 @@ class BucketingSpec extends AnyFunSuite {
       val loc = new java.io.File(
         new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() is null on I/O error — don't turn a cleanup hiccup
+        // into an NPE that pre-empts the actual assertion
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
         f.delete(); ()
       }
       if (loc.exists()) rm(loc)

@@ -367,6 +367,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(kept.values.sum - 400L) < 80, s"total kept ${kept.values.sum} far from target 400")
   }
 
+  test("bucketed stratified sample degenerates to exact-rank at B=1, fans out and fills quota at B>1") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    // B=1 is exactly the exact-rank sampler (same doc set AND same ranks)
+    val exact = graft.llm.Sample.stratified(docs, "lang", quota = 40)
+      .select(col("doc_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = graft.llm.Sample.stratifiedBucketed(docs, "lang", quota = 40, buckets = 1)
+      .select(col("doc_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1 == exact)
+    // B=4: the per-stratum sort fans out across more (stratum, bucket)
+    // groups than there are strata — the scale-out property
+    val b4 = graft.llm.Sample.stratifiedBucketed(docs, "lang", quota = 40, buckets = 4)
+    val groups = b4.select(col("stratum"), col("bucket")).distinct().count()
+    val strata = docs.select(col("lang")).distinct().count()
+    assert(groups > strata, s"no fan-out: $groups groups for $strata strata")
+    // quota accuracy: never over; filled exactly when the stratum is large
+    // enough that each of 4 buckets surely drew its 10 (>=120 docs puts a
+    // short bucket 4+ binomial sigmas out — and the draw is deterministic)
+    val per = b4.groupBy(col("stratum")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.foreach { case (s, n) => assert(n <= 40, s"stratum $s over quota: $n") }
+    val big = sizes.filter(_._2 >= 120).keys
+    assert(big.nonEmpty, "fixture has no large stratum — quota assertion is vacuous")
+    big.foreach { s =>
+      assert(per.getOrElse(s, 0L) == 40L, s"large stratum $s under-filled: ${per.get(s)}")
+    }
+  }
+
   test("incremental Bloom dedup is exact even with a saturated filter") {
     import spark.implicits._
     val docs = Seq(
@@ -374,19 +406,78 @@ class LlmOpsSpec extends AnyFunSuite {
       // incoming: 10 is a byte-dup of prior 1, 11/12 are new
       (10L, "alpha beta"), (11L, "fresh text here"), (12L, "gamma delta x"))
       .toDF("doc_id", "text")
-    // 8 bits for 3 priors: the filter is saturated, nearly everything is a
-    // "maybe" — the anti-join verification must still yield the exact set
+    // UNDERSIZED: lie that one prior exists at a loose fpp — sizing clamps to
+    // the 64-bit floor, the filter saturates, nearly everything is a "maybe"
+    // — the anti-join verification must still yield the exact set
     val tiny = Dedup.incrementalExactDedup(docs, cutoff = 10L,
-      expectedPrior = 3L, numBits = 8L)
+      expectedPrior = 1L, fpp = 0.5)
     assert(tiny.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
     // roomy filter: same exact result
     val roomy = Dedup.incrementalExactDedup(docs, cutoff = 10L,
-      expectedPrior = 1000L, numBits = 80000L)
+      expectedPrior = 1000L, fpp = 0.01)
     assert(roomy.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
     // empty prior: everything is new, no filter built
     val none = Dedup.incrementalExactDedup(docs, cutoff = 0L,
-      expectedPrior = 10L, numBits = 800L)
+      expectedPrior = 10L, fpp = 0.02)
     assert(none.count() == 6)
+    // oversized ask: honest sizing for 10^12 priors at 1% blows any literal
+    // budget — the operator must fall back to the plain anti-join, still exact
+    val fallback = Dedup.incrementalExactDedup(docs, cutoff = 10L,
+      expectedPrior = 1000000000000L, fpp = 0.01)
+    assert(fallback.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+  }
+
+  test("bloom sizing formula hits the requested fpp within tolerance") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val n = 5000L
+    val fpp = 0.05
+    val bits = Dedup.bloomBitsFor(n, fpp)
+    // ~ -n ln(p)/(ln 2)^2 = n * 6.235... at p=0.05
+    assert(bits >= (n * 6).toLong && bits <= (n * 7).toLong, s"bits=$bits")
+    val members = spark.range(n).select(col("id"))
+    val bf = members.agg(expr(s"graft_bloom_agg(xxhash64(id), ${n}L, ${bits}L)"))
+      .head.getAs[Array[Byte]](0)
+    // probe 20k NON-members; the realized rate must be within ±20% of the
+    // request (binomial noise at 20k draws is ~±3% relative, well inside)
+    val probes = 20000L
+    val hits = spark.range(n, n + probes)
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("id"))))
+      .count()
+    val realized = hits.toDouble / probes
+    assert(realized <= fpp * 1.2, s"realized fpp $realized vs requested $fpp")
+    assert(realized >= fpp * 0.5, s"suspiciously low fpp $realized — oversized filter?")
+  }
+
+  test("capped near-dedup default recalls the exact pair set at threshold 0.8") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // boilerplate header shared by EVERY doc (hot shingles, df = |docs|) +
+    // per-doc unique bodies; docs 100/101 and 200/201 are true near-dups
+    val header = "terms of service apply to all content on this site"
+    val docs = ((0L until 60L).map { i =>
+      (i, s"$header unique body ${i}a ${i}b ${i}c ${i}d ${i}e ${i}f ${i}g ${i}h")
+    } ++ Seq(
+      (100L, s"$header shared dup body one two three four five six seven eight nine"),
+      (101L, s"$header shared dup body one two three four five six seven eight nine ten"),
+      (200L, s"$header another dup text red green blue cyan magenta yellow black"),
+      (201L, s"$header another dup text red green blue cyan magenta yellow black white")
+    )).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.nearDupPairs(docs, n = 3, threshold = 0.8, maxShingleDf = None)
+      .select(col("d1"), col("d2")).collect().map(key).toSet
+    // cap at a df that kills the 64-doc boilerplate shingles but none of the
+    // discriminative ones — the DEFAULT behavior class at corpus scale
+    val capped = Dedup.nearDupPairs(docs, n = 3, threshold = 0.8, maxShingleDf = Some(10))
+      .select(col("d1"), col("d2")).collect().map(key).toSet
+    assert(exact.nonEmpty, "fixture must contain true near-dup pairs")
+    // recall pin: a >=0.8-Jaccard pair shares mostly discriminative shingles,
+    // so dropping stop-shingles must not lose it
+    assert(exact.subsetOf(capped), s"capped path lost pairs: ${exact -- capped}")
+    // and the default signature IS capped now — the 100-TB footgun is opt-in
+    assert(Dedup.nearDupPairs(docs, n = 3, threshold = 0.8)
+      .select(col("d1"), col("d2")).collect().map(key).toSet == exact)
   }
 
   test("snapshot stays within its 2-shuffle budget") {

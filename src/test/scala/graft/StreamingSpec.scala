@@ -20,6 +20,10 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the watermarked day-window test needs the trailing no-data micro-batch
+    // to flush append-mode windows closed by the final batch's watermark;
+    // pin the behavior rather than rely on the default staying true
+    .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     .getOrCreate()
 
   test("streamed micro-batches converge to the one-shot fold") {
