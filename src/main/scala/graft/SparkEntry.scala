@@ -1323,6 +1323,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
           max(col("event_id")).as("last_id"))
         .orderBy(col("status"))
+    }),
+
+    // -- event batch-insert sink, end-to-end (eventdb_psql.py:152–211): base
+    //    commit + appended batch through a REAL parquet store, re-read and
+    //    listed. The listing is wrong (half the counts) if the append missed.
+    "nerd_event_append" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val store = java.nio.file.Files.createTempDirectory("graft-evdb").toString
+      ev.filter(col("event_id") % 2 === 1).write.mode("overwrite").parquet(store)
+      ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(store)
+      s.read.parquet(store)
+        .groupBy(col("user_id").as("entity"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"),
+          max(unix_timestamp(col("ts"))).as("last_ts"))
+        .orderBy(col("entity"))
+    }),
+
+    // -- mapGroupsWithState streaming counters, end-to-end: the events fed
+    //    through a real file-source stream in two micro-batches (state must
+    //    carry across the batch boundary), final state vs the batch oracle --
+    "nerd_stream_counters" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val counts = graft.streaming.StreamIngest.statefulCounts(stream)
+      val qname = "sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-stream-ck").toString)
+        .start()
+      q.awaitTermination()
+      // update-mode sink holds one row per (entity, batch); the final state
+      // is the max (counters are monotone within a query run)
+      s.table(qname)
+        .groupBy(col("_1").as("entity"))
+        .agg(max(col("_2")).as("total"), max(col("_3")).as("last_activity"))
+        .orderBy(col("entity"))
+    }),
+
+    // -- on-demand record creation (nerd_main.py:1473–1489): a web request
+    //    is one `set _ttl.web now+3h` task folded onto the snapshot; unknown
+    //    entities materialize as fresh records, known ones just gain the
+    //    token. Requests: 5 known entities + 10 beyond the id space.
+    "nerd_ondemand" -> ((s, dir) => {
+      import s.implicits._
+      import graft.fold.{EntityFold, EntityState, TypedTask, UpdateTask}
+      import graft.ops.TaskCodec
+      import graft.ops.UpdateAlgebra.SetVal
+      val ev = events(s, dir)
+      val now = nowEpoch(s, dir)
+      val ttlWeb = now + 3L * 3600
+      def wire(ts: org.apache.spark.sql.Dataset[TypedTask]) =
+        ts.map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+      val snap = EntityFold.applyToSnapshot(s.emptyDataset[EntityState],
+        wire(EventTasks.preAggregated(ev)), now)
+      val known = ev.select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(5).as[Long].collect()
+      val requests = (known ++ (1L to 10L).map(maxUserId(s, dir) + _)).toSeq
+      implicit val enc = EntityFold.typedTaskEncoder
+      val webTasks = requests.toDS().map(e =>
+        TypedTask("ip", e, Long.MaxValue, "web", Seq(SetVal("_ttl.web", ttlWeb))))
+      val after = EntityFold.applyToSnapshot(snap, wire(webTasks), now)
+      after.flatMap(st =>
+          EventTasks.projectOnDemand(st.eid, TaskCodec.parseRec(st.json)))
+        .toDF()
+        .orderBy(col("entity"))
     })
   )
 
@@ -2954,6 +3028,41 @@ object SparkEntry {
         |      FROM events, mx)
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         |  min(event_id) AS first_id, max(event_id) AS last_id
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // base commit (odd ids) + appended batch (even ids) = the whole table;
+    // any missed append row shows up as a wrong count / id range
+    "nerd_event_append" ->
+      """SELECT user_id AS entity, count(*) AS n_events,
+        |  min(event_id) AS first_id, max(event_id) AS last_id,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY entity""".stripMargin,
+
+    // final mapGroupsWithState state across two micro-batches == one-shot
+    // batch counters over the same events
+    "nerd_stream_counters" ->
+      """SELECT user_id AS entity, count(*) AS total,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity
+        |FROM events GROUP BY 1 ORDER BY entity""".stripMargin,
+
+    // request set = 5 lowest known entities + 10 past the id space; a known
+    // entity keeps its event totals (created=0), an unknown one materializes
+    // as a fresh record carrying only the 3-hour web TTL token
+    "nerd_ondemand" ->
+      """WITH mx AS (
+        |  SELECT max(user_id) AS m,
+        |    CAST(floor(epoch(CAST(max(CAST(ts AS DATE)) + 1 AS TIMESTAMP))) AS BIGINT)
+        |      AS now
+        |  FROM events),
+        |known AS (SELECT DISTINCT user_id AS entity FROM events ORDER BY entity LIMIT 5),
+        |fresh AS (SELECT mx.m + i AS entity FROM mx, unnest(generate_series(1, 10)) AS t(i)),
+        |req AS (SELECT entity FROM known UNION ALL SELECT entity FROM fresh),
+        |tot AS (SELECT user_id AS entity, count(*) AS total FROM events GROUP BY 1)
+        |SELECT r.entity,
+        |  CASE WHEN t.entity IS NULL THEN 1 ELSE 0 END AS created,
+        |  coalesce(t.total, 0) AS total,
+        |  mx.now + 10800 AS ttl_web
+        |FROM req r LEFT JOIN tot t ON t.entity = r.entity, mx
+        |ORDER BY r.entity""".stripMargin
   )
 }

@@ -175,6 +175,21 @@ object EventTasks {
     OpsArray(eid, bl, rec.contains("lk"), rec("nru").asInstanceOf[Long])
   }
 
+  /** Projection for the on-demand web-record query (`NERDweb/nerd_main.py:
+    * 1473–1489`): defined (Some) only for entities holding a `_ttl.web`
+    * token, i.e. exactly the request set; `created` marks records that
+    * existed only because the web request created them.
+    */
+  case class OnDemandRecord(entity: Long, created: Int, total: Long, ttl_web: Long)
+
+  def projectOnDemand(eid: Long, rec: Rec): Option[OnDemandRecord] =
+    rec.get("_ttl").map(_.asInstanceOf[Rec]).flatMap(_.get("web")).map { w =>
+      val total = rec.get("events_meta")
+        .map(_.asInstanceOf[Rec]("total").asInstanceOf[Long]).getOrElse(0L)
+      OnDemandRecord(eid, if (rec.contains("events_meta")) 0 else 1, total,
+        w.asInstanceOf[Long])
+    }
+
   /** Projection for the delete/weak-task gate query. */
   case class OpsDelete(entity: Long, n: Long)
 
