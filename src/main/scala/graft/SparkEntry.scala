@@ -1373,12 +1373,16 @@ object SparkEntry {
     // -- on-demand record creation (nerd_main.py:1473–1489): a web request
     //    is one `set _ttl.web now+3h` task folded onto the snapshot; unknown
     //    entities materialize as fresh records, known ones just gain the
-    //    token. Requests: 5 known entities + 10 beyond the id space.
+    //    token. Requests: 5 known entities + 10 beyond the id space. The web
+    //    task arrives in the EXTERNAL wire format — the TTL travels as a
+    //    `{"$datetime": ...}` envelope that collapses to epoch micros at the
+    //    edge (task_queue.py:100–113; EdgeCodec/TaskCodec.parseExternal) —
+    //    so the envelope round-trips through a correctness row, not just a
+    //    unit test.
     "nerd_ondemand" -> ((s, dir) => {
       import s.implicits._
       import graft.fold.{EntityFold, EntityState, TypedTask, UpdateTask}
       import graft.ops.TaskCodec
-      import graft.ops.UpdateAlgebra.SetVal
       val ev = events(s, dir)
       val now = nowEpoch(s, dir)
       val ttlWeb = now + 3L * 3600
@@ -1389,10 +1393,13 @@ object SparkEntry {
       val known = ev.select(col("user_id")).distinct()
         .orderBy(col("user_id")).limit(5).as[Long].collect()
       val requests = (known ++ (1L to 10L).map(maxUserId(s, dir) + _)).toSeq
-      implicit val enc = EntityFold.typedTaskEncoder
+      // the wire payload a web node would enqueue: envelope in, micros out
+      val envelope = graft.functions.EdgeCodec.renderDatetime(ttlWeb * 1000000L)
+      val wireJson = s"""[["set","_ttl.web",{"$$datetime":"$envelope"}]]"""
+      val webOps = TaskCodec.render(TaskCodec.parseExternal(wireJson))
       val webTasks = requests.toDS().map(e =>
-        TypedTask("ip", e, Long.MaxValue, "web", Seq(SetVal("_ttl.web", ttlWeb))))
-      val after = EntityFold.applyToSnapshot(snap, wire(webTasks), now)
+        UpdateTask("ip", e, Long.MaxValue, "web", webOps))
+      val after = EntityFold.applyToSnapshot(snap, webTasks, now)
       after.flatMap(st =>
           EventTasks.projectOnDemand(st.eid, TaskCodec.parseRec(st.json)))
         .toDF()

@@ -178,7 +178,9 @@ object EventTasks {
   /** Projection for the on-demand web-record query (`NERDweb/nerd_main.py:
     * 1473–1489`): defined (Some) only for entities holding a `_ttl.web`
     * token, i.e. exactly the request set; `created` marks records that
-    * existed only because the web request created them.
+    * existed only because the web request created them. The token arrived
+    * through the external wire's `$datetime` envelope, so it is stored in
+    * epoch MICROSECONDS — projected back to seconds at the output edge.
     */
   case class OnDemandRecord(entity: Long, created: Int, total: Long, ttl_web: Long)
 
@@ -187,7 +189,7 @@ object EventTasks {
       val total = rec.get("events_meta")
         .map(_.asInstanceOf[Rec]("total").asInstanceOf[Long]).getOrElse(0L)
       OnDemandRecord(eid, if (rec.contains("events_meta")) 0 else 1, total,
-        w.asInstanceOf[Long])
+        w.asInstanceOf[Long] / 1000000L)
     }
 
   /** Projection for the delete/weak-task gate query. */
