@@ -1370,6 +1370,39 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- event-time state TTL, end-to-end: flatMapGroupsWithState counters
+    //    with a 1-hour event-time timeout over the same two-batch stream;
+    //    the trailing no-data micro-batch evaluates the final watermark and
+    //    emits one tombstone (n = -1) per expired group — the `_ttl`-token
+    //    eviction (!DELETE) as native streaming state timeout. Expiry bar in
+    //    the oracle: (last_activity + ttl)·1000 < watermark_ms, Spark's
+    //    strict-less timeout comparison.
+    "nerd_stream_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val src = java.nio.file.Files.createTempDirectory("graft-sttl-src").toString
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = graft.streaming.StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 3600L)
+      val qname = "sttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sttl-ck").toString)
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("_1").as("entity"))
+        .agg(
+          max(when(col("_2") =!= -1L, col("_2"))).as("total"),
+          max(col("_3")).as("last_activity"),
+          max(when(col("_2") === -1L, 1L).otherwise(0L)).as("expired"))
+        .orderBy(col("entity"))
+    }),
+
     // -- on-demand record creation (nerd_main.py:1473–1489): a web request
     //    is one `set _ttl.web now+3h` task folded onto the snapshot; unknown
     //    entities materialize as fresh records, known ones just gain the
@@ -1450,8 +1483,23 @@ object SparkEntry {
     * so parsing the rendered lines reproduces the membership exactly), the
     * rest as set/prefix lists through `Intel.blMembership` (the redis_bl
     * join shapes). Output: one (entity, bl_id) row per hit.
+    *
+    * Materialized ONCE per data dir (same pattern as [[shingleTable]]): the
+    * reference's blacklist module refreshes membership on its own cadence and
+    * the FMP updater just reads the stored `bl[]` arrays — re-deriving ten
+    * feed joins inside every feature query would be the wrong shape at any
+    * scale.
     */
-  private def watchedBlHits(s: SparkSession, dir: String): DataFrame = {
+  private val blHitsCache = new ConcurrentHashMap[String, DataFrame]()
+  private def watchedBlHits(s: SparkSession, dir: String): DataFrame =
+    blHitsCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val hits = buildWatchedBlHits(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hits.count()
+      hits
+    })
+
+  private def buildWatchedBlHits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Funcs
     val ips = entityIps(s, dir)
@@ -3051,6 +3099,20 @@ object SparkEntry {
       """SELECT user_id AS entity, count(*) AS total,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity
         |FROM events GROUP BY 1 ORDER BY entity""".stripMargin,
+
+    // state-TTL tombstones: a group expires iff its timeout timestamp
+    // (last_activity + 3600, in ms) is STRICTLY below the final watermark
+    // (max event time, ms-truncated) — Spark's timeout comparison
+    "nerd_stream_ttl" ->
+      """WITH g AS (
+        |  SELECT user_id AS entity, count(*) AS total,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) AS w FROM events)
+        |SELECT entity, total, last_activity,
+        |  CAST(CASE WHEN (last_activity + 3600) * 1000 < wm.w THEN 1 ELSE 0 END
+        |       AS BIGINT) AS expired
+        |FROM g, wm ORDER BY entity""".stripMargin,
 
     // request set = 5 lowest known entities + 10 past the id space; a known
     // entity keeps its event totals (created=0), an unknown one materializes

@@ -299,9 +299,22 @@ object StreamIngest {
           var n = prevN
           var last = prevLast
           rows.foreach { case (_, t) => n += 1; last = math.max(last, t.getTime / 1000) }
-          state.update((n, last))
-          state.setTimeoutTimestamp((last + ttlSecs) * 1000)
-          Iterator((uid, n, last))
+          val timeoutMs = (last + ttlSecs) * 1000
+          if (timeoutMs < state.getCurrentWatermarkMs()) {
+            // the group's data arrived with the watermark ALREADY past its
+            // would-be expiry (late-ish data after an earlier batch advanced
+            // the clock): a past timeout timestamp is rejected by the
+            // runtime, and semantically the record is expired the moment the
+            // batch commits — evict now, emitting the update and the
+            // tombstone in order (the reference's cleaner would delete it on
+            // the very next sweep)
+            state.remove()
+            Iterator((uid, n, last), (uid, -1L, last))
+          } else {
+            state.update((n, last))
+            state.setTimeoutTimestamp(timeoutMs)
+            Iterator((uid, n, last))
+          }
         }
     }
   }

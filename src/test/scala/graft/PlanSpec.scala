@@ -80,11 +80,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") && p.contains("offset=5"), p)
   }
 
-  test("fmp feature assembly broadcasts the prefix and badness priors") {
-    // prefix aggregate + ctry prior + asn prior join back broadcast; only
-    // the per-entity joins may shuffle
+  test("fmp feature assembly broadcasts the prefix, badness, and blacklist joins") {
+    // prefix aggregate + ctry prior + asn prior + bl membership sets join
+    // back broadcast; only the per-entity joins may shuffle
     val p = plan("nerd_fmp_features")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("bucketed stratified sampler partitions the sort by (stratum, bucket)") {
+    // the scale-out property: the window's partition spec must carry BOTH
+    // keys — a stratum-only spec would serialize a dominant stratum through
+    // one partition (exactly what this operator exists to avoid)
+    val p = plan("llm_strat_bucketed")
+    val window = p.linesIterator.find(_.contains("Window [row_number()"))
+    assert(window.exists(w => w.contains("lang") && w.contains("bucket")), p)
   }
 
   test("quality gate is one shuffle-free codegen pass over the scan") {
