@@ -1370,6 +1370,34 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- the streaming file-watcher source, end-to-end (warden_receiver.py:
+    //    50–172 filer loop): two event files admitted one per micro-batch
+    //    (maxFilesPerTrigger backpressure), each batch validate→derive→fold
+    //    through the MERGE-ON-READ store, then the store read back. Late
+    //    events (>7 days before "now") are dropped by validation — the
+    //    oracle applies the same bar.
+    "nerd_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val src = java.nio.file.Files.createTempDirectory("graft-ingest-src").toString
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
+        s, java.nio.file.Files.createTempDirectory("graft-ingest-store").toString,
+        numBuckets = 8, maxDeltas = 2)
+      val now = nowEpoch(s, dir)
+      val q = graft.streaming.StreamIngest.start(s, src, store,
+        java.nio.file.Files.createTempDirectory("graft-ingest-ck").toString,
+        () => now, maxFilesPerTrigger = Some(1),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      store.read()
+        .map(st => EventTasks.projectFolded(st.eid, graft.ops.TaskCodec.parseRec(st.json)))
+        .toDF()
+        .withColumn("conns", round(col("conns"), 2))
+        .orderBy(col("entity"))
+    }),
+
     // -- event-time state TTL, end-to-end: flatMapGroupsWithState counters
     //    with a 1-hour event-time timeout over the same two-batch stream;
     //    the trailing no-data micro-batch evaluates the final watermark and
@@ -3099,6 +3127,28 @@ object SparkEntry {
       """SELECT user_id AS entity, count(*) AS total,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity
         |FROM events GROUP BY 1 ORDER BY entity""".stripMargin,
+
+    // file-watcher ingest: the one-shot fold over the VALIDATED event set
+    // (late bar: epoch > now - 7d; future bar: epoch <= now + 300)
+    "nerd_stream_ingest" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(CAST(ts AS DATE)) + 1 AS TIMESTAMP))) AS BIGINT)
+        |    AS now
+        |  FROM events),
+        |v AS (
+        |  SELECT * FROM events, mx
+        |  WHERE CAST(floor(epoch(ts)) AS BIGINT) > mx.now - 604800
+        |    AND CAST(floor(epoch(ts)) AS BIGINT) <= mx.now + 300)
+        |SELECT user_id AS entity,
+        |  count(*) AS total,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT CAST(ts AS DATE) || '|' || event_type) AS n_buckets,
+        |  round(sum(value), 2) AS conns,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden
+        |FROM v
+        |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
 
     // state-TTL tombstones: a group expires iff its timeout timestamp
     // (last_activity + 3600, in ms) is STRICTLY below the final watermark

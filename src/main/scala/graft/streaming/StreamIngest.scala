@@ -354,14 +354,15 @@ object StreamIngest {
             checkpointDir: String, nowEpoch: () => Long,
             maxFilesPerTrigger: Option[Int] = None,
             maxBytesPerTrigger: Option[Long] = None,
-            maxAttempts: Int = 1): StreamingQuery = {
+            maxAttempts: Int = 1,
+            trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val reader0 = spark.readStream.schema(schema)
     val reader1 = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n.toString))
     val reader = maxBytesPerTrigger.fold(reader1)(n =>
       reader1.option("maxBytesPerTrigger", n.toString))
-    reader
+    val writer = reader
       .parquet(sourceDir)
       .withWatermark("ts", "7 days")
       .writeStream
@@ -369,6 +370,9 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         runBatchWithRetry(store, batch, nowEpoch(), maxAttempts = math.max(1, maxAttempts))
       }
-      .start()
+    // Trigger.AvailableNow drains the backlog in admission-bounded batches
+    // and terminates — the finite-run mode (correctness gate, backfills);
+    // default is the continuous watcher the reference's daemon runs.
+    trigger.fold(writer)(writer.trigger).start()
   }
 }
