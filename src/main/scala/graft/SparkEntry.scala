@@ -1045,6 +1045,17 @@ object SparkEntry {
     "llm_corpus_stats" -> ((s, dir) =>
       TextStats.corpusStats(Tables.documents(s, dir)).orderBy(col("lang"))),
 
+    // CCNet-style unigram-LM quality score: mean token log-prob under the
+    // corpus's own unigram table (broadcast), decimal-exact per-doc sums
+    "llm_unigram_lp" -> ((s, dir) =>
+      TextStats.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // DSIR importance weights: log ratio of target-slice (English) vs raw
+    // unigram distributions, Laplace-smoothed, length-normalized per doc
+    "llm_dsir" -> ((s, dir) =>
+      TextStats.dsirWeights(Tables.documents(s, dir), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // incremental crawl-vs-corpus exact dedup: Bloom-pruned (definitely-new
     // docs never join; maybe-dups verify exactly), result fpp-independent.
     // Cutoff at 40% of the corpus so the fixture's duplicate groups span it.
@@ -2754,6 +2765,44 @@ object SparkEntry {
         |  CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS median_tokens,
         |  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // unigram-LM quality: per-token ln terms quantized to DECIMAL(18,9) in
+    // both engines (absorbs libm last-ulp skew), summed exactly, mean
+    // rounded at the edge
+    "llm_unigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |lm AS (
+        |  SELECT tok, CAST(ln(count(*) * 1.0 / n.n_total) AS DECIMAL(18,9)) AS logp
+        |  FROM toks, n GROUP BY tok, n.n_total)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(lm.logp) AS DOUBLE) / count(*), 4) AS mean_logp
+        |FROM toks t JOIN lm USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // DSIR: Laplace-smoothed target-vs-raw unigram log ratios, same decimal
+    // quantization; selected = positive rounded weight
+    "llm_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n_raw,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt,
+        |    count(DISTINCT tok) AS v
+        |  FROM toks),
+        |r AS (
+        |  SELECT tok,
+        |    CAST(ln((sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1.0) / (st.n_tgt + st.v))
+        |       - ln((count(*) + 1.0) / (st.n_raw + st.v)) AS DECIMAL(18,9)) AS lr
+        |  FROM toks, st GROUP BY tok, st.n_tgt, st.v, st.n_raw)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) AS dsir_weight,
+        |  CAST(round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) > 0 AS INT) AS selected
+        |FROM toks t JOIN r USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -228,6 +228,73 @@ object TextStats {
         round(col("mean_q_raw"), 4).as("mean_quality"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's mean
+    * token log-probability under the corpus's own unigram distribution —
+    * boilerplate scores high (common tokens), gibberish scores low (rare
+    * tokens); the published pipeline buckets documents by this score before
+    * training-mix assembly. CCNet scores against an externally trained
+    * KenLM; the engine-side operator is the same shape with the corpus
+    * unigram table standing in for the model file (a broadcast
+    * (token, logp) table either way).
+    *
+    * Scale shape: one explode→hash-agg over the VOCABULARY builds the LM
+    * (map-side combined), scoring joins the token stream to the broadcast
+    * table and aggregates per doc — no self-join, no window, two shuffles
+    * total. Cross-engine determinism: each per-token term is quantized to
+    * DECIMAL(18,9) (absorbing libm ln's last-ulp skew) and summed EXACTLY
+    * (order-independent), the mean rounded only at the output edge.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+      .select(col("tok"),
+        log(col("tf").cast("double") / col("n_total")).cast("decimal(18,9)").as("logp"))
+    toks.join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("logp")).cast("double") / count(lit(1))).as("raw"))
+      .select(col("doc_id"), col("n_tokens"), round(col("raw"), 4).as("mean_logp"))
+  }
+
+  /** DSIR-style importance weights for target-distribution data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): per-token log importance ratio between a
+    * TARGET slice's unigram distribution and the raw corpus distribution
+    * (Laplace-smoothed), summed per document and length-normalized. A
+    * positive weight reads "more target-like than corpus average"; the
+    * resampler keeps documents proportional to the weight — the
+    * deterministic variant here flags the positive-weight slice. The
+    * paper's hashed n-gram features collapse to plain tokens on a bounded
+    * vocabulary (the hash step is the identity).
+    *
+    * Same 100-TB shape as [[unigramLogProb]]: vocabulary-keyed aggregation,
+    * broadcast ratio table onto the token stream, decimal-exact sums.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_target"),
+      explode(split(col("text"), " ")).as("tok"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"),
+      countDistinct(col("tok")).as("v"))
+    val ratios = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tf_tgt"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (log((col("tf_tgt") + lit(1d)) / (col("n_tgt") + col("v"))) -
+          log((col("tf_raw") + lit(1d)) / (col("n_raw") + col("v"))))
+          .cast("decimal(18,9)").as("lr"))
+    toks.join(broadcast(ratios), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lr")).cast("double") / count(lit(1))).as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw"), 4).as("dsir_weight"),
+        (round(col("raw"), 4) > 0d).cast("int").as("selected"))
+  }
+
   /** Character-trigram cosine language classifier (the real n-gram heuristic;
     * profiles are tiny fixtures here, a config file in deployment). Pure
     * Scala — used for single-string classification and unit-tested against

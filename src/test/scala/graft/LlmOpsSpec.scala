@@ -480,6 +480,32 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("d1"), col("d2")).collect().map(key).toSet == exact)
   }
 
+  test("unigram-LM quality ranks common-token docs above gibberish; DSIR flags target-like docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat the cat sat again"),   // common tokens
+      (2L, "en", "zqx wvu ptr mno jkl hgf dse abc qwe rty"),    // all-rare tokens
+      (3L, "de", "der hund lief durch den wald der hund lief"), // target-exclusive? no: de
+      (4L, "de", "the cat sat on the mat the cat sat more"))    // en-like tokens, de label
+      .toDF("doc_id", "lang", "text")
+    val lp = TextStats.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 repeats corpus-frequent tokens; doc 2 is singleton soup
+    assert(lp(1L) > lp(2L), s"lp=$lp")
+    val w = TextStats.dsirWeights(docs, col("lang") === "en").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toList
+    val byId = w.map(x => x._1 -> x).toMap
+    // ordering: a doc whose vocabulary never appears in the target slice
+    // (3) must score below one sharing the target vocabulary (4), which
+    // scores below a pure target-slice doc (1)
+    assert(byId(3L)._2 < byId(4L)._2 && byId(4L)._2 < byId(1L)._2, s"w=$w")
+    // the selected flag is exactly the positive-weight slice
+    w.foreach { case (id, wt, sel) =>
+      assert(sel == (if (wt > 0) 1 else 0), s"doc $id: weight $wt selected $sel")
+    }
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted

@@ -123,6 +123,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_tfidf").contains("BroadcastHashJoin"))
   }
 
+  test("unigram-LM and DSIR scoring broadcast their vocabulary tables") {
+    // the LM / ratio table is vocabulary-sized; the corpus token stream must
+    // join against it broadcast, never shuffle itself for the join
+    assert(plan("llm_unigram_lp").contains("BroadcastHashJoin"))
+    assert(plan("llm_dsir").contains("BroadcastHashJoin"))
+  }
+
   test("PII scrub is one narrow pass: no shuffle, no join, no explode") {
     val p = plan("llm_pii_scrub")
     assert(!p.contains("Exchange hashpartitioning"), p)
