@@ -1359,9 +1359,7 @@ object SparkEntry {
     "nerd_stream_counters" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
-      val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
-      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val src = streamSourceDir(s, dir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val counts = graft.streaming.StreamIngest.statefulCounts(stream)
@@ -1390,9 +1388,7 @@ object SparkEntry {
     "nerd_stream_ingest" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
-      val src = java.nio.file.Files.createTempDirectory("graft-ingest-src").toString
-      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val src = streamSourceDir(s, dir)
       val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
         s, java.nio.file.Files.createTempDirectory("graft-ingest-store").toString,
         numBuckets = 8, maxDeltas = 2)
@@ -1419,9 +1415,7 @@ object SparkEntry {
     "nerd_stream_ttl" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
-      val src = java.nio.file.Files.createTempDirectory("graft-sttl-src").toString
-      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val src = streamSourceDir(s, dir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val out = graft.streaming.StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 3600L)
@@ -1486,6 +1480,21 @@ object SparkEntry {
     */
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
   private val cappedPairsCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Two-file stream-source fixture (odd event ids, then even), written once
+    * per data dir: the micro-batch split the three streaming queries admit
+    * one file at a time. Fixture SETUP, not the operator under test — each
+    * query still runs its own stream, checkpoint, and state store.
+    */
+  private val streamSrcCache = new ConcurrentHashMap[String, String]()
+  private def streamSourceDir(s: SparkSession, dir: String): String =
+    streamSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+      val ev = events(s, dir)
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      src
+    })
 
   /** The production near-dup pair set (df-capped index, threshold 0.8) —
     * materialized ONCE per dedup campaign and shared by the pair listing and
