@@ -675,7 +675,7 @@ object SparkEntry {
         .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
       val now = nowEpoch(s, dir)
       val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
-        s, java.nio.file.Files.createTempDirectory("graft-mor-q").toString,
+        s, scratchDir("graft-mor-q"),
         numBuckets = 8, maxDeltas = 2)
       store.applyBatch(wire(ev.filter(col("event_id") <= cutoff)), now)
       store.applyBatch(wire(ev.filter(col("event_id") > cutoff)), now)
@@ -1341,7 +1341,7 @@ object SparkEntry {
     //    listed. The listing is wrong (half the counts) if the append missed.
     "nerd_event_append" -> ((s, dir) => {
       val ev = events(s, dir)
-      val store = java.nio.file.Files.createTempDirectory("graft-evdb").toString
+      val store = scratchDir("graft-evdb")
       ev.filter(col("event_id") % 2 === 1).write.mode("overwrite").parquet(store)
       ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(store)
       s.read.parquet(store)
@@ -1368,7 +1368,7 @@ object SparkEntry {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-stream-ck").toString)
+          scratchDir("graft-stream-ck"))
         .start()
       q.awaitTermination()
       // update-mode sink holds one row per (entity, batch); the final state
@@ -1390,11 +1390,11 @@ object SparkEntry {
       val ev = events(s, dir)
       val src = streamSourceDir(s, dir)
       val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
-        s, java.nio.file.Files.createTempDirectory("graft-ingest-store").toString,
+        s, scratchDir("graft-ingest-store"),
         numBuckets = 8, maxDeltas = 2)
       val now = nowEpoch(s, dir)
       val q = graft.streaming.StreamIngest.start(s, src, store,
-        java.nio.file.Files.createTempDirectory("graft-ingest-ck").toString,
+        scratchDir("graft-ingest-ck"),
         () => now, maxFilesPerTrigger = Some(1),
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
@@ -1424,7 +1424,7 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sttl-ck").toString)
+          scratchDir("graft-sttl-ck"))
         .start()
       q.awaitTermination()
       s.table(qname)
@@ -1481,6 +1481,30 @@ object SparkEntry {
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
   private val cappedPairsCache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Per-invocation scratch dirs (parquet stores, checkpoints, stream
+    * sources) are registered here and recursively deleted when the JVM
+    * exits, so repeated bench/verify loops don't accumulate unbounded /tmp
+    * disk. `File.deleteOnExit` alone can't do this — it only removes empty
+    * directories.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { p =>
+        try
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Throwable => () }
+      }))
+  private def scratchDir(prefix: String): String = {
+    scratchHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Two-file stream-source fixture (odd event ids, then even), written once
     * per data dir: the micro-batch split the three streaming queries admit
     * one file at a time. Fixture SETUP, not the operator under test — each
@@ -1489,7 +1513,7 @@ object SparkEntry {
   private val streamSrcCache = new ConcurrentHashMap[String, String]()
   private def streamSourceDir(s: SparkSession, dir: String): String =
     streamSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
-      val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+      val src = scratchDir("graft-stream-src")
       val ev = events(s, dir)
       ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
       ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
@@ -2808,7 +2832,9 @@ object SparkEntry {
         |       - ln((count(*) + 1.0) / (st.n_raw + st.v)) AS DECIMAL(18,9)) AS lr
         |  FROM toks, st GROUP BY tok, st.n_tgt, st.v, st.n_raw)
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) AS dsir_weight,
+        |  -- + 0 normalizes IEEE -0.0 (DuckDB keeps the sign of a rounded tiny
+        |  -- negative; Spark's BigDecimal round has no signed zero)
+        |  round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) + 0 AS dsir_weight,
         |  CAST(round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) > 0 AS INT) AS selected
         |FROM toks t JOIN r USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
@@ -3210,7 +3236,15 @@ object SparkEntry {
 
     // state-TTL tombstones: a group expires iff its timeout timestamp
     // (last_activity + 3600, in ms) is STRICTLY below the final watermark
-    // (max event time, ms-truncated) — Spark's timeout comparison
+    // (max event time, ms-truncated) — Spark's timeout comparison.
+    // SINGLE-EXPIRY ASSUMPTION: this oracle counts over ALL events and
+    // judges expiry once against the final watermark, which matches the
+    // streaming output only when no entity is reactivated after its
+    // tombstone (true for this fixture: each entity's events precede its
+    // only possible expiry). Under reactivation the engine restarts the
+    // counter at 0 by design (!DELETE => fresh record, reference-faithful;
+    // see StreamIngest.statefulCountsWithTtl scaladoc + StreamingSpec
+    // "reactivated entity restarts"), and max(total) here would diverge.
     "nerd_stream_ttl" ->
       """WITH g AS (
         |  SELECT user_id AS entity, count(*) AS total,

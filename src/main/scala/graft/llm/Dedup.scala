@@ -115,6 +115,16 @@ object Dedup {
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        // Eagerly surface how much the cap degraded recall: an approximate
+        // run must be distinguishable from an exact one in the logs. One
+        // extra pass over the shingle table — the observability is the point.
+        val st = hot.agg(count(lit(1)).as("n"), coalesce(max(col("df")), lit(0L)).as("m")).head()
+        if (st.getLong(0) > 0)
+          log.warn(s"shingle-df cap $cap engaged: dropping ${st.getLong(0)} hot shingles " +
+            s"(max df ${st.getLong(1)}); pairs whose SHARED shingles are all above the cap " +
+            "are not emitted — result is approximate (recall pinned in LlmOpsSpec)")
+        else
+          log.info(s"shingle-df cap $cap set but no shingle exceeds it: result is exact")
         // the stop-shingle set is small by construction (≤ |occurrences|/cap
         // distinct values): broadcast it so the anti-join costs a map-side
         // bloom-style pass instead of re-shuffling the full shingle table

@@ -276,6 +276,16 @@ object StreamIngest {
     * group emits one tombstone row `(entity, -1, lastSeen)` — the `!DELETE`
     * analog — and drops its state, bounding state size by the active-entity
     * set, which is what makes the operator viable at 100 TB.
+    *
+    * Reactivation semantics (reference-faithful, `cleaner.py:204–241`): a
+    * `!DELETE`d record that receives new events afterwards is a FRESH record
+    * — so an entity reactivated after its tombstone restarts its counter at
+    * 0, exactly like the reference re-creating the entity. Eviction drops
+    * state, so a cross-lifetime grand total is deliberately NOT kept (it
+    * would require unbounded tombstone state, defeating the TTL). Consumers
+    * that need all-time totals aggregate per-lifetime outputs downstream
+    * (each lifetime's rows are cumulative; lifetimes are delimited by the
+    * tombstone). Pinned by `StreamingSpec` "reactivated entity restarts".
     */
   def statefulCountsWithTtl(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                             ttlSecs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {

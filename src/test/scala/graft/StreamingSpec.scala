@@ -438,6 +438,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(tombstoned == all - 0L, s"tombstoned=$tombstoned")
   }
 
+  test("reactivated entity restarts its counter after the TTL tombstone") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val srcDir = Files.createTempDirectory("graft-ttl-react-src").toString
+    def one(uid: Long, epoch: Long) = ev.limit(1)
+      .withColumn("user_id", lit(uid))
+      .withColumn("ts", timestamp_seconds(lit(epoch)).cast("timestamp"))
+    // batch 1: entity 42 active (2 events). batches 2+3: entity-0 heartbeats
+    // advance the watermark past 42's 3-day TTL (timeout fires one batch
+    // after the watermark passes it). batch 4: 42 REACTIVATES.
+    one(42L, maxTs).union(one(42L, maxTs + 60)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    one(0L, maxTs + 30L * 86400).coalesce(1).write.mode("append").parquet(srcDir)
+    one(0L, maxTs + 31L * 86400).coalesce(1).write.mode("append").parquet(srcDir)
+    one(42L, maxTs + 32L * 86400).coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-ttl-react-ckpt").toString
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 3L * 86400)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ttl_react").option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows42 = spark.sql("SELECT _2, _3 FROM ttl_react WHERE _1 = 42 ORDER BY _3, _2")
+      .as[(Long, Long)].collect().toList
+    // lifetime 1: cumulative count 2, then the tombstone; lifetime 2 (after
+    // reactivation): counter restarts at 1 — the !DELETE => fresh-record
+    // semantics documented on statefulCountsWithTtl
+    assert(rows42.contains((2L, maxTs + 60)), s"rows42=$rows42")
+    assert(rows42.contains((-1L, maxTs + 60)), s"rows42=$rows42")
+    assert(rows42.contains((1L, maxTs + 32L * 86400)), s"rows42=$rows42")
+    assert(!rows42.exists(r => r._1 > 1 && r._2 == maxTs + 32L * 86400),
+      s"reactivated lifetime must restart at 1: $rows42")
+  }
+
   test("late/future events are rejected by the validation gate") {
     val ev = graft.core.Tables.events(spark, sf)
     val now = ev.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
