@@ -984,6 +984,23 @@ object SparkEntry {
       Ann.centroidOutliers(Tables.embeddings(s, dir), k = 25)
         .withColumn("cluster", col("cluster").cast("long"))),
 
+    // deterministic distributed Lloyd k-means (k=8, two assignment passes):
+    // broadcast centroids onto one corpus scan with a map-side argmax, then a
+    // decimal-summed elementwise-mean update — the coarse-quantizer BUILD
+    // step in front of the IVF index (llm_ann_ivf consumes the assignment)
+    "llm_kmeans" -> ((s, dir) =>
+      Ann.kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup (Abbas et al. 2023): within-cluster pairs at cosine >= 0.35
+    // are semantic duplicates; of each duplicate group only the member
+    // FARTHEST from its cluster centroid survives (outliers carry the
+    // information) — pair join bucketed by cluster, never the corpus n^2
+    "llm_semdedup" -> ((s, dir) =>
+      Ann.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)
+        .withColumn("kept", col("kept").cast("long"))
+        .orderBy(col("vec_id"))),
+
     "llm_text_stats" -> ((s, dir) =>
       TextStats.stats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -2849,6 +2866,51 @@ object SparkEntry {
          |  ${COS("e.emb", "c.centroid")} AS ccos
          |FROM e JOIN cents c ON c.cluster = e.label
          |ORDER BY ccos ASC, vec_id LIMIT 25""".stripMargin,
+
+    "llm_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |s0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+         |       FROM e ORDER BY h, vec_id LIMIT 8),
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cluster,
+         |            emb AS centroid
+         |          FROM s0),
+         |sc1 AS (SELECT e.vec_id, s.cluster, ${COS("e.emb", "s.centroid")} AS ccos
+         |        FROM e, seeds s),
+         |a1 AS (SELECT vec_id, cluster FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+         |         FROM sc1) WHERE rn = 1),
+         |cx AS (SELECT a1.cluster, unnest(e.emb) AS x,
+         |         unnest(generate_series(1, len(e.emb))) AS pos
+         |       FROM a1 JOIN e USING (vec_id)),
+         |cm AS (SELECT cluster, pos,
+         |         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+         |       FROM cx GROUP BY 1, 2),
+         |c2 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |sc2 AS (SELECT e.vec_id, c.cluster, ${COS("e.emb", "c.centroid")} AS ccos
+         |        FROM e, c2 c)
+         |SELECT vec_id, cluster, ccos + 0 AS ccos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+         |  FROM sc2) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "llm_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+         |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cx AS (SELECT cluster, unnest(emb) AS x,
+         |         unnest(generate_series(1, len(emb))) AS pos FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |m AS (SELECT e.vec_id, e.cluster, e.emb, ${COS("e.emb", "c.centroid")} AS ccos
+         |      FROM e JOIN cents c USING (cluster)),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+         |  WHERE ${COS("a.emb", "b.emb")} >= 0.35
+         |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+         |SELECT m.vec_id, m.cluster, m.ccos + 0 AS ccos,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
 
     "llm_text_stats" ->
       """WITH t AS (

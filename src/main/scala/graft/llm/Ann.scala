@@ -140,6 +140,97 @@ object Ann {
       .select(col("qid"), col("n_true"), col("n_hit"), col("recall"))
   }
 
+  /** Deterministic distributed Lloyd k-means over the embedding column.
+    *
+    * Shapes per iteration (the 100-TB contract):
+    *  - assignment: the k centroids are BROADCAST and cross-joined onto one
+    *    corpus scan; the per-vector argmax collapses map-side (partial
+    *    `max(struct(ccos, -cluster))`), so the shuffle carries |vectors|
+    *    rows, never k·|vectors|;
+    *  - update: element-wise means via posexplode + hash aggregation on
+    *    (cluster, pos) — again map-side combined.
+    * Nothing is ever collected to the driver except the k seed rows.
+    *
+    * Cross-engine determinism: seeds are the k vectors with the smallest
+    * `md5(vec_id)` (a pseudo-random but engine-reproducible spread, picked
+    * with a top-k, not a global sort); assignment maximizes the 6-dp-rounded
+    * cosine with ties to the lower cluster id; centroid components are
+    * DECIMAL(28,12)-summed (order-independent) then rounded to 6 dp — so the
+    * DuckDB oracle replays the identical iteration bit-for-bit.
+    *
+    * `iters` counts ASSIGNMENT passes (iters-1 centroid updates); an empty
+    * cluster simply drops out of the next update, as in textbook Lloyd.
+    * Output: (vec_id, cluster, ccos).
+    */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val seeds = e
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+    // the k-row window below runs on the already-limited seed set — a
+    // single-partition exchange of k rows, not a global sort
+    val seeded = seeds.withColumn("cluster",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
+      .select(col("cluster"), col("embedding").as("centroid"))
+    def assign(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents), lit(true))
+        .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("cluster")).as("nc"))).as("best"))
+        .select(col("vec_id"), (-col("best.nc")).as("cluster"),
+          col("best.ccos").as("ccos"))
+    var cents = seeded
+    var assigned = assign(cents)
+    for (_ <- 2 to iters) {
+      cents = assigned.join(e, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      assigned = assign(cents)
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("ccos"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): within each
+    * cluster, any pair at cosine ≥ `threshold` is a semantic-duplicate pair,
+    * and of each duplicate group the member FARTHEST from its cluster
+    * centroid is kept (the paper's keep-low-centroid-similarity policy —
+    * outliers carry the information). Deterministically: a vector is dropped
+    * iff some ≥-threshold neighbor in its cluster has strictly lower
+    * centroid-cosine (ties to the lower vec_id), so the minimum-ccos member
+    * of every duplicate group always survives.
+    *
+    * The pair join is WITHIN-CLUSTER only — O(Σ|cluster|²), the same
+    * bucketed shape as the LSH candidate joins, never the corpus n². At
+    * 100 TB the cluster column comes from [[kmeans]] with k large enough
+    * (SemDeDup uses ~10⁵) that buckets stay bounded; here the fixture
+    * `label` column is the assignment, keeping the oracle exact (same
+    * convention as [[ivfTopK]]).
+    * Output: (vec_id, cluster, ccos, kept).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    clusterCol: String = "label"): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val cents = centroids(embeddings, clusterCol)
+    val m = e.join(broadcast(cents), col(clusterCol) === col("cluster"))
+      .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("embedding"), col("ccos"))
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(round(cosN(m)(col("a.embedding"), col("b.embedding")), 6) >= threshold)
+      .filter(col("b.ccos") < col("a.ccos") ||
+        (col("b.ccos") === col("a.ccos") && col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    m.join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .withColumn("kept", when(col("dropped").isNull, 1).otherwise(0))
+      .select(col("vec_id"), col("cluster"), col("ccos"), col("kept"))
+  }
+
   /** Sign-bit LSH bucket id over the first `bits` dimensions: bit i set iff
     * embedding[i] > 0. Deterministic (axis-aligned hyperplanes), so engines
     * agree; a learned random-rotation family drops in by replacing the

@@ -506,6 +506,77 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: every vector gets its argmax centroid; <= k clusters survive") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Ann
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val got = Ann.kmeans(emb, k = 4, iters = 2).collect()
+    assert(got.length == n, "every vector must be assigned")
+    val clusters = got.map(_.getLong(1)).toSet
+    assert(clusters.size <= 4 && clusters.forall(c => c >= 0 && c < 4))
+    // the reported ccos is the MAX over the updated centroids, which are the
+    // means of the PASS-1 assignment (iters=1): re-derive that centroid
+    // table and check a sample of rows against a driver-side argmax
+    val cents = Ann.kmeans(emb, k = 4, iters = 1)
+      .join(emb.withColumnRenamed("embedding", "e2"), Seq("vec_id"))
+      .select(col("cluster"),
+        org.apache.spark.sql.functions.posexplode(col("e2").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum(col("x").cast("decimal(28,12)")).cast("double") /
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)), 6).as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (c, rows) => c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0d)(_ + _)
+      val na = math.sqrt(a.map(x => x * x).foldLeft(0d)(_ + _))
+      val nb = math.sqrt(b.map(x => x * x).foldLeft(0d)(_ + _))
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got.take(20).foreach { r =>
+      val (id, cl, cc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val best = cents.map { case (c, ce) => (cos(vecs(id), ce.toSeq), -c) }.max
+      assert(best._1 == cc && -best._2 == cl,
+        s"vec $id: assigned ($cl, $cc) but argmax is (${-best._2}, ${best._1})")
+    }
+  }
+
+  test("semanticDedup: min-centroid-cosine member of every duplicate group survives") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Ann
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val res = Ann.semanticDedup(emb, threshold = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(res.length == emb.count().toInt)
+    val dropped = res.filter(_._4 == 0)
+    assert(dropped.nonEmpty, "fixture must exercise the drop path")
+    // per cluster, the member with the global minimum ccos is always kept
+    res.groupBy(_._2).foreach { case (_, members) =>
+      val minC = members.minBy(m => (m._3, m._1))
+      assert(minC._4 == 1, s"minimum-ccos member $minC was dropped")
+    }
+    // and every dropped vector really has a >=-threshold neighbor with
+    // strictly lower (ccos, vec_id)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0d)(_ + _)
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = res.groupBy(_._2)
+    dropped.take(10).foreach { case (id, cl, cc, _) =>
+      val witness = byCluster(cl).exists { case (oid, _, occ, _) =>
+        oid != id && cos(vecs(id), vecs(oid)) >= 0.35 &&
+          (occ < cc || (occ == cc && oid < id))
+      }
+      assert(witness, s"vec $id dropped without a lower-ccos duplicate witness")
+    }
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
