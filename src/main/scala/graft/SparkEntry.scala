@@ -1001,6 +1001,37 @@ object SparkEntry {
         .withColumn("kept", col("kept").cast("long"))
         .orderBy(col("vec_id"))),
 
+    // bigram conditional-LM quality score (CCNet's KenLM step at order 2):
+    // pair formation inside one projection (no explode-self-join), the
+    // |V|^2-bounded bigram inventory joined by key — not broadcast — which
+    // is the honest 100-TB plan; decimal-exact per-pair sums
+    "llm_bigram_lp" -> ((s, dir) =>
+      TextStats.bigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // streaming first-seen exact dedup: two micro-batches (odd doc ids, then
+    // even) through flatMapGroupsWithState keyed by content digest — state
+    // is ONE long per distinct content; a later-batch duplicate maps to the
+    // first batch's canonical without rescanning the corpus (the stateful
+    // form of llm_incr_dedup's Bloom path)
+    "llm_stream_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val src = docStreamSourceDir(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = graft.streaming.StreamIngest.statefulDedup(stream)
+      val qname = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft-sdd-ck"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("_1").as("doc_id"), col("_2").as("canonical"),
+          col("_3").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_text_stats" -> ((s, dir) =>
       TextStats.stats(Tables.documents(s, dir))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -1534,6 +1565,19 @@ object SparkEntry {
       val ev = events(s, dir)
       ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
       ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      src
+    })
+
+  /** Same two-file fixture over the documents table (odd doc ids arrive a
+    * micro-batch before even ones) for the streaming dedup query.
+    */
+  private val docStreamSrcCache = new ConcurrentHashMap[String, String]()
+  private def docStreamSourceDir(s: SparkSession, dir: String): String =
+    docStreamSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val src = scratchDir("graft-docstream-src")
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      d.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
       src
     })
 
@@ -2911,6 +2955,34 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_bigram_lp" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |          WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b, w[i] AS w1
+        |       FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |pf AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |lm AS (SELECT b, CAST(ln(cb + 1.0) - ln(c1 + v.v) AS DECIMAL(18,9)) AS logp
+        |       FROM (SELECT b, min(w1) AS w1, count(*) AS cb FROM bg GROUP BY b) cbt
+        |       JOIN pf USING (w1), v)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(lm.logp) AS DOUBLE) / count(*), 4) AS mean_logp
+        |FROM bg JOIN lm USING (b)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_stream_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        |c AS (SELECT dg, doc_id AS canonical FROM (
+        |        SELECT doc_id, dg,
+        |          row_number() OVER (PARTITION BY dg
+        |            ORDER BY (doc_id % 2 = 0), doc_id) AS rn
+        |        FROM d)
+        |      WHERE rn = 1)
+        |SELECT d.doc_id, c.canonical,
+        |  CAST(CASE WHEN d.doc_id = c.canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM d JOIN c USING (dg) ORDER BY d.doc_id""".stripMargin,
 
     "llm_text_stats" ->
       """WITH t AS (

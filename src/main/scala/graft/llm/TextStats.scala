@@ -257,6 +257,48 @@ object TextStats {
       .select(col("doc_id"), col("n_tokens"), round(col("raw"), 4).as("mean_logp"))
   }
 
+  /** Bigram conditional language-model score — the order-2 refinement of
+    * [[unigramLogProb]] (CCNet's KenLM step is an order-5 version of exactly
+    * this shape): each document's mean log P(w2|w1) under the corpus's own
+    * Laplace-smoothed bigram distribution, logp(w1 w2) =
+    * ln(c(w1 w2) + 1) − ln(c(w1 ·) + V). Repetitive boilerplate scores
+    * high, token soup scores low, and unlike the unigram score a document
+    * of common-but-shuffled tokens no longer scores well.
+    *
+    * Scale shape: bigram FORMATION stays inside one projection
+    * (`transform` over the token array — no explode-self-join, no window,
+    * no shuffle to form pairs). The bigram inventory is |V|²-bounded, NOT
+    * broadcastable at corpus scale, so the scoring join shuffles BOTH sides
+    * by the bigram key (plain hash join) — the honest 100-TB plan; the
+    * unigram-sized prefix-count and vocab tables do broadcast. Per-pair
+    * terms quantize to DECIMAL(18,9) and sum exactly, as in the unigram
+    * operator. Documents with fewer than two tokens have no bigrams and are
+    * absent from the output (same convention as the pair-less dedup rows).
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(concat(w[i], ' ', w[i + 1]) AS b, w[i] AS w1))")).as("p"))
+      .select(col("doc_id"), col("p.b").as("b"), col("p.w1").as("w1"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = bg.groupBy(col("b"))
+      .agg(min(col("w1")).as("w1"), count(lit(1)).as("cb"))
+      .join(broadcast(prefix), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("b"),
+        (log(col("cb") + lit(1d)) - log(col("c1") + col("v")))
+          .cast("decimal(18,9)").as("logp"))
+    bg.join(lm, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp")).cast("double") / count(lit(1))).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("raw"), 4).as("mean_logp"))
+  }
+
   /** DSIR-style importance weights for target-distribution data selection
     * (Xie et al., "Data Selection for Language Models via Importance
     * Resampling", NeurIPS 2023): per-token log importance ratio between a

@@ -329,6 +329,34 @@ object StreamIngest {
     }
   }
 
+  /** Streaming first-seen exact deduplication: the stateful, micro-batch
+    * form of the crawl-vs-corpus dedup (`llm_incr_dedup`'s Bloom path is the
+    * batch analog). Each micro-batch shuffles its documents by content
+    * digest; state holds ONE long per distinct digest ever seen (the
+    * canonical doc id — the minimum id in the digest's first-seen batch),
+    * so state size is bounded by the distinct-content count, not the stream
+    * length, and a duplicate arriving any number of batches later maps to
+    * the same canonical without rescanning the corpus. Emits every input
+    * row exactly once: (doc_id, canonical, kept 0/1).
+    */
+  def statefulDedup(docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]):
+      org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val keyed = docs.selectExpr("doc_id", "md5(text) as dg")
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    keyed.flatMapGroupsWithState[Long, (Long, Long, Long)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+        val ids = rows.map(_._1).toVector
+        val canonical = state.getOption.getOrElse(ids.min)
+        if (!state.exists) state.update(canonical)
+        ids.iterator.map(id =>
+          (id, canonical, if (id == canonical) 1L else 0L))
+    }
+  }
+
   /** Batch-level watchdog (`NERDd/core/scheduler.py` + the reference's
     * worker-watchdog restarts): a failing micro-batch retries up to
     * `maxAttempts` times before the failure propagates and kills the query —

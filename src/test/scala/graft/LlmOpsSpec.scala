@@ -506,6 +506,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scores phrase structure, not just token frequency") {
+    import spark.implicits._
+    // docs 1 and 2 have IDENTICAL unigram distributions (4x a, 4x b); doc 1
+    // repeats the corpus-dominant bigram "a b", doc 2 is the shuffled soup
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a a b b a a b b"),
+      (3L, "a b a b a b a b"),
+      (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the single-token doc has no bigrams and is absent
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 7L, "n_bigrams = tokens - 1")
+    assert(got(1L)._2 == got(3L)._2, "identical docs score identically")
+    assert(got(1L)._2 > got(2L)._2,
+      s"phrase-repeating doc must outscore shuffled doc: $got")
+  }
+
   test("kmeans: every vector gets its argmax centroid; <= k clusters survive") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann

@@ -245,6 +245,33 @@ class StreamingSpec extends AnyFunSuite {
       s"state totals diverged: got=$got want=$want")
   }
 
+  test("stateful dedup: later-batch duplicates map to the first batch's canonical") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-dedup-src").toString
+    // batch 1: first sightings of x and y; batch 2: duplicates of both plus
+    // a brand-new z — the duplicate of x carries a SMALLER id than batch 1's
+    // canonical, proving first-SEEN (not min-id) wins across batches
+    Seq((3L, "x x x"), (5L, "y y y"), (7L, "x x x")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((2L, "x x x"), (4L, "y y y"), (6L, "z z z")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamIngest.statefulDedup(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_dedup").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT _1, _2, _3 FROM stream_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (3L, 3L, 1L), (5L, 5L, 1L), (7L, 3L, 0L),   // batch 1: 3 and 5 canonical
+      (2L, 3L, 0L), (4L, 5L, 0L), (6L, 6L, 1L)),  // batch 2: 2 < 3 still a dup
+      s"got $got")
+  }
+
   test("warden filter in Hash sample mode runs unchanged on a stream") {
     // Counter mode needs an occurrence window (unsupported over unbounded
     // input); Hash mode is a pure stateless filter — the documented reason
