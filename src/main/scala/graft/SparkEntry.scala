@@ -1001,6 +1001,22 @@ object SparkEntry {
         .withColumn("kept", col("kept").cast("long"))
         .orderBy(col("vec_id"))),
 
+    // the FULL approximate-index path, build + probe: kmeans assigns the
+    // coarse quantizer (replacing the fixture label column), IVF probes the
+    // query's nearest learned centroid — at 100 TB the assignment is the
+    // partition key the corpus is written out by, so a probe reads ~1/k of
+    // the data; here it closes the loop end-to-end against the oracle
+    "llm_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = Ann.kmeans(emb, k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      Ann.ivfTopK(emb.join(asg, Seq("vec_id")), queryMaxId = 5, k = 5,
+          clusterCol = "kc")
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // bigram conditional-LM quality score (CCNet's KenLM step at order 2):
     // pair formation inside one projection (no explode-self-join), the
     // |V|^2-bounded bigram inventory joined by key — not broadcast — which
@@ -1683,6 +1699,36 @@ object SparkEntry {
     */
   private def COS(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** DuckDB replay of `Ann.kmeans(k = 8, iters = 2)` — md5-spread seeds,
+    * rounded-cosine argmax assignment with ties to the lower cluster,
+    * decimal-summed centroid update — ending in `ka(vec_id, cluster, ccos)`.
+    * Shared by the kmeans oracle and the kmeans-fed IVF oracle.
+    */
+  private lazy val KMEANS_CTE: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+       |       FROM e ORDER BY h, vec_id LIMIT 8),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cluster,
+       |            emb AS centroid
+       |          FROM s0),
+       |sc1 AS (SELECT e.vec_id, s.cluster, ${COS("e.emb", "s.centroid")} AS ccos
+       |        FROM e, seeds s),
+       |a1 AS (SELECT vec_id, cluster FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |         FROM sc1) WHERE rn = 1),
+       |cx AS (SELECT a1.cluster, unnest(e.emb) AS x,
+       |         unnest(generate_series(1, len(e.emb))) AS pos
+       |       FROM a1 JOIN e USING (vec_id)),
+       |cm AS (SELECT cluster, pos,
+       |         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+       |       FROM cx GROUP BY 1, 2),
+       |c2 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+       |sc2 AS (SELECT e.vec_id, c.cluster, ${COS("e.emb", "c.centroid")} AS ccos
+       |        FROM e, c2 c),
+       |ka AS (SELECT vec_id, cluster, ccos FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |         FROM sc2) WHERE rn = 1)""".stripMargin
 
   /** FMP feature-frame SQL (no ORDER BY) shared by the features oracle and
     * the tree-ensemble scoring oracle.
@@ -2912,30 +2958,34 @@ object SparkEntry {
          |ORDER BY ccos ASC, vec_id LIMIT 25""".stripMargin,
 
     "llm_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |s0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
-         |       FROM e ORDER BY h, vec_id LIMIT 8),
-         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cluster,
-         |            emb AS centroid
-         |          FROM s0),
-         |sc1 AS (SELECT e.vec_id, s.cluster, ${COS("e.emb", "s.centroid")} AS ccos
-         |        FROM e, seeds s),
-         |a1 AS (SELECT vec_id, cluster FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
-         |         FROM sc1) WHERE rn = 1),
-         |cx AS (SELECT a1.cluster, unnest(e.emb) AS x,
-         |         unnest(generate_series(1, len(e.emb))) AS pos
-         |       FROM a1 JOIN e USING (vec_id)),
-         |cm AS (SELECT cluster, pos,
-         |         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
-         |       FROM cx GROUP BY 1, 2),
-         |c2 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
-         |sc2 AS (SELECT e.vec_id, c.cluster, ${COS("e.emb", "c.centroid")} AS ccos
-         |        FROM e, c2 c)
-         |SELECT vec_id, cluster, ccos + 0 AS ccos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
-         |  FROM sc2) WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin,
+      s"""WITH $KMEANS_CTE
+         |SELECT vec_id, cluster, ccos + 0 AS ccos FROM ka ORDER BY vec_id""".stripMargin,
+
+    "llm_ann_ivf_kmeans" ->
+      s"""WITH $KMEANS_CTE,
+         |ej AS (SELECT e.vec_id, ka.cluster AS kc, e.emb
+         |       FROM e JOIN ka USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM ej WHERE vec_id < 5),
+         |kcx AS (SELECT kc, unnest(emb) AS x,
+         |          unnest(generate_series(1, len(emb))) AS pos FROM ej),
+         |kcm AS (SELECT kc, pos, avg(x) AS m FROM kcx GROUP BY 1, 2),
+         |kcents AS (SELECT kc, list(m ORDER BY pos) AS centroid FROM kcm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, kc, ${COS("qe", "centroid")} AS pccos
+         |  FROM q, kcents),
+         |probe AS (
+         |  SELECT qid, qe, kc AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pccos DESC, kc) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, ej.vec_id, ${COS("p.qe", "ej.emb")} AS cos
+         |  FROM ej JOIN probe p ON ej.kc = p.probe_cluster AND ej.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "llm_semdedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cluster,
