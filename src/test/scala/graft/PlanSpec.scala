@@ -162,4 +162,41 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p) // agg + countDistinct expand
     assert(!p.contains("Join"), p)
   }
+
+  test("kmeans assignment broadcasts centroids; the corpus never shuffles k-fold") {
+    val p = graft.llm.Ann.kmeans(
+        graft.core.Tables.embeddings(spark, sf), k = 4, iters = 2)
+      .queryExecution.executedPlan.toString
+    // both assignment passes join the k-row centroid table via broadcast —
+    // a SortMergeJoin here would shuffle k copies of the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-vector argmax is an aggregation with a map-side partial, not a
+    // per-vector window; the only Window allowed is seed numbering, which
+    // sits on the k-row TakeOrderedAndProject seed set
+    assert("partial_max".r.findAllIn(p).size >= 2, p)
+    assert("Window".r.findAllIn(p).size <= "TakeOrderedAndProject".r.findAllIn(p).size, p)
+  }
+
+  test("semanticDedup broadcasts centroids and buckets the pair join by cluster") {
+    val p = graft.llm.Ann.semanticDedup(
+        graft.core.Tables.embeddings(spark, sf), threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    // the |clusters|-row centroid table broadcasts onto the scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the candidate join is an equi-join keyed by cluster — never a
+    // cartesian/nested-loop over the corpus pair space
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bigram LM forms pairs in-projection: no window, no self-join explosion") {
+    val p = graft.llm.TextStats.bigramLogProb(
+        graft.core.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one join: doc bigrams -> LM table (keyed by bigram); the
+    // prefix-count and vocab tables ride in as broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
