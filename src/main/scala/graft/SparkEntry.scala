@@ -1017,6 +1017,13 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Lee et al. 2022 ExactSubstr signal: fraction of each doc's stride-1
+    // 10-token spans that occur >= 2 times anywhere in the corpus — span
+    // formation in-projection, one hash agg on the span key, re-join by key
+    "llm_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
+        .orderBy(col("doc_id"))),
+
     // bigram conditional-LM quality score (CCNet's KenLM step at order 2):
     // pair formation inside one projection (no explode-self-join), the
     // |V|^2-bounded bigram inventory joined by key — not broadcast — which
@@ -3005,6 +3012,19 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |sp AS (SELECT doc_id, array_to_string(w[i:i+9], ' ') AS span
+        |       FROM t, unnest(generate_series(1, len(w) - 9)) AS u(i)),
+        |c AS (SELECT span, count(*) AS occ FROM sp GROUP BY 1)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |    AS dup_frac
+        |FROM sp JOIN c USING (span)
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_bigram_lp" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

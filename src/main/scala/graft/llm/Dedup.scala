@@ -57,6 +57,39 @@ object Dedup {
         min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") >= 2)
 
+  /** Per-document duplicated-span statistics — the ExactSubstr signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") at span granularity: every stride-1 `n`-token span is keyed
+    * across the corpus, a span with total occurrence count ≥ 2 (anywhere,
+    * including within its own document) is duplicated, and each document
+    * reports what fraction of its spans is duplicated — the signal the
+    * paper cuts on. The full-resolution complement of [[repeatedChunks]]'
+    * strided probe: stride 1 catches verbatim reuse at ANY alignment.
+    *
+    * Scale shape: span formation stays in-projection (`transform` over the
+    * token array — no self-join, no window); occurrence counting is one
+    * hash aggregation keyed by span; scoring re-joins by the span key with
+    * both sides shuffle-partitioned on it (the span inventory is corpus-
+    * sized and never broadcasts). At 100 TB the span string is replaced by
+    * its 128-bit hash to shrink the shuffle; the string key keeps the
+    * oracle exact here. Documents shorter than `n` tokens have no spans
+    * and are absent (the `sequence` descent guard, as in chunking).
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    val spans = t.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(w) - $n), " +
+        s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("span"))
+    val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+    spans.join(counts, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_spans"), 4).as("dup_frac"))
+  }
+
   /** Exact duplicate groups: hash-groupBy on the full text. One shuffle keyed
     * on the 128-bit digest; at 100 TB you'd group on (md5, length) prefix
     * buckets the same way.

@@ -506,6 +506,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-span stats catch verbatim reuse at any alignment, count within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),            // 3 spans; first shared with doc 2
+      (2L, "z a b c d e f g h i j"),              // the shared span sits at offset 1
+      (3L, "p q r s t u v w x y"),                // unique single span
+      (4L, "m n o p q r s t u v m n o p q r s t u v"), // self-repeat at offset 10
+      (5L, "too short"))                          // < 10 tokens: absent
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.dupSpanStats(docs, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((3L, 1L, 0.3333)), s"got ${got(1L)}")   // alignment-shifted hit
+    assert(got(2L) == ((2L, 1L, 0.5)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, 0.0)), s"got ${got(3L)}")
+    assert(got(4L) == ((11L, 2L, 0.1818)), s"got ${got(4L)}")  // both self-repeat sites
+  }
+
   test("bigram LM scores phrase structure, not just token frequency") {
     import spark.implicits._
     // docs 1 and 2 have IDENTICAL unigram distributions (4x a, 4x b); doc 1
