@@ -1017,6 +1017,12 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SQ8 index codec audit: per-dimension affine int8 codes + per-vector
+    // dequantization MSE — |dims|-row stats table broadcast onto one corpus
+    // pass, decimal-exact error sums
+    "llm_embed_quant" -> ((s, dir) =>
+      Ann.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
+
     // Lee et al. 2022 ExactSubstr signal: fraction of each doc's stride-1
     // 10-token spans that occur >= 2 times anywhere in the corpus — span
     // formation in-projection, one hash agg on the span key, re-join by key
@@ -3012,6 +3018,25 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |el AS (SELECT vec_id, unnest(emb) AS x,
+        |         unnest(generate_series(1, len(emb))) AS pos FROM e),
+        |d AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM el GROUP BY 1),
+        |q AS (SELECT vec_id, x, lo, hi,
+        |        CASE WHEN hi > lo
+        |          THEN CAST(round((x - lo) * CAST(255 AS DOUBLE) / (hi - lo), 0) AS INT)
+        |          ELSE 0 END AS code
+        |      FROM el JOIN d USING (pos)),
+        |r AS (SELECT vec_id, code,
+        |        CAST(CASE WHEN hi > lo
+        |          THEN pow(x - (lo + code * (hi - lo) / CAST(255 AS DOUBLE)), 2)
+        |          ELSE 0 END AS DECIMAL(18,12)) AS sq
+        |      FROM q)
+        |SELECT vec_id, min(code) AS code_min, max(code) AS code_max,
+        |  round(CAST(sum(sq) AS DOUBLE) / count(*), 8) AS mse
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "llm_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

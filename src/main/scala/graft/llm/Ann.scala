@@ -231,6 +231,40 @@ object Ann {
       .select(col("vec_id"), col("cluster"), col("ccos"), col("kept"))
   }
 
+  /** Int8 scalar quantization of the embedding column (the FAISS-style SQ8
+    * codec that cuts an ANN index's memory 4× before IVF/LSH bucketing):
+    * per-DIMENSION min/max over the corpus define an affine code
+    * `round((x − lo)·255/(hi − lo))`, and each vector reports its code range
+    * and dequantization MSE — the audit that decides whether SQ8 recall loss
+    * is acceptable before re-encoding a 100-TB index.
+    *
+    * Scale shape: the per-dimension stats table is |dims| rows (one
+    * explode→hash-agg, map-side combined) and BROADCASTS onto a single
+    * corpus pass; per-element squared errors quantize to DECIMAL(18,12) and
+    * sum exactly, so the reported MSE is order-independent and
+    * engine-reproducible. Constant dimensions (hi == lo) code to 0 with zero
+    * error. Output: (vec_id, code_min, code_max, mse).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val dims = el.groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    el.join(broadcast(dims), Seq("pos"))
+      .withColumn("code", when(col("hi") > col("lo"),
+        round((col("x") - col("lo")) * lit(255d) / (col("hi") - col("lo")), 0).cast("int"))
+        .otherwise(lit(0)))
+      .withColumn("deq",
+        when(col("hi") > col("lo"),
+          col("lo") + col("code") * (col("hi") - col("lo")) / lit(255d))
+          .otherwise(col("x")))
+      .withColumn("sq", ((col("x") - col("deq")) * (col("x") - col("deq")))
+        .cast("decimal(18,12)"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("code")).as("code_min"), max(col("code")).as("code_max"),
+        round(sum(col("sq")).cast("double") / count(lit(1)), 8).as("mse"))
+      .select(col("vec_id"), col("code_min"), col("code_max"), col("mse"))
+  }
+
   /** Sign-bit LSH bucket id over the first `bits` dimensions: bit i set iff
     * embedding[i] > 0. Deterministic (axis-aligned hyperplanes), so engines
     * agree; a learned random-rotation family drops in by replacing the

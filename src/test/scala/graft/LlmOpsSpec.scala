@@ -506,6 +506,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes in range, endpoints exact, error within the SQ8 bound") {
+    import spark.implicits._
+    import graft.llm.Ann
+    // dim 0 is constant (must code to 0 with zero error); dim 1 spans [-0.5, 0.5]
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, Array(1.0f, -0.5f)), (3L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val t = Ann.quantizeInt8(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(t(1L)._2 == 255 && t(2L)._1 == 0, s"endpoints must hit the code range: $t")
+    // interval endpoints dequantize exactly; 0.1 lands within half a step
+    t.values.foreach { case (_, _, mse) => assert(mse <= 1e-6, s"mse $mse") }
+    // real fixture: every code in [0,255], per-vector MSE under the
+    // worst-case SQ8 bound (half a quantization step per dimension)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Ann.quantizeInt8(emb).collect()
+    assert(rows.length == emb.count().toInt)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(2) <= 255)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1e-3, s"mse ${r.getDouble(3)}")
+    }
+  }
+
   test("dup-span stats catch verbatim reuse at any alignment, count within-doc repeats") {
     import spark.implicits._
     val docs = Seq(
