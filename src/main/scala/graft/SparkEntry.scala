@@ -1017,6 +1017,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // JSONL training-shard export ROUND-TRIP: deterministic md5 shard
+    // assignment, partitionBy(shard) text write, re-read + JSON parse — the
+    // curation-to-trainer handoff proven end-to-end, not just written
+    "llm_export_shards" -> ((s, dir) => {
+      val out = scratchDir("graft-shards")
+      graft.sinks.Exports.writeTrainingShards(Tables.documents(s, dir),
+        nShards = 4, out)
+      graft.sinks.Exports.readTrainingShards(s, out).orderBy(col("doc_id"))
+    }),
+
     // SQ8 index codec audit: per-dimension affine int8 codes + per-vector
     // dequantization MSE — |dims|-row stats table broadcast onto one corpus
     // pass, decimal-exact error sums
@@ -3018,6 +3028,13 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_export_shards" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5('shard|' || doc_id), 1, 8) AS BIGINT) % 4 AS INT)
+        |    AS shard,
+        |  lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_embed_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -45,4 +45,42 @@ object Exports {
 
   def writeCsv(frame: DataFrame, path: String): Unit =
     frame.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Training-corpus JSONL shard export: every document serialized as one
+    * JSON line into a deterministic shard (md5-derived, RNG-free — the same
+    * doc lands in the same shard on any cluster size or engine), written
+    * `partitionBy(shard)` so each shard is an independently consumable file
+    * set and the write parallelizes across shards AND partitions. This is
+    * the handoff format between the curation engine and a training data
+    * loader.
+    *
+    * At 100 TB the same call stands — partitioned text write, no coalesce,
+    * no driver collection; shard count chooses the downstream read
+    * granularity.
+    */
+  def writeTrainingShards(docs: DataFrame, nShards: Int, path: String): Unit =
+    docs
+      .withColumn("shard",
+        (conv(substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+          .as("value"))
+      .write.partitionBy("shard").mode("overwrite").text(path)
+
+  /** Read a [[writeTrainingShards]] export back into a manifest frame
+    * (doc_id, shard, lang, n_chars) — the round-trip proof that the shard
+    * files parse and carry the full payload.
+    */
+  def readTrainingShards(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val parsed = spark.read.text(path)
+      .withColumn("j", from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, lang STRING, source STRING, text STRING")))
+    parsed.select(col("j.doc_id").as("doc_id"),
+      col("shard").cast("int").as("shard"),
+      col("j.lang").as("lang"),
+      length(col("j.text")).cast("long").as("n_chars"))
+  }
 }
