@@ -1040,6 +1040,21 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // the PRODUCTION SemDeDup shape: the cluster column comes from kmeans
+    // (k grows with the corpus so per-cluster pair spaces stay bounded —
+    // SemDeDup's own recipe, k ~ 1e5 at paper scale) instead of the fixture
+    // labels; same keep-farthest-from-centroid policy, oracle replays the
+    // identical kmeans iteration then the pair judgment
+    "llm_semdedup_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = Ann.kmeans(emb, k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      Ann.semanticDedup(emb.join(asg, Seq("vec_id")), threshold = 0.35,
+          clusterCol = "kc")
+        .withColumn("kept", col("kept").cast("long"))
+        .orderBy(col("vec_id"))
+    }),
+
     // bigram conditional-LM quality score (CCNet's KenLM step at order 2):
     // pair formation inside one projection (no explode-self-join), the
     // |V|^2-bounded bigram inventory joined by key — not broadcast — which
@@ -3028,6 +3043,25 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_semdedup_kmeans" ->
+      s"""WITH $KMEANS_CTE,
+         |ej AS (SELECT e.vec_id, ka.cluster AS kc, e.emb FROM e JOIN ka USING (vec_id)),
+         |kcx AS (SELECT kc, unnest(emb) AS x,
+         |          unnest(generate_series(1, len(emb))) AS pos FROM ej),
+         |kcm AS (SELECT kc, pos, avg(x) AS m FROM kcx GROUP BY 1, 2),
+         |kcents AS (SELECT kc, list(m ORDER BY pos) AS centroid FROM kcm GROUP BY 1),
+         |mm AS (SELECT ej.vec_id, ej.kc, ej.emb, ${COS("ej.emb", "c.centroid")} AS ccos
+         |       FROM ej JOIN kcents c USING (kc)),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM mm a JOIN mm b ON a.kc = b.kc AND a.vec_id != b.vec_id
+         |  WHERE ${COS("a.emb", "b.emb")} >= 0.35
+         |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+         |SELECT mm.vec_id, mm.kc AS cluster, mm.ccos + 0 AS ccos,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM mm LEFT JOIN dropped d ON d.vec_id = mm.vec_id
+         |ORDER BY mm.vec_id""".stripMargin,
 
     "llm_export_shards" ->
       """SELECT doc_id,
