@@ -1040,6 +1040,25 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // the operators CHAINED as a real curation campaign runs them — quality
+    // gate (one codegen pass) -> exact-dedup keepers (one digest shuffle)
+    // -> per-language stratified quota -> deterministic shard assignment;
+    // each stage is the library operator, not a re-implementation
+    "llm_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = TextStats.qualityGate(docs, minTokens = 25, maxTokens = 80,
+          maxStopRatio = 0.15, minQuality = 0.6, maxDupFrac = 0.02)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val gated = docs.join(kept, Seq("doc_id"), "left_semi")
+      val keepers = Dedup.exactDedup(gated).select(col("keeper").as("doc_id"))
+      val canon = gated.join(keepers, Seq("doc_id"), "left_semi")
+      Sample.stratified(canon, "lang", quota = 20)
+        .withColumn("shard",
+          (conv(substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 4).cast("int"))
+        .orderBy(col("stratum"), col("rk"))
+    }),
+
     // the PRODUCTION SemDeDup shape: the cluster column comes from kmeans
     // (k grows with the corpus so per-cluster pair spaces stay bounded —
     // SemDeDup's own recipe, k ~ 1e5 at paper scale) instead of the fixture
@@ -1737,6 +1756,49 @@ object SparkEntry {
     */
   private def COS(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** DuckDB replay of the six-check quality gate at the llm_quality_gate
+    * thresholds, ending in `r(doc_id, reasons)` — shared by the gate oracle
+    * and the chained curation-pipeline oracle.
+    */
+  private lazy val QUALITY_GATE_CTE: String =
+    """m AS (
+      |  SELECT * FROM (VALUES
+      |    ('de', ['der', 'die', 'das', 'und']),
+      |    ('en', ['the', 'a', 'of', 'and']),
+      |    ('es', ['el', 'la', 'los', 'y']),
+      |    ('fr', ['le', 'la', 'les', 'et'])) AS t(ml, markers)),
+      |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |h AS (
+      |  SELECT t.doc_id, m.ml,
+      |    len(list_filter(t.w, x -> list_contains(m.markers, x))) AS hits
+      |  FROM t, m),
+      |p AS (
+      |  SELECT doc_id, max(struct_pack(hits := hits, ml := ml)) AS b
+      |  FROM h GROUP BY 1),
+      |s AS (
+      |  SELECT t.doc_id, t.lang, len(t.w) AS n_tok,
+      |    round(len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w), 4) AS stop_r,
+      |    round(least(len(list_distinct(t.w)) / 25.0, 1.0) *
+      |      (1.0 - len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w)), 4) AS quality,
+      |    CASE WHEN len(t.w) < 3 THEN 0.0 ELSE
+      |      CAST(round(CAST(1.0 - len(list_distinct(list_transform(generate_series(1, len(t.w) - 2),
+      |        i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]))) * 1.0 /
+      |        (len(t.w) - 2) AS DECIMAL(28,10)), 6) AS DOUBLE) END AS dup_frac,
+      |    CASE WHEN p.b.hits > 0 THEN p.b.ml ELSE 'und' END AS predicted
+      |  FROM t JOIN p ON p.doc_id = t.doc_id),
+      |r AS (
+      |  -- array_to_string of an EMPTY list is NULL in DuckDB; coalesce to
+      |  -- '' so an all-pass doc matches Spark's empty reasons string
+      |  SELECT doc_id, coalesce(array_to_string(list_filter([
+      |    CASE WHEN n_tok < 25 THEN 'too_short' END,
+      |    CASE WHEN n_tok > 80 THEN 'too_long' END,
+      |    CASE WHEN stop_r > 0.15 THEN 'stopword_heavy' END,
+      |    CASE WHEN quality < 0.6 THEN 'low_quality' END,
+      |    CASE WHEN dup_frac > 0.02 THEN 'repetitive' END,
+      |    CASE WHEN predicted != lang AND predicted != 'und' THEN 'lang_mismatch' END
+      |  ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM s)""".stripMargin
 
   /** DuckDB replay of `Ann.kmeans(k = 8, iters = 2)` — md5-spread seeds,
     * rounded-cosine argmax assignment with ties to the lower cluster,
@@ -2841,45 +2903,28 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "llm_quality_gate" ->
-      """WITH m AS (
-        |  SELECT * FROM (VALUES
-        |    ('de', ['der', 'die', 'das', 'und']),
-        |    ('en', ['the', 'a', 'of', 'and']),
-        |    ('es', ['el', 'la', 'los', 'y']),
-        |    ('fr', ['le', 'la', 'les', 'et'])) AS t(ml, markers)),
-        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |h AS (
-        |  SELECT t.doc_id, m.ml,
-        |    len(list_filter(t.w, x -> list_contains(m.markers, x))) AS hits
-        |  FROM t, m),
-        |p AS (
-        |  SELECT doc_id, max(struct_pack(hits := hits, ml := ml)) AS b
-        |  FROM h GROUP BY 1),
-        |s AS (
-        |  SELECT t.doc_id, t.lang, len(t.w) AS n_tok,
-        |    round(len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w), 4) AS stop_r,
-        |    round(least(len(list_distinct(t.w)) / 25.0, 1.0) *
-        |      (1.0 - len(list_filter(t.w, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t.w)), 4) AS quality,
-        |    CASE WHEN len(t.w) < 3 THEN 0.0 ELSE
-        |      CAST(round(CAST(1.0 - len(list_distinct(list_transform(generate_series(1, len(t.w) - 2),
-        |        i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]))) * 1.0 /
-        |        (len(t.w) - 2) AS DECIMAL(28,10)), 6) AS DOUBLE) END AS dup_frac,
-        |    CASE WHEN p.b.hits > 0 THEN p.b.ml ELSE 'und' END AS predicted
-        |  FROM t JOIN p ON p.doc_id = t.doc_id),
-        |r AS (
-        |  -- array_to_string of an EMPTY list is NULL in DuckDB; coalesce to
-        |  -- '' so an all-pass doc matches Spark's empty reasons string
-        |  SELECT doc_id, coalesce(array_to_string(list_filter([
-        |    CASE WHEN n_tok < 25 THEN 'too_short' END,
-        |    CASE WHEN n_tok > 80 THEN 'too_long' END,
-        |    CASE WHEN stop_r > 0.15 THEN 'stopword_heavy' END,
-        |    CASE WHEN quality < 0.6 THEN 'low_quality' END,
-        |    CASE WHEN dup_frac > 0.02 THEN 'repetitive' END,
-        |    CASE WHEN predicted != lang AND predicted != 'und' THEN 'lang_mismatch' END
-        |  ], x -> x IS NOT NULL), ','), '') AS reasons
-        |  FROM s)
-        |SELECT doc_id, reasons, CAST(reasons = '' AS BIGINT) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $QUALITY_GATE_CTE
+         |SELECT doc_id, reasons, CAST(reasons = '' AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the operators CHAINED as a curation campaign would run them: quality
+    // gate -> exact-dedup keepers -> per-language stratified quota -> shard
+    "llm_curation_pipeline" ->
+      s"""WITH $QUALITY_GATE_CTE,
+         |keep AS (SELECT doc_id FROM r WHERE reasons = ''),
+         |g AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |canon AS (SELECT doc_id FROM (
+         |            SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+         |              ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+         |cdocs AS (SELECT g.* FROM g JOIN canon USING (doc_id)),
+         |ranked AS (SELECT doc_id, lang AS stratum,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY md5(text), doc_id) AS rk
+         |           FROM cdocs)
+         |SELECT doc_id, stratum, rk,
+         |  CAST(CAST('0x' || substring(md5('shard|' || doc_id), 1, 8) AS BIGINT) % 4 AS INT)
+         |    AS shard
+         |FROM ranked WHERE rk <= 20 ORDER BY stratum, rk""".stripMargin,
 
     "llm_pii_scrub" ->
       s"""WITH pii AS (
