@@ -3137,7 +3137,7 @@ object SparkEntry {
     "llm_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE len(string_split(text, ' ')) >= 10),
-        |sp AS (SELECT doc_id, array_to_string(w[i:i+9], ' ') AS span
+        |sp AS (SELECT doc_id, md5(array_to_string(w[i:i+9], ' ')) AS span
         |       FROM t, unnest(generate_series(1, len(w) - 9)) AS u(i)),
         |c AS (SELECT span, count(*) AS occ FROM sp GROUP BY 1)
         |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,

@@ -68,19 +68,19 @@ object Dedup {
     *
     * Scale shape: span formation stays in-projection (`transform` over the
     * token array — no self-join, no window); occurrence counting is one
-    * hash aggregation keyed by span; scoring re-joins by the span key with
-    * both sides shuffle-partitioned on it (the span inventory is corpus-
-    * sized and never broadcasts). At 100 TB the span string is replaced by
-    * its 128-bit hash to shrink the shuffle; the string key keeps the
-    * oracle exact here. Documents shorter than `n` tokens have no spans
-    * and are absent (the `sequence` descent guard, as in chunking).
+    * hash aggregation keyed by the span's 128-bit md5 (the shuffle carries
+    * the fixed-width digest, never the raw n-token string); scoring
+    * re-joins by the digest with both sides shuffle-partitioned on it (the
+    * span inventory is corpus-sized and never broadcasts). Documents
+    * shorter than `n` tokens have no spans and are absent (the `sequence`
+    * descent guard, as in chunking).
     */
   def dupSpanStats(docs: DataFrame, n: Int = 10): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
     val spans = t.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, size(w) - $n), " +
-        s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("span"))
+        s"i -> md5(cast(concat_ws(' ', slice(w, i + 1, $n)) as binary)))")).as("span"))
     val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("occ"))
     spans.join(counts, Seq("span"))
       .groupBy(col("doc_id"))
