@@ -1040,6 +1040,18 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // the eval harness over the LEARNED quantizer: recall@10 of the
+    // kmeans-IVF probe vs the exact top-10 — the number that decides
+    // whether the built index ships
+    "llm_ann_recall_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = kmeansAssignment(s, dir)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      Ann.recallReport(emb.join(asg, Seq("vec_id")), queryMaxId = 5, k = 10,
+          clusterCol = "kc")
+        .orderBy(col("qid"))
+    }),
+
     // the operators CHAINED as a real curation campaign runs them — quality
     // gate (one codegen pass) -> exact-dedup keepers (one digest shuffle)
     // -> per-language stratified quota -> deterministic shard assignment;
@@ -3103,6 +3115,46 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_ann_recall_kmeans" ->
+      s"""WITH $KMEANS_CTE,
+         |ej AS (SELECT e.vec_id, ka.cluster AS kc, e.emb FROM e JOIN ka USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM ej WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT qid, ej.vec_id, ${COS("qe", "ej.emb")} AS cos
+         |  FROM ej, q WHERE ej.vec_id != qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |    FROM bscored) WHERE rank <= 10),
+         |kcx AS (SELECT kc, unnest(emb) AS x,
+         |          unnest(generate_series(1, len(emb))) AS pos FROM ej),
+         |kcm AS (SELECT kc, pos, avg(x) AS m FROM kcx GROUP BY 1, 2),
+         |kcents AS (SELECT kc, list(m ORDER BY pos) AS centroid FROM kcm GROUP BY 1),
+         |probe AS (
+         |  SELECT qid, qe, kc AS probe_cluster
+         |  FROM (SELECT q.qid, q.qe, c.kc,
+         |          row_number() OVER (PARTITION BY q.qid
+         |            ORDER BY ${COS("q.qe", "c.centroid")} DESC, c.kc) AS crank
+         |        FROM q, kcents c)
+         |  WHERE crank = 1),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, ej.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${COS("p.qe", "ej.emb")} DESC, ej.vec_id) AS rank
+         |    FROM ej JOIN probe p ON ej.kc = p.probe_cluster AND ej.vec_id != p.qid)
+         |  WHERE rank <= 10),
+         |hit AS (
+         |  SELECT t.qid, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY 1)
+         |SELECT t.qid, count(*) AS n_true,
+         |  coalesce(any_value(h.n_hit), 0) AS n_hit,
+         |  CAST(round(CAST(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*)
+         |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN hit h ON h.qid = t.qid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     "llm_semdedup_kmeans" ->
       s"""WITH $KMEANS_CTE,
