@@ -1040,6 +1040,35 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // streaming curation INGEST: the quality gate runs as a stateless
+    // codegen projection on the micro-batch stream, survivors flow into the
+    // stateful dedup keyed by the BAG-OF-WORDS fingerprint (order-
+    // insensitive identity) — the crawl-side filter-then-dedup pipeline as
+    // one continuous query
+    "llm_stream_curate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val src = docStreamSourceDir(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val gated = TextStats.qualityGate(stream, minTokens = 25, maxTokens = 80,
+          maxStopRatio = 0.15, minQuality = 0.6, maxDupFrac = 0.02,
+          retainCols = Seq("text"))
+        .filter(col("keep") === 1)
+      val out = graft.streaming.StreamIngest.statefulDedup(gated,
+        keyExpr = "md5(array_join(sort_array(array_distinct(split(text, ' '))), ' '))")
+      val qname = "scur_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft-scur-ck"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("_1").as("doc_id"), col("_2").as("canonical"),
+          col("_3").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the eval harness over the LEARNED quantizer: recall@10 of the
     // kmeans-IVF probe vs the exact top-10 — the number that decides
     // whether the built index ships
@@ -3115,6 +3144,21 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_stream_curate" ->
+      s"""WITH $QUALITY_GATE_CTE,
+         |keep AS (SELECT doc_id FROM r WHERE reasons = ''),
+         |d AS (SELECT doc_id,
+         |        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dg
+         |      FROM documents JOIN keep USING (doc_id)),
+         |c AS (SELECT dg, doc_id AS canonical FROM (
+         |        SELECT doc_id, dg,
+         |          row_number() OVER (PARTITION BY dg
+         |            ORDER BY (doc_id % 2 = 0), doc_id) AS rn
+         |        FROM d) WHERE rn = 1)
+         |SELECT d.doc_id, c.canonical,
+         |  CAST(CASE WHEN d.doc_id = c.canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM d JOIN c USING (dg) ORDER BY d.doc_id""".stripMargin,
 
     "llm_ann_recall_kmeans" ->
       s"""WITH $KMEANS_CTE,

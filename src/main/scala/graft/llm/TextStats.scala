@@ -104,7 +104,8 @@ object TextStats {
     */
   def qualityGate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
                   maxStopRatio: Double = 0.5, minQuality: Double = 0.2,
-                  maxDupFrac: Double = 0.8, gramN: Int = 3): DataFrame = {
+                  maxDupFrac: Double = 0.8, gramN: Int = 3,
+                  retainCols: Seq[String] = Nil): DataFrame = {
     val w = col("w")
     val nTok = size(w)
     val nDis = size(array_distinct(w))
@@ -134,9 +135,13 @@ object TextStats {
       (dupFrac > maxDupFrac, "repetitive"),
       (predicted =!= col("lang") && predicted =!= "und", "lang_mismatch"))
     val reasons = array(checks.map { case (c, tag) => when(c, tag) }: _*)
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        array_join(filter(reasons, v => v.isNotNull), ",").as("reasons"))
+    // retainCols lets a downstream stage (e.g. streaming dedup) keep its
+    // inputs without a stream-to-stream re-join, which Spark disallows
+    docs.select(col("doc_id") +: col("lang") +: split(col("text"), " ").as("w") +:
+        retainCols.map(col): _*)
+      .select(col("doc_id") +:
+        array_join(filter(reasons, v => v.isNotNull), ",").as("reasons") +:
+        retainCols.map(col): _*)
       .withColumn("keep", (col("reasons") === "").cast("long"))
   }
 

@@ -339,11 +339,14 @@ object StreamIngest {
     * the same canonical without rescanning the corpus. Emits every input
     * row exactly once: (doc_id, canonical, kept 0/1).
     */
-  def statefulDedup(docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]):
+  def statefulDedup(docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                    keyExpr: String = "md5(text)"):
       org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
-    val keyed = docs.selectExpr("doc_id", "md5(text) as dg")
+    // keyExpr picks the identity: the default exact digest, or e.g. the
+    // bag-of-words fingerprint for order-insensitive streaming dedup
+    val keyed = docs.selectExpr("doc_id", s"$keyExpr as dg")
       .as[(Long, String)]
       .groupByKey(_._2)
     keyed.flatMapGroupsWithState[Long, (Long, Long, Long)](
