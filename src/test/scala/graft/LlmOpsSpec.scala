@@ -506,6 +506,33 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-span stats match a driver-side reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val docs = (0L until 20L).map { id =>
+        // alphabet of 4 tokens forces genuine span collisions
+        (id, Seq.fill(rnd.nextInt(25) + 5)("abcd" (rnd.nextInt(4)).toString).mkString(" "))
+      }
+      val n = 5
+      // reference: global occurrence count over every stride-1 n-token span
+      val spansOf = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        id -> (if (w.length < n) Seq.empty[String]
+               else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")))
+      }.toMap
+      val occ = spansOf.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val want = spansOf.collect { case (id, sp) if sp.nonEmpty =>
+        val dup = sp.count(occ(_) >= 2)
+        id -> ((sp.size.toLong, dup.toLong,
+          BigDecimal(dup.toDouble / sp.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      val got = graft.llm.Dedup.dupSpanStats(docs.toDF("doc_id", "text"), n = n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
   test("int8 quantization: codes in range, endpoints exact, error within the SQ8 bound") {
     import spark.implicits._
     import graft.llm.Ann
