@@ -189,6 +189,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("curation pipeline: rank-limit pushes down, stages join semi, no cartesian") {
+    val p = plan("llm_curation_pipeline")
+    // the per-language quota compiles to WindowGroupLimit Partial+Final —
+    // each partition heaps its own top-20 BEFORE the stratum shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bigram LM forms pairs in-projection: no window, no self-join explosion") {
     val p = graft.llm.TextStats.bigramLogProb(
         graft.core.Tables.documents(spark, sf))
