@@ -1678,9 +1678,19 @@ object SparkEntry {
       val src = scratchDir("graft-stream-src")
       val ev = events(s, dir)
       ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      backdateExistingFiles(src)
       ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
       src
     })
+
+  /** The file stream source admits files oldest-mtime-first; two writes
+    * landing in the same millisecond would tie and fall back to random
+    * (uuid) path order, flipping the batch split. Backdate batch-1 files so
+    * the admission order is deterministic regardless of write latency.
+    */
+  private def backdateExistingFiles(dir: String): Unit =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.setLastModified(f.lastModified() - 60000L))
 
   /** Same two-file fixture over the documents table (odd doc ids arrive a
     * micro-batch before even ones) for the streaming dedup query.
@@ -1691,6 +1701,7 @@ object SparkEntry {
       val src = scratchDir("graft-docstream-src")
       val d = Tables.documents(s, dir)
       d.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+      backdateExistingFiles(src)
       d.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
       src
     })
