@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DistinctNGrams, LatestK}
+import graft.functions.{CosineSim, DistinctNGrams, LatestK, SpanDigests}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -47,6 +47,14 @@ object GraftExtensions {
           DistinctNGrams(es.head, n)
         case other => throw new IllegalArgumentException(
           s"distinct_ngrams(arr, n): n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("span_digests"),
+      new ExpressionInfo(classOf[SpanDigests].getName, "span_digests"),
+      (es: Seq[Expression]) => { arity("span_digests", es, 2); es(1) } match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          SpanDigests(es.head, n)
+        case other => throw new IllegalArgumentException(
+          s"span_digests(arr, n): n must be an integer literal, got $other")
       }),
     (FunctionIdentifier("latest_k"),
       new ExpressionInfo(classOf[LatestK].getName, "latest_k"),

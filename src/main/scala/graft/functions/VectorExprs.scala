@@ -252,3 +252,75 @@ case class LatestK(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): LatestK =
     copy(child = newChildren.head)
 }
+
+/** All stride-1 n-token span digests of a token array, as one fused
+  * codegen-able call: `span_digests(w, n)` returns `array<string>` of the
+  * md5 hex of each n-token window joined with spaces — byte-identical to
+  * `transform(sequence(...), i -> md5(concat_ws(' ', slice(w, i+1, n))))`,
+  * but the HOF pipeline evaluates INTERPRETED (HigherOrderFunction has no
+  * doGenCode) while this stays inside whole-stage codegen and reuses one
+  * MessageDigest per row batch. Used by the duplicated-span scan
+  * (`Dedup.dupSpanStats`), where span formation runs over every token of
+  * the corpus.
+  */
+case class SpanDigests(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_digests expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_digests"
+
+  override def nullSafeEval(input: Any): Any =
+    SpanDigests.digests(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanDigests.digests($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanDigests =
+    copy(child = newChild)
+}
+
+object SpanDigests {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Static so generated code can call it directly. */
+  def digests(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = arr.getUTF8String(i + j)
+          j += 1
+        }
+        val bytes = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(Space, parts: _*).getBytes
+        md.reset()
+        val dig = md.digest(bytes)
+        val hex = new Array[Char](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = HexDigits((dig(k) >> 4) & 0xf)
+          hex(2 * k + 1) = HexDigits(dig(k) & 0xf)
+          k += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}

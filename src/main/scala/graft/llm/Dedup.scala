@@ -76,11 +76,14 @@ object Dedup {
     * descent guard, as in chunking).
     */
   def dupSpanStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
-    val spans = t.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, size(w) - $n), " +
-        s"i -> md5(cast(concat_ws(' ', slice(w, i + 1, $n)) as binary)))")).as("span"))
+    // span_digests is the native codegen form of
+    //   transform(sequence(0, size(w)-n), i -> md5(concat_ws(' ', slice(...))))
+    // — the HOF pipeline evaluates interpreted, this stays in codegen
+    val spans = t.select(col("doc_id"),
+      explode(call_function("span_digests", col("w"), lit(n))).as("span"))
     val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("occ"))
     spans.join(counts, Seq("span"))
       .groupBy(col("doc_id"))

@@ -506,6 +506,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native span_digests is bit-identical to the HOF md5 pipeline") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    graft.GraftExtensions.register(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 10)
+    val diff = docs
+      .select(call_function("span_digests", col("w"), lit(10)).as("native"),
+        expr("transform(sequence(0, size(w) - 10), " +
+          "i -> md5(cast(concat_ws(' ', slice(w, i + 1, 10)) as binary)))").as("hof"))
+      .filter(org.apache.spark.sql.functions.not(col("native") <=> col("hof")))
+      .count()
+    assert(diff == 0, s"$diff rows diverged")
+  }
+
   test("dup-span stats match a driver-side reference on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
