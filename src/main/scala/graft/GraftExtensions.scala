@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DistinctNGrams, LatestK, SpanDigests}
+import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, LatestK, SpanDigests}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -55,6 +55,18 @@ object GraftExtensions {
           SpanDigests(es.head, n)
         case other => throw new IllegalArgumentException(
           s"span_digests(arr, n): n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("chunk_fps"),
+      new ExpressionInfo(classOf[ChunkFps].getName, "chunk_fps"),
+      (es: Seq[Expression]) => {
+        arity("chunk_fps", es, 3)
+        (es(1), es(2)) match {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(s: Int, _)) =>
+            ChunkFps(es.head, w, s)
+          case other => throw new IllegalArgumentException(
+            s"chunk_fps(arr, w, stride): w and stride must be integer literals, got $other")
+        }
       }),
     (FunctionIdentifier("latest_k"),
       new ExpressionInfo(classOf[LatestK].getName, "latest_k"),

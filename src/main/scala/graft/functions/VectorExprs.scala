@@ -324,3 +324,74 @@ object SpanDigests {
     }
   }
 }
+
+/** Rabin–Karp chunk fingerprints as one fused codegen call:
+  * `chunk_fps(tokens, w, stride)` returns `array<long>` with the polynomial
+  * hash `((a·131 + h) mod 2³¹−1)` of each `w`-token window every `stride`
+  * tokens, where `h(tok)` is the first-8-hex-digits value of `md5(tok)` —
+  * bit-identical to the `transform(…, aggregate(slice(…)))` HOF pipeline in
+  * `Dedup.chunkFingerprints`, which evaluates interpreted per element. One
+  * md5 per token per document; window `k`'s offset is `k·stride`
+  * (recovered via `posexplode`).
+  */
+case class ChunkFps(child: Expression, w: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_fps expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunk_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkFps.fps(input.asInstanceOf[ArrayData], w, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChunkFps.fps($c, $w, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkFps =
+    copy(child = newChild)
+}
+
+object ChunkFps {
+  private val P = 2147483647L // 2^31 - 1, Dedup.MinhashPrime
+
+  /** Static so generated code can call it directly. */
+  def fps(arr: ArrayData, w: Int, stride: Int): ArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < w) new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = new Array[Long](nTok)
+      var i = 0
+      while (i < nTok) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 8 hex digits of the md5 == first 4 digest bytes, unsigned
+        hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        i += 1
+      }
+      val m = (nTok - w) / stride + 1
+      val out = new Array[Long](m)
+      var k = 0
+      while (k < m) {
+        val off = k * stride
+        var a = 0L
+        var j = 0
+        while (j < w) {
+          a = (a * 131L + hs(off + j)) % P
+          j += 1
+        }
+        out(k) = a
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}

@@ -33,17 +33,19 @@ object Dedup {
     * hash aggregation keyed on the fingerprint. Documents shorter than `w`
     * have no chunk (also guards Spark's descending `sequence(0, -1)`).
     */
-  def chunkFingerprints(docs: DataFrame, w: Int = 32, stride: Int = 16): DataFrame =
+  def chunkFingerprints(docs: DataFrame, w: Int = 32, stride: Int = 16): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    // chunk_fps is the native codegen form of the transform/aggregate HOF
+    // pipeline (one md5 per token, Horner per window) — bit-identical,
+    // pinned by LlmOpsSpec; window k's offset is k*stride via posexplode
     docs
-      .select(col("doc_id"), expr(
-        "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))").as("hs"))
-      .filter(size(col("hs")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, cast(floor((size(hs) - $w) / $stride) as int)), i -> " +
-          s"struct(i * $stride as off, " +
-          s"aggregate(slice(hs, i * $stride + 1, $w), cast(0 as bigint), " +
-          s"(a, h) -> (a * 131 + h) % $MinhashPrime) as fp))")).as("c"))
-      .select(col("doc_id"), col("c.off").as("off"), col("c.fp").as("fp"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(call_function("chunk_fps", col("toks"), lit(w), lit(stride)))
+          .as(Seq("pos", "fp")))
+      .select(col("doc_id"), (col("pos") * stride).as("off"), col("fp"))
+  }
 
   /** Verbatim-shared passages across documents: chunk fingerprints appearing
     * in ≥2 distinct documents. `size(collect_set)` not `countDistinct` (one

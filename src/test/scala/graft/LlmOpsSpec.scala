@@ -506,6 +506,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native chunk_fps is bit-identical to the HOF transform/aggregate pipeline") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    graft.GraftExtensions.register(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.split(col("text"), " ").as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 32)
+    val diff = docs
+      .select(call_function("chunk_fps", col("toks"), lit(32), lit(16)).as("native"),
+        expr("transform(sequence(0, cast(floor((size(toks) - 32) / 16) as int)), i -> " +
+          "aggregate(transform(slice(toks, i * 16 + 1, 32), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)), " +
+          "cast(0 as bigint), (a, h) -> (a * 131 + h) % 2147483647))").as("hof"))
+      .filter(org.apache.spark.sql.functions.not(col("native") <=> col("hof")))
+      .count()
+    assert(diff == 0, s"$diff rows diverged")
+  }
+
   test("native span_digests is bit-identical to the HOF md5 pipeline") {
     import org.apache.spark.sql.functions.{call_function, col, expr, lit}
     graft.GraftExtensions.register(spark)
