@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, LatestK, SpanDigests}
+import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, LatestK, NGramSpans, SpanDigests}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -55,6 +55,14 @@ object GraftExtensions {
           SpanDigests(es.head, n)
         case other => throw new IllegalArgumentException(
           s"span_digests(arr, n): n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("ngram_spans"),
+      new ExpressionInfo(classOf[NGramSpans].getName, "ngram_spans"),
+      (es: Seq[Expression]) => { arity("ngram_spans", es, 2); es(1) } match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          NGramSpans(es.head, n)
+        case other => throw new IllegalArgumentException(
+          s"ngram_spans(arr, n): n must be an integer literal, got $other")
       }),
     (FunctionIdentifier("chunk_fps"),
       new ExpressionInfo(classOf[ChunkFps].getName, "chunk_fps"),

@@ -395,3 +395,59 @@ object ChunkFps {
     }
   }
 }
+
+/** All stride-1 n-token spans of a token array as plain strings —
+  * `ngram_spans(w, n)` is the codegen form of
+  * `transform(sequence(0, size(w)-n), i -> concat_ws(' ', slice(w, i+1, n)))`
+  * (which evaluates interpreted). Feeds the shingle table build behind the
+  * whole near-dedup/minhash/contamination family; output strings are
+  * byte-identical so every downstream join and oracle is unchanged.
+  */
+case class NGramSpans(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_spans expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_spans"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramSpans.spans(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramSpans.spans($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramSpans =
+    copy(child = newChild)
+}
+
+object NGramSpans {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Static so generated code can call it directly. */
+  def spans(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = arr.getUTF8String(i + j)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}

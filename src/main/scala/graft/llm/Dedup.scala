@@ -114,12 +114,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
   /** Distinct word n-gram shingles per document: (doc_id, s). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    // ngram_spans is the native codegen form of the transform/slice HOF
+    // pipeline — byte-identical strings, pinned by LlmOpsSpec
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("s"))
+        explode(call_function("ngram_spans", col("w"), lit(n))).as("s"))
       .distinct()
+  }
 
   /** Default document-frequency cap for the inverted-index candidate join.
     * A shingle shared by df documents contributes df² candidate rows, so the

@@ -506,6 +506,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native ngram_spans is byte-identical to the HOF concat_ws pipeline") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    graft.GraftExtensions.register(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 3)
+    val diff = docs
+      .select(call_function("ngram_spans", col("w"), lit(3)).as("native"),
+        expr("transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 3)))").as("hof"))
+      .filter(org.apache.spark.sql.functions.not(col("native") <=> col("hof")))
+      .count()
+    assert(diff == 0, s"$diff rows diverged")
+  }
+
   test("native chunk_fps is bit-identical to the HOF transform/aggregate pipeline") {
     import org.apache.spark.sql.functions.{call_function, col, expr, lit}
     graft.GraftExtensions.register(spark)
