@@ -1040,6 +1040,14 @@ object SparkEntry {
       Dedup.dupSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // deterministic 80/10/10 holdout split: salted-md5 uniform draw, no
+    // shuffle, id-stable — adding documents never reshuffles existing
+    // assignments, so eval sets stay fixed across corpus versions
+    "llm_data_split" -> ((s, dir) =>
+      Sample.holdoutSplit(Tables.documents(s, dir), valFrac = 0.1,
+          testFrac = 0.1)
+        .orderBy(col("doc_id"))),
+
     // streaming curation INGEST: the quality gate runs as a stateless
     // codegen projection on the micro-batch stream, survivors flow into the
     // stateful dedup keyed by the BAG-OF-WORDS fingerprint (order-
@@ -3155,6 +3163,17 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "llm_data_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN u < CAST(0.1 AS DOUBLE) THEN 'test'
+        |       WHEN u < CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        CAST('0x' || substring(md5('split|' || doc_id), 1, 8) AS BIGINT)
+        |          / CAST(4294967296 AS DOUBLE) AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_stream_curate" ->
       s"""WITH $QUALITY_GATE_CTE,

@@ -158,4 +158,24 @@ object Sample {
       .map { case (id, i) => (id, i + 1L) }
       .toDF("doc_id", "position")
   }
+
+  /** Deterministic train/val/test holdout assignment: each document draws a
+    * uniform `u ∈ [0,1)` from the salted md5 of its id (the first 8 hex
+    * digits over 2³²) and lands in test (`u < testFrac`), val
+    * (`u < testFrac + valFrac`), or train. RNG-free and id-stable — the
+    * same doc keeps its split across engines, cluster sizes, reruns, and
+    * corpus growth (adding documents never reshuffles existing
+    * assignments, the property that keeps eval sets uncontaminated across
+    * corpus versions). One narrow projection, no shuffle, no state.
+    */
+  def holdoutSplit(docs: DataFrame, valFrac: Double, testFrac: Double,
+                   salt: String = "split"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + "|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296d)
+    docs.select(col("doc_id"), col("lang"),
+      when(u < testFrac, "test")
+        .when(u < testFrac + valFrac, "val")
+        .otherwise("train").as("split"))
+  }
 }

@@ -506,6 +506,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("holdout split: fractions within binomial bounds, id-stable under corpus growth") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Sample
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Sample.holdoutSplit(docs, valFrac = 0.1, testFrac = 0.1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = full.size
+    val shares = full.values.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    // 3-sigma binomial bounds around 10% / 10% / 80%
+    def within(k: Int, p: Double) =
+      math.abs(k - n * p) <= 3 * math.sqrt(n * p * (1 - p)) + 1
+    assert(within(shares.getOrElse("test", 0), 0.1), s"shares=$shares")
+    assert(within(shares.getOrElse("val", 0), 0.1), s"shares=$shares")
+    assert(within(shares.getOrElse("train", 0), 0.8), s"shares=$shares")
+    // the anti-contamination property: a half-corpus run assigns every doc
+    // the SAME split — growth never reshuffles existing assignments
+    val half = Sample.holdoutSplit(docs.filter(col("doc_id") % 2 === 0),
+        valFrac = 0.1, testFrac = 0.1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved: ${full(id)} -> $s") }
+  }
+
   test("native ngram_spans is byte-identical to the HOF concat_ws pipeline") {
     import org.apache.spark.sql.functions.{call_function, col, expr, lit}
     graft.GraftExtensions.register(spark)
