@@ -9,7 +9,7 @@ import graft.core.Tables
 import graft.derive.Derive
 import graft.fold.EntityFold
 import graft.ingest.EventTasks
-import graft.llm.{Ann, Dedup, Multimodal, Privacy, Sample, Simhash, TextStats}
+import graft.llm.{Ann, Dedup, Multimodal, Pq, Privacy, Sample, Simhash, TextStats}
 import graft.query.Search
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -1033,6 +1033,21 @@ object SparkEntry {
     "llm_embed_quant" -> ((s, dir) =>
       Ann.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    // product-quantization codec audit (Jégou et al. 2011): 4 subspaces x 16
+    // dims, 4-centroid codebook each trained by deterministic Lloyd — codes
+    // plus per-vector reconstruction MSE, the IVFADC companion to the SQ8
+    // audit above
+    "llm_pq_encode" -> ((s, dir) =>
+      Pq.encodeAudit(Tables.embeddings(s, dir), m = 4, subDim = 16, k = 4)
+        .orderBy(col("vec_id"))),
+
+    // ADC recall of the PQ index vs the exact Euclidean top-10 — the
+    // compression-vs-recall number that gates re-encoding a 100-TB index
+    "llm_pq_recall" -> ((s, dir) =>
+      Pq.adcRecall(Tables.embeddings(s, dir), queryMaxId = 5, topK = 10,
+          m = 4, subDim = 16, k = 4)
+        .orderBy(col("qid"))),
+
     // Lee et al. 2022 ExactSubstr signal: fraction of each doc's stride-1
     // 10-token spans that occur >= 2 times anywhere in the corpus — span
     // formation in-projection, one hash agg on the span key, re-join by key
@@ -1904,6 +1919,49 @@ object SparkEntry {
        |ka AS (SELECT vec_id, cluster, ccos FROM (
        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
        |         FROM sc2) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of `Pq.train/encode(m=4, subDim=16, k=4, iters=2)` — one
+    * kmeans block per subspace (md5-spread seeds shared across subspaces,
+    * 6-dp-rounded Euclidean argmin with ties to the lower code, decimal-
+    * summed centroid update), ending in per-subspace assignments `a2_{s}`
+    * and the concatenated reconstruction `rv(vec_id, rvec)`. Generated by
+    * the same loop shape as the Spark side so the two stay in lockstep.
+    */
+  private lazy val PQ_CTE: String = {
+    val m = 4; val subDim = 16; val k = 4
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""sub$s AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e),
+         |sc$s AS (SELECT code, emb[$lo:$hi] AS c FROM sd),
+         |d1_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
+         |          FROM sub$s a, sc$s s),
+         |a1_$s AS (SELECT vec_id, code FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+         |            FROM d1_$s) WHERE rn = 1),
+         |u$s AS (SELECT a.code, unnest(b.v) AS x,
+         |          unnest(generate_series(1, len(b.v))) AS pos
+         |        FROM a1_$s a JOIN sub$s b USING (vec_id)),
+         |cm$s AS (SELECT code, pos,
+         |           round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mv
+         |         FROM u$s GROUP BY 1, 2),
+         |c2_$s AS (SELECT code, list(mv ORDER BY pos) AS c FROM cm$s GROUP BY 1),
+         |d2_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
+         |          FROM sub$s a, c2_$s s),
+         |a2_$s AS (SELECT vec_id, code FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+         |            FROM d2_$s) WHERE rn = 1),
+         |r$s AS (SELECT a.vec_id, c.c FROM a2_$s a JOIN c2_$s c USING (code))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+       |       FROM e ORDER BY h, vec_id LIMIT $k),
+       |sd AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code, emb
+       |       FROM s0),
+       |$subs,
+       |rv AS (SELECT r0.vec_id, r0.c || r1.c || r2.c || r3.c AS rvec
+       |       FROM r0 JOIN r1 USING (vec_id) JOIN r2 USING (vec_id)
+       |            JOIN r3 USING (vec_id))""".stripMargin
+  }
 
   /** FMP feature-frame SQL (no ORDER BY) shared by the features oracle and
     * the tree-ensemble scoring oracle.
@@ -2940,6 +2998,45 @@ object SparkEntry {
          |  SELECT t.qid, count(*) AS n_hit
          |  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
          |  GROUP BY 1)
+         |SELECT t.qid, count(*) AS n_true,
+         |  coalesce(any_value(h.n_hit), 0) AS n_hit,
+         |  CAST(round(CAST(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*)
+         |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN hit h ON h.qid = t.qid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
+    "llm_pq_encode" ->
+      s"""WITH $PQ_CTE,
+         |codes AS (SELECT a2_0.vec_id, a2_0.code AS c0, a2_1.code AS c1,
+         |            a2_2.code AS c2, a2_3.code AS c3
+         |          FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+         |               JOIN a2_3 USING (vec_id)),
+         |msel AS (SELECT e.vec_id, unnest(e.emb) AS x, unnest(rv.rvec) AS r
+         |         FROM e JOIN rv USING (vec_id)),
+         |mse AS (SELECT vec_id,
+         |          round(CAST(sum(CAST((x - r) * (x - r) AS DECIMAL(18,12))) AS DOUBLE)
+         |                / 64, 8) AS mse
+         |        FROM msel GROUP BY 1)
+         |SELECT codes.vec_id, c0, c1, c2, c3, mse
+         |FROM codes JOIN mse USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "llm_pq_recall" ->
+      s"""WITH $PQ_CTE,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |ex AS (SELECT qid, e.vec_id, round(list_distance(qe, e.emb), 6) AS d
+         |       FROM e, q WHERE e.vec_id != qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |            FROM ex) WHERE rank <= 10),
+         |ad AS (SELECT qid, rv.vec_id, round(list_distance(qe, rv.rvec), 6) AS d
+         |       FROM rv, q WHERE rv.vec_id != qid),
+         |approx AS (SELECT qid, vec_id FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |             FROM ad) WHERE rank <= 10),
+         |hit AS (SELECT t.qid, count(*) AS n_hit
+         |        FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |        GROUP BY 1)
          |SELECT t.qid, count(*) AS n_true,
          |  coalesce(any_value(h.n_hit), 0) AS n_hit,
          |  CAST(round(CAST(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*)

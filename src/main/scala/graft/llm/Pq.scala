@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the codec that makes a 100-TB embedding
+  * index fit in memory: the D-dim vector splits into `m` subvectors of
+  * `subDim` dims, each quantized independently against a per-subspace
+  * codebook of `k` centroids, so a vector stores as `m` small codes
+  * (m·log2(k) bits) instead of D floats. Combined with the IVF coarse
+  * quantizer ([[Ann.kmeans]]/[[Ann.ivfTopK]]) this is the standard
+  * IVFADC layout.
+  *
+  * Scale shapes (the 100-TB contract):
+  *  - TRAIN: codebooks are m·k rows. Per Lloyd pass the current codebook
+  *    BROADCASTS onto one corpus scan; the per-(sub,vector) argmin collapses
+  *    map-side (partial `min(struct(d, code))`), and the centroid update is
+  *    an explode→hash-agg on (sub, code, pos) — map-side combined. At
+  *    production scale training runs on a bounded md5-top-N sample; nothing
+  *    here depends on seeing the full corpus.
+  *  - ENCODE: one corpus scan against the broadcast codebook; output is
+  *    |corpus| rows of m codes. No shuffle of the corpus.
+  *  - ADC: a query's distance to a coded vector is the distance to its
+  *    reconstruction; with codebooks broadcast, a real index precomputes the
+  *    m·k lookup table per query and scans codes. Here the reconstruction is
+  *    materialized explicitly (same numbers, auditable), and the global
+  *    top-k compiles to per-partition heaps, not a total sort.
+  *
+  * Cross-engine determinism (the oracle replays every step bit-for-bit):
+  * seeds are the k vectors with the smallest `md5(vec_id)` (shared across
+  * subspaces); distances round to 6 dp with argmin ties to the lower code;
+  * centroid components are DECIMAL(28,12)-summed (order-independent) then
+  * rounded to 6 dp; squared reconstruction errors quantize to
+  * DECIMAL(18,12) before summing.
+  */
+object Pq {
+
+  private def asDouble(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, col(c).cast("array<double>"))
+
+  /** Euclidean distance as a sequential double fold, rounded to 6 dp — the
+    * tie-break-stable quantity both engines agree on.
+    */
+  def l2(a: Column, b: Column): Column =
+    round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, v) => acc + v)), 6)
+
+  /** One corpus scan exploded to (sub, vec_id, v): subvector s covers dims
+    * [s·subDim, (s+1)·subDim). A single generator, not m scans.
+    */
+  private def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(array(
+      (0 until m).map(s => slice(col("embedding"), s * subDim + 1, subDim)): _*
+    )).as(Seq("sub", "v")))
+
+  /** Assign every subvector to its nearest centroid: broadcast codebook,
+    * map-side-combined argmin (ties to the lower code). Output:
+    * (sub, vec_id, code, d).
+    */
+  private def assign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("d", l2(col("v"), col("centroid")))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("sub"), col("vec_id"),
+        col("best.code").as("code"), col("best.d").as("d"))
+
+  /** Train the m per-subspace codebooks (k centroids each) with `iters`
+    * assignment passes of Lloyd's algorithm (iters−1 centroid updates —
+    * the [[Ann.kmeans]] convention). Output: (sub, code, centroid).
+    */
+  def train(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
+            iters: Int = 2): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val subs = subvectors(e, m, subDim)
+    // the k-row window runs on the already-limited seed set — a
+    // single-partition exchange of k rows, not a global sort
+    val seeds = e
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+    var cents = seeds.select(col("code"), posexplode(array(
+      (0 until m).map(s => slice(col("embedding"), s * subDim + 1, subDim)): _*
+    )).as(Seq("sub", "centroid")))
+    var assigned = assign(subs, cents)
+    for (_ <- 2 to iters) {
+      cents = assigned.join(subs, Seq("sub", "vec_id"))
+        .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("centroid"))
+      assigned = assign(subs, cents)
+    }
+    cents
+  }
+
+  /** Final code assignment against a trained codebook plus the per-vector
+    * reconstruction (the m centroid subvectors concatenated in subspace
+    * order). Output: (vec_id, codes: array<int> sorted by sub, rvec).
+    */
+  def encodeWithRecon(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
+                      iters: Int = 2): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val cb = train(embeddings, m, subDim, k, iters)
+    assign(subvectors(e, m, subDim), cb)
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("sub"), col("centroid")))),
+          x => x.getField("centroid"))).as("rvec"))
+  }
+
+  /** The PQ audit: every vector's codes plus its reconstruction MSE — the
+    * number that decides whether an m×k codebook is faithful enough before
+    * re-encoding a 100-TB index (the same role [[Ann.quantizeInt8]] plays
+    * for SQ8). Output: (vec_id, code columns c0..c{m−1}, mse).
+    */
+  def encodeAudit(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
+                  iters: Int = 2): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val enc = encodeWithRecon(embeddings, m, subDim, k, iters)
+    val mse = enc.join(e, Seq("vec_id"))
+      .select(col("vec_id"),
+        posexplode(arrays_zip(col("embedding"), col("rvec"))).as(Seq("pos", "z")))
+      .withColumn("sq",
+        ((col("z.embedding") - col("z.rvec")) * (col("z.embedding") - col("z.rvec")))
+          .cast("decimal(18,12)"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("sq")).cast("double") / lit(m * subDim), 8).as("mse"))
+    val codeCols = (0 until m).map(s =>
+      element_at(col("codes"), s + 1).cast("int").as(s"c$s"))
+    enc.join(mse, Seq("vec_id"))
+      .select(col("vec_id") +: codeCols :+ col("mse"): _*)
+  }
+
+  /** ADC recall report: per query, the overlap between the exact Euclidean
+    * top-k and the top-k ranked by distance to PQ reconstructions
+    * (asymmetric distance computation — the query stays exact, only the
+    * corpus is coded). The evaluation that justifies a PQ index's
+    * compression before pointing it at a corpus; same output contract as
+    * [[Ann.recallReport]]: (qid, n_true, n_hit, recall).
+    */
+  def adcRecall(embeddings: DataFrame, queryMaxId: Long, topK: Int,
+                m: Int, subDim: Int, k: Int, iters: Int = 2): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val rv = encodeWithRecon(embeddings, m, subDim, k, iters)
+      .select(col("vec_id"), col("rvec"))
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def topk(corpus: DataFrame, vcol: String): DataFrame =
+      corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("d", l2(col("qe"), col(vcol)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d").asc, col("vec_id"))))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("vec_id"))
+    val truth = topk(e, "embedding")
+    val approx = topk(rv, "rvec")
+    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        round((col("n_hit") / col("n_true")).cast("decimal(28,10)"), 6).cast("double"))
+      .select(col("qid"), col("n_true"), col("n_hit"), col("recall"))
+  }
+}

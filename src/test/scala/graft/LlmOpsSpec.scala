@@ -734,6 +734,44 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode: codes in range, finer codebook strictly more faithful") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val enc = graft.llm.Pq.encodeAudit(emb, m = 4, subDim = 16, k = 4).collect()
+    assert(enc.length == emb.count().toInt)
+    enc.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getInt(i)
+        assert(c >= 0 && c < 4, s"code $c out of [0,4) in row $r")
+      }
+      assert(r.getDouble(5) >= 0d, s"negative mse in $r")
+    }
+    // a 1-centroid codebook reconstructs every subvector to the subspace
+    // mean; 4 centroids must cut the average reconstruction error
+    val mse4 = enc.map(_.getDouble(5)).sum / enc.length
+    val enc1 = graft.llm.Pq.encodeAudit(emb, m = 4, subDim = 16, k = 1).collect()
+    val mse1 = enc1.map(_.getDouble(5)).sum / enc1.length
+    assert(mse4 < mse1, s"k=4 mse $mse4 not below k=1 mse $mse1")
+    // codebook joins stay broadcast on the corpus scan
+    val plan = graft.llm.Pq.encodeWithRecon(emb, 4, 16, 4)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "PQ codebook joins lost their broadcast")
+  }
+
+  test("PQ ADC recall is a valid recall over the exact top-k") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = graft.llm.Pq.adcRecall(emb, queryMaxId = 3, topK = 5,
+      m = 4, subDim = 16, k = 4).collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 5)
+      val hit = r.getLong(2)
+      assert(hit >= 0 && hit <= 5)
+      assert(math.abs(r.getDouble(3) - hit / 5.0) < 1e-6)
+    }
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
