@@ -1063,6 +1063,37 @@ object SparkEntry {
           testFrac = 0.1)
         .orderBy(col("doc_id"))),
 
+    // train->eval LEAKAGE scan: near-dup pairs that straddle the holdout
+    // boundary — the audit that catches eval contamination BEFORE training.
+    // The split label is a pure function of doc_id (Sample.splitCol), so
+    // both pair sides are tagged in place: no join against a split table,
+    // no shuffle beyond the dedup pair join itself
+    "llm_split_leakage" -> ((s, dir) => {
+      val sTrain = Sample.splitCol(col("d1"), valFrac = 0.1, testFrac = 0.1)
+      val sEval = Sample.splitCol(col("d2"), valFrac = 0.1, testFrac = 0.1)
+      Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.5,
+          maxShingleDf = None)
+        .withColumn("s1", sTrain).withColumn("s2", sEval)
+        .filter((col("s1") === "train") =!= (col("s2") === "train"))
+        .select(
+          when(col("s1") === "train", col("d2")).otherwise(col("d1")).as("eval_doc"),
+          when(col("s1") === "train", col("s2")).otherwise(col("s1")).as("eval_split"),
+          when(col("s1") === "train", col("d1")).otherwise(col("d2")).as("train_doc"),
+          col("jaccard"))
+        .orderBy(col("eval_doc"), col("train_doc"))
+    }),
+
+    // per-source curation report: volume, language spread, exact-dup
+    // involvement, and gate failure rate per crawl source — the keep/drop
+    // dashboard for source-level corpus decisions. Gate + signals in one
+    // codegen projection (no corpus self-join), dup marking on the digest
+    // shuffle, |sources|-row rollup
+    "llm_source_report" -> ((s, dir) =>
+      TextStats.sourceReport(Tables.documents(s, dir), minTokens = 25,
+          maxTokens = 80, maxStopRatio = 0.15, minQuality = 0.6,
+          maxDupFrac = 0.02)
+        .orderBy(col("source"))),
+
     // streaming curation INGEST: the quality gate runs as a stateless
     // codegen projection on the micro-batch stream, survivors flow into the
     // stateful dedup keyed by the BAG-OF-WORDS fingerprint (order-
@@ -3271,6 +3302,50 @@ object SparkEntry {
         |          / CAST(4294967296 AS DOUBLE) AS u
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_split_leakage" ->
+      s"""WITH $SHINGLES,
+         |sp AS (
+         |  SELECT d1, d2, jaccard,
+         |    CASE WHEN u1 < CAST(0.1 AS DOUBLE) THEN 'test'
+         |         WHEN u1 < CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+         |         ELSE 'train' END AS s1,
+         |    CASE WHEN u2 < CAST(0.1 AS DOUBLE) THEN 'test'
+         |         WHEN u2 < CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+         |         ELSE 'train' END AS s2
+         |  FROM (
+         |    SELECT d1, d2, jaccard,
+         |      CAST('0x' || substring(md5('split|' || d1), 1, 8) AS BIGINT)
+         |        / CAST(4294967296 AS DOUBLE) AS u1,
+         |      CAST('0x' || substring(md5('split|' || d2), 1, 8) AS BIGINT)
+         |        / CAST(4294967296 AS DOUBLE) AS u2
+         |    FROM jac WHERE jaccard >= 0.5))
+         |SELECT CASE WHEN s1 = 'train' THEN d2 ELSE d1 END AS eval_doc,
+         |       CASE WHEN s1 = 'train' THEN s2 ELSE s1 END AS eval_split,
+         |       CASE WHEN s1 = 'train' THEN d1 ELSE d2 END AS train_doc,
+         |       jaccard
+         |FROM sp WHERE (s1 = 'train') != (s2 = 'train')
+         |ORDER BY eval_doc, train_doc""".stripMargin,
+
+    "llm_source_report" ->
+      s"""WITH $QUALITY_GATE_CTE,
+         |b AS (SELECT d.doc_id, d.source, d.lang,
+         |        len(string_split(d.text, ' ')) AS n_tok,
+         |        md5(d.text) AS fp, r.reasons
+         |      FROM documents d JOIN r USING (doc_id)),
+         |dupf AS (SELECT fp FROM b GROUP BY fp HAVING count(*) >= 2)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM dupf) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_docs,
+         |  CAST(sum(CASE WHEN reasons != '' THEN 1 ELSE 0 END) AS BIGINT) AS gate_fail,
+         |  CAST(round(CAST(sum(CASE WHEN fp IN (SELECT fp FROM dupf) THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS dup_rate,
+         |  CAST(round(CAST((count(*) - sum(CASE WHEN reasons != '' THEN 1 ELSE 0 END))
+         |    * 1.0 / count(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS pass_rate
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     "llm_stream_curate" ->
       s"""WITH $QUALITY_GATE_CTE,

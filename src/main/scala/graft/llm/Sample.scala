@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,13 +169,23 @@ object Sample {
     * corpus versions). One narrow projection, no shuffle, no state.
     */
   def holdoutSplit(docs: DataFrame, valFrac: Double, testFrac: Double,
-                   salt: String = "split"): DataFrame = {
-    val u = conv(substring(md5(concat(lit(salt + "|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296d)
+                   salt: String = "split"): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      when(u < testFrac, "test")
-        .when(u < testFrac + valFrac, "val")
-        .otherwise("train").as("split"))
+      splitCol(col("doc_id"), valFrac, testFrac, salt).as("split"))
+
+  /** The holdout label as a pure Column over an id — because the split is a
+    * deterministic function of the id, consumers (leakage scans, per-split
+    * filters) tag ids IN PLACE with no join against a materialized split
+    * table: at 100 TB that's the difference between a projection and a
+    * corpus-wide shuffle.
+    */
+  def splitCol(docId: Column, valFrac: Double, testFrac: Double,
+               salt: String = "split"): Column = {
+    val u = conv(substring(md5(concat(lit(salt + "|"),
+        docId.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296d)
+    when(u < testFrac, "test")
+      .when(u < testFrac + valFrac, "val")
+      .otherwise("train")
   }
 }

@@ -342,6 +342,46 @@ object TextStats {
         (round(col("raw"), 4) > 0d).cast("int").as("selected"))
   }
 
+  /** Per-source curation report: the dashboard rollup a corpus owner reads
+    * before deciding which crawl sources to keep — per source, document and
+    * token volume, language spread, exact-duplicate involvement, and the
+    * quality-gate failure rate.
+    *
+    * Scale shape: the gate and the (n_tok, digest) signals evaluate in ONE
+    * codegen projection over the scan (the gate's `retainCols` carries
+    * `source`/`lang`/`text` through, so there is NO self-join of the corpus
+    * against itself); duplicate marking is one shuffle on the 128-bit digest
+    * (the [[Dedup.exactDedup]] key); the final rollup is a |sources|-row
+    * hash aggregation — map-side combined, broadcast-join-free.
+    * Output: (source, n_docs, n_tokens, n_langs, dup_docs, gate_fail,
+    * dup_rate, pass_rate).
+    */
+  def sourceReport(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 2000,
+                   maxStopRatio: Double = 0.5, minQuality: Double = 0.2,
+                   maxDupFrac: Double = 0.8): DataFrame = {
+    val b = qualityGate(docs, minTokens, maxTokens, maxStopRatio, minQuality,
+        maxDupFrac, retainCols = Seq("source", "lang", "text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("keep"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("fp"))
+    val dupFps = b.groupBy(col("fp")).agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= 2).select(col("fp"), lit(1L).as("isdup"))
+    b.join(dupFps, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("dup_docs"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("gate_fail"))
+      .withColumn("dup_rate",
+        round((col("dup_docs") * lit(1.0) / col("n_docs")).cast("decimal(28,10)"), 4)
+          .cast("double"))
+      .withColumn("pass_rate",
+        round(((col("n_docs") - col("gate_fail")) * lit(1.0) / col("n_docs"))
+          .cast("decimal(28,10)"), 4).cast("double"))
+  }
+
   /** Character-trigram cosine language classifier (the real n-gram heuristic;
     * profiles are tiny fixtures here, a config file in deployment). Pure
     * Scala — used for single-string classification and unit-tested against
