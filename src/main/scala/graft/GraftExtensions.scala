@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, LatestK, NGramSpans, SpanDigests}
+import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, L2Dist, LatestK, NGramSpans, SpanDigests}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -39,6 +39,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity("cosine_sim", es, 2)
         CosineSim(es.head, es(1))
+      }),
+    (FunctionIdentifier("l2_dist"),
+      new ExpressionInfo(classOf[L2Dist].getName, "l2_dist"),
+      (es: Seq[Expression]) => {
+        arity("l2_dist", es, 2)
+        L2Dist(es.head, es(1))
       }),
     (FunctionIdentifier("distinct_ngrams"),
       new ExpressionInfo(classOf[DistinctNGrams].getName, "distinct_ngrams"),

@@ -41,9 +41,18 @@ object Pq {
     df.withColumn(c, col(c).cast("array<double>"))
 
   /** Euclidean distance as a sequential double fold, rounded to 6 dp — the
-    * tie-break-stable quantity both engines agree on.
+    * tie-break-stable quantity both engines agree on. Computed by the
+    * native codegen `l2_dist` expression (`graft.functions.L2Dist`): same
+    * summation order as the `sqrt(aggregate(zip_with(...)))` HOF fold it
+    * replaces (bit-identity pinned by `LlmOpsSpec`), but inside whole-stage
+    * codegen instead of a per-element lambda interpreter.
     */
-  def l2(a: Column, b: Column): Column =
+  def l2(a: Column, b: Column): Column = round(call_function("l2_dist", a, b), 6)
+
+  /** The HOF formulation of [[l2]] — kept as the bit-identity reference the
+    * spec pins the native expression against.
+    */
+  def l2Hof(a: Column, b: Column): Column =
     round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, v) => acc + v)), 6)
 
@@ -73,6 +82,7 @@ object Pq {
     */
   def train(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
             iters: Int = 2): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     val e = asDouble(embeddings, "embedding")
     val subs = subvectors(e, m, subDim)
     // the k-row window runs on the already-limited seed set — a
@@ -151,6 +161,7 @@ object Pq {
     */
   def adcRecall(embeddings: DataFrame, queryMaxId: Long, topK: Int,
                 m: Int, subDim: Int, k: Int, iters: Int = 2): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     val e = asDouble(embeddings, "embedding")
     val rv = encodeWithRecon(embeddings, m, subDim, k, iters)
       .select(col("vec_id"), col("rvec"))

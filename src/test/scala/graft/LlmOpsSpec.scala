@@ -759,6 +759,25 @@ class LlmOpsSpec extends AnyFunSuite {
       "PQ codebook joins lost their broadcast")
   }
 
+  test("native l2_dist is bit-identical to the HOF sqrt-of-fold pipeline") {
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val a = emb.select(col("vec_id"), col("embedding").as("ea"))
+    val b = emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("eb"))
+    val both = a.join(b, "vec_id")
+      .select(graft.llm.Pq.l2(col("ea"), col("eb")).as("nat"),
+        graft.llm.Pq.l2Hof(col("ea"), col("eb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"l2_dist diverged from the HOF fold: $r")
+    }
+  }
+
   test("PQ ADC recall is a valid recall over the exact top-k") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rep = graft.llm.Pq.adcRecall(emb, queryMaxId = 3, topK = 5,
