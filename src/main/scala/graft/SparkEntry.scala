@@ -1978,7 +1978,7 @@ object SparkEntry {
          |c2_$s AS (SELECT code, list(mv ORDER BY pos) AS c FROM cm$s GROUP BY 1),
          |d2_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
          |          FROM sub$s a, c2_$s s),
-         |a2_$s AS (SELECT vec_id, code FROM (
+         |a2_$s AS (SELECT vec_id, code, d FROM (
          |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
          |            FROM d2_$s) WHERE rn = 1),
          |r$s AS (SELECT a.vec_id, c.c FROM a2_$s a JOIN c2_$s c USING (code))""".stripMargin
@@ -3037,19 +3037,13 @@ object SparkEntry {
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     "llm_pq_encode" ->
-      s"""WITH $PQ_CTE,
-         |codes AS (SELECT a2_0.vec_id, a2_0.code AS c0, a2_1.code AS c1,
-         |            a2_2.code AS c2, a2_3.code AS c3
-         |          FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
-         |               JOIN a2_3 USING (vec_id)),
-         |msel AS (SELECT e.vec_id, unnest(e.emb) AS x, unnest(rv.rvec) AS r
-         |         FROM e JOIN rv USING (vec_id)),
-         |mse AS (SELECT vec_id,
-         |          round(CAST(sum(CAST((x - r) * (x - r) AS DECIMAL(18,12))) AS DOUBLE)
-         |                / 64, 8) AS mse
-         |        FROM msel GROUP BY 1)
-         |SELECT codes.vec_id, c0, c1, c2, c3, mse
-         |FROM codes JOIN mse USING (vec_id)
+      s"""WITH $PQ_CTE
+         |SELECT a2_0.vec_id, a2_0.code AS c0, a2_1.code AS c1,
+         |  a2_2.code AS c2, a2_3.code AS c3,
+         |  round((a2_0.d * a2_0.d + a2_1.d * a2_1.d + a2_2.d * a2_2.d
+         |         + a2_3.d * a2_3.d) / 64, 8) AS mse
+         |FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+         |     JOIN a2_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
 
     "llm_pq_recall" ->

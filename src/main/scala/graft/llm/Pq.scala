@@ -65,16 +65,19 @@ object Pq {
     )).as(Seq("sub", "v")))
 
   /** Assign every subvector to its nearest centroid: broadcast codebook,
-    * map-side-combined argmin (ties to the lower code). Output:
-    * (sub, vec_id, code, d).
+    * map-side-combined argmin (ties to the lower code). The subvector
+    * rides through the aggregation (`first(v)` — constant within the
+    * (sub, vec_id) group, so deterministic), which lets the Lloyd update
+    * consume the assignment directly instead of re-joining the corpus:
+    * one fewer shuffle per iteration. Output: (sub, vec_id, code, d, v).
     */
   private def assign(subs: DataFrame, cents: DataFrame): DataFrame =
     subs.join(broadcast(cents), Seq("sub"))
       .withColumn("d", l2(col("v"), col("centroid")))
       .groupBy(col("sub"), col("vec_id"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .agg(min(struct(col("d"), col("code"))).as("best"), first(col("v")).as("v"))
       .select(col("sub"), col("vec_id"),
-        col("best.code").as("code"), col("best.d").as("d"))
+        col("best.code").as("code"), col("best.d").as("d"), col("v"))
 
   /** Train the m per-subspace codebooks (k centroids each) with `iters`
     * assignment passes of Lloyd's algorithm (iters−1 centroid updates —
@@ -97,7 +100,7 @@ object Pq {
     )).as(Seq("sub", "centroid")))
     var assigned = assign(subs, cents)
     for (_ <- 2 to iters) {
-      cents = assigned.join(subs, Seq("sub", "vec_id"))
+      cents = assigned
         .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -132,24 +135,26 @@ object Pq {
   /** The PQ audit: every vector's codes plus its reconstruction MSE — the
     * number that decides whether an m×k codebook is faithful enough before
     * re-encoding a 100-TB index (the same role [[Ann.quantizeInt8]] plays
-    * for SQ8). Output: (vec_id, code columns c0..c{m−1}, mse).
+    * for SQ8). The MSE comes straight from the assignment distances the
+    * encode pass already computed (`Σ_s d_s² / D`, each dₛ the 6-dp
+    * subspace L2 to the chosen centroid, summed in subspace order) — no
+    * reconstruction materialization, no corpus re-join: train + ONE
+    * assignment pass + one pivot on vec_id.
+    * Output: (vec_id, code columns c0..c{m−1}, mse).
     */
   def encodeAudit(embeddings: DataFrame, m: Int, subDim: Int, k: Int,
                   iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
-    val enc = encodeWithRecon(embeddings, m, subDim, k, iters)
-    val mse = enc.join(e, Seq("vec_id"))
-      .select(col("vec_id"),
-        posexplode(arrays_zip(col("embedding"), col("rvec"))).as(Seq("pos", "z")))
-      .withColumn("sq",
-        ((col("z.embedding") - col("z.rvec")) * (col("z.embedding") - col("z.rvec")))
-          .cast("decimal(18,12)"))
-      .groupBy(col("vec_id"))
-      .agg(round(sum(col("sq")).cast("double") / lit(m * subDim), 8).as("mse"))
-    val codeCols = (0 until m).map(s =>
-      element_at(col("codes"), s + 1).cast("int").as(s"c$s"))
-    enc.join(mse, Seq("vec_id"))
-      .select(col("vec_id") +: codeCols :+ col("mse"): _*)
+    val cb = train(embeddings, m, subDim, k, iters)
+    val a = assign(subvectors(e, m, subDim), cb)
+    val aggs = (0 until m).flatMap(s => Seq(
+      max(when(col("sub") === s, col("code"))).cast("int").as(s"c$s"),
+      max(when(col("sub") === s, col("d"))).as(s"d$s")))
+    val piv = a.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+    val mse = round(
+      (0 until m).map(s => col(s"d$s") * col(s"d$s")).reduce(_ + _) /
+        lit(m * subDim), 8).as("mse")
+    piv.select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) :+ mse: _*)
   }
 
   /** ADC recall report: per query, the overlap between the exact Euclidean
