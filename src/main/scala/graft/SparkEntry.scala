@@ -1048,6 +1048,17 @@ object SparkEntry {
           m = 4, subDim = 16, k = 4)
         .orderBy(col("qid"))),
 
+    // the COMPLETE two-level IVFADC index: kmeans coarse quantizer routes
+    // the query, PQ codes rank the probed cluster's members by asymmetric
+    // distance — coarse prune + compressed scan, the production ANN layout
+    "llm_ann_ivfpq" -> ((s, dir) => {
+      val asg = kmeansAssignment(s, dir)
+      Pq.ivfAdcTopK(Tables.embeddings(s, dir), asg, queryMaxId = 5,
+          topK = 10, m = 4, subDim = 16, k = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Lee et al. 2022 ExactSubstr signal: fraction of each doc's stride-1
     // 10-token spans that occur >= 2 times anywhere in the corpus — span
     // formation in-projection, one hash agg on the span key, re-join by key
@@ -1082,6 +1093,13 @@ object SparkEntry {
           col("jaccard"))
         .orderBy(col("eval_doc"), col("train_doc"))
     }),
+
+    // vocabulary-coverage audit: top-50 corpus vocabulary (ties lexical),
+    // per-doc OOV rate — TakeOrderedAndProject vocab, broadcast onto one
+    // exploded corpus pass
+    "llm_vocab_coverage" -> ((s, dir) =>
+      TextStats.vocabCoverage(Tables.documents(s, dir), vocabSize = 50)
+        .orderBy(col("doc_id"))),
 
     // per-source curation report: volume, language spread, exact-dup
     // involvement, and gate failure rate per crawl source — the keep/drop
@@ -1958,14 +1976,22 @@ object SparkEntry {
     * and the concatenated reconstruction `rv(vec_id, rvec)`. Generated by
     * the same loop shape as the Spark side so the two stay in lockstep.
     */
-  private lazy val PQ_CTE: String = {
+  /** The embedding base CTE shared by the PQ oracles (identical to the
+    * first clause of `KMEANS_CTE`, so `PQ_BODY` composes with either).
+    */
+  private val PQ_E: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  private lazy val PQ_CTE: String = s"$PQ_E,\n$PQ_BODY"
+
+  private lazy val PQ_BODY: String = {
     val m = 4; val subDim = 16; val k = 4
     val subs = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       s"""sub$s AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e),
-         |sc$s AS (SELECT code, emb[$lo:$hi] AS c FROM sd),
+         |psc$s AS (SELECT code, emb[$lo:$hi] AS c FROM psd),
          |d1_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
-         |          FROM sub$s a, sc$s s),
+         |          FROM sub$s a, psc$s s),
          |a1_$s AS (SELECT vec_id, code FROM (
          |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
          |            FROM d1_$s) WHERE rn = 1),
@@ -1983,11 +2009,10 @@ object SparkEntry {
          |            FROM d2_$s) WHERE rn = 1),
          |r$s AS (SELECT a.vec_id, c.c FROM a2_$s a JOIN c2_$s c USING (code))""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |s0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+    s"""ps0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
        |       FROM e ORDER BY h, vec_id LIMIT $k),
-       |sd AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code, emb
-       |       FROM s0),
+       |psd AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code, emb
+       |       FROM ps0),
        |$subs,
        |rv AS (SELECT r0.vec_id, r0.c || r1.c || r2.c || r3.c AS rvec
        |       FROM r0 JOIN r1 USING (vec_id) JOIN r2 USING (vec_id)
@@ -3046,6 +3071,31 @@ object SparkEntry {
          |     JOIN a2_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
 
+    "llm_ann_ivfpq" ->
+      s"""WITH $KMEANS_CTE,
+         |$PQ_BODY,
+         |ej AS (SELECT e.vec_id, e.emb, ka.cluster AS kc FROM e JOIN ka USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |kcx AS (SELECT kc, unnest(emb) AS x,
+         |          unnest(generate_series(1, len(emb))) AS pos FROM ej),
+         |kcm AS (SELECT kc, pos, avg(x) AS m FROM kcx GROUP BY 1, 2),
+         |kcents AS (SELECT kc, list(m ORDER BY pos) AS centroid FROM kcm GROUP BY 1),
+         |probe0 AS (SELECT qid, qe, kc, ${COS("qe", "centroid")} AS pccos
+         |           FROM q, kcents),
+         |probe AS (SELECT qid, qe, kc AS probe_cluster
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |                  ORDER BY pccos DESC, kc) AS crank
+         |                FROM probe0) WHERE crank = 1),
+         |scored AS (SELECT p.qid, p.probe_cluster, ka2.vec_id,
+         |             round(list_distance(p.qe, rv.rvec), 6) AS adc
+         |           FROM ka ka2
+         |           JOIN probe p ON ka2.cluster = p.probe_cluster AND ka2.vec_id != p.qid
+         |           JOIN rv ON rv.vec_id = ka2.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rank FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, adc, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "llm_pq_recall" ->
       s"""WITH $PQ_CTE,
          |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
@@ -3320,6 +3370,19 @@ object SparkEntry {
          |       jaccard
          |FROM sp WHERE (s1 = 'train') != (s2 = 'train')
          |ORDER BY eval_doc, train_doc""".stripMargin,
+
+    "llm_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |vocab AS (SELECT t FROM (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+        |  ORDER BY c DESC, t LIMIT 50))
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(round(CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+        |    * 1.0 / count(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS oov_rate
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_source_report" ->
       s"""WITH $QUALITY_GATE_CTE,

@@ -157,6 +157,46 @@ object Pq {
     piv.select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) :+ mse: _*)
   }
 
+  /** The full IVFADC probe (Jégou et al. §IV): route each query to its
+    * nearest coarse cluster (the [[Ann.kmeans]] assignment passed in as
+    * `clusters`), then rank ONLY that cluster's members by asymmetric
+    * distance to their PQ reconstructions — the two-level index layout a
+    * 100-TB ANN deployment actually runs: coarse quantizer prunes the scan
+    * to ~1/nlist of the corpus (cluster-partitioned on disk), PQ codes make
+    * the candidate scan memory-resident, the exact vectors are never
+    * touched at query time. Centroid table and probe table BROADCAST; the
+    * per-query top-k is a window over one cluster's candidates.
+    * Output: (qid, probe_cluster, vec_id, adc, rank).
+    */
+  def ivfAdcTopK(embeddings: DataFrame, clusters: DataFrame, queryMaxId: Long,
+                 topK: Int, m: Int, subDim: Int, k: Int,
+                 nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = asDouble(embeddings, "embedding")
+    val ej = e.join(clusters.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val cents = Ann.centroids(ej, "cluster")
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probe = q.join(broadcast(cents), lit(true))
+      .withColumn("pccos",
+        round(call_function("cosine_sim", col("qe"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pccos").desc, col("cluster"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
+    val rv = encodeWithRecon(embeddings, m, subDim, k)
+      .select(col("vec_id"), col("rvec"))
+    rv.join(ej.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .join(broadcast(probe),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", l2(col("qe"), col("rvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("probe_cluster").cast("long").as("probe_cluster"),
+        col("vec_id"), col("adc"), col("rank"))
+  }
+
   /** ADC recall report: per query, the overlap between the exact Euclidean
     * top-k and the top-k ranked by distance to PQ reconstructions
     * (asymmetric distance computation — the query stays exact, only the

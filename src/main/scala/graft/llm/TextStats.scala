@@ -342,6 +342,34 @@ object TextStats {
         (round(col("raw"), 4) > 0d).cast("int").as("selected"))
   }
 
+  /** Vocabulary-coverage audit: fix the tokenizer vocabulary at the corpus'
+    * `vocabSize` most frequent tokens (ties to the lexically smaller token —
+    * deterministic) and report each document's out-of-vocabulary rate — the
+    * number that decides whether a vocabulary is big enough before the
+    * (expensive) tokenizer build bakes it in.
+    *
+    * Scale shape: token frequencies are one map-side-combined shuffle on the
+    * token (the same key space the BPE miner uses); the top-N compiles to
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort); the
+    * |vocab|-row table then BROADCASTS onto one exploded corpus pass whose
+    * per-doc rollup collapses map-side (a document's tokens are co-located
+    * after explode).
+    * Output: (doc_id, n_tok, n_oov, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 50): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1L).as("iv"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round((col("n_oov") * lit(1.0) / col("n_tok")).cast("decimal(28,10)"), 4)
+          .cast("double"))
+  }
+
   /** Per-source curation report: the dashboard rollup a corpus owner reads
     * before deciding which crawl sources to keep — per source, document and
     * token volume, language spread, exact-duplicate involvement, and the

@@ -778,6 +778,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC probes exactly one cluster per query and broadcasts the probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val asg = graft.llm.Ann.kmeans(emb, k = 4, iters = 2)
+    val top = graft.llm.Pq.ivfAdcTopK(emb, asg, queryMaxId = 3, topK = 5,
+      m = 4, subDim = 16, k = 4)
+    val rows = top.collect()
+    // every query's candidates come from ONE coarse cluster (nprobe = 1)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+      assert(rs.map(_.getInt(4)).sorted.sameElements(1 to rs.length))
+    }
+    val plan = top.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "IVFADC centroid/probe joins lost their broadcast")
+  }
+
   test("PQ ADC recall is a valid recall over the exact top-k") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rep = graft.llm.Pq.adcRecall(emb, queryMaxId = 3, topK = 5,
