@@ -880,6 +880,13 @@ object SparkEntry {
       Dedup.minhashLshFromShingles(shingleTable(s, dir))
         .orderBy(col("d1"), col("d2"))),
 
+    // LSH banding calibration: realized candidate volume / precision /
+    // recall per rows-per-band config vs the exact pair set — the
+    // measurement that picks r before a 100-TB dedup run commits to it
+    "llm_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(shingleTable(s, dir), threshold = 0.5)
+        .orderBy(col("rows_per_band"))),
+
     "llm_simhash" -> ((s, dir) =>
       Simhash.nearDupPairs(Tables.documents(s, dir), maxDist = 3)
         .withColumn("hamming", col("hamming").cast("long"))
@@ -2818,6 +2825,44 @@ object SparkEntry {
          |FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jaccard >= 0.5
          |ORDER BY j.d1, j.d2""".stripMargin,
+
+    "llm_lsh_calibration" -> {
+      val cfg = Seq(2, 4, 8)
+      val blocks = cfg.map { r =>
+        s"""bands$r AS (
+           |  SELECT doc_id, i // $r AS band,
+           |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+           |  FROM sig GROUP BY 1, 2),
+           |cands$r AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands$r a JOIN bands$r b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |row$r AS (
+           |  SELECT CAST($r AS BIGINT) AS rows_per_band,
+           |    CAST(${64 / r} AS BIGINT) AS n_bands,
+           |    (SELECT count(*) FROM cands$r) AS n_cand,
+           |    (SELECT count(*) FROM cands$r c JOIN jac j
+           |       ON j.d1 = c.d1 AND j.d2 = c.d2 WHERE j.jaccard >= 0.5) AS n_true)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |$blocks,
+         |ex AS (SELECT count(*) AS n_exact FROM jac WHERE jaccard >= 0.5),
+         |rows0 AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+         |          UNION ALL SELECT * FROM row8)
+         |SELECT rows_per_band, n_bands, n_cand, n_true, ex.n_exact,
+         |  CASE WHEN n_cand = 0 THEN 0.0 ELSE
+         |    CAST(round(CAST(n_true * 1.0 / n_cand AS DECIMAL(28,10)), 6) AS DOUBLE)
+         |  END AS precision,
+         |  CASE WHEN ex.n_exact = 0 THEN 0.0 ELSE
+         |    CAST(round(CAST(n_true * 1.0 / ex.n_exact AS DECIMAL(28,10)), 6) AS DOUBLE)
+         |  END AS recall
+         |FROM rows0, ex ORDER BY rows_per_band""".stripMargin
+    },
 
     "llm_simhash" ->
       """WITH tf AS (

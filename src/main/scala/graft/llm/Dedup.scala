@@ -453,6 +453,55 @@ object Dedup {
   /** Banded-LSH pipeline over a prepared shingle table (see
     * [[nearDupPairsFromShingles]] for why the table is shared).
     */
+  /** LSH banding calibration: for each candidate `rowsPerBand` r, the
+    * realized candidate volume, precision, and recall against the EXACT
+    * pair set at `threshold` — the measurement that picks r before a
+    * 100-TB dedup run commits to it. The banding S-curve
+    * `P(candidate | jaccard=s) = 1−(1−s^r)^(k/r)` says more rows per band
+    * → fewer, higher-precision candidates and lower recall; this report
+    * replaces the formula with the corpus' own numbers.
+    *
+    * Scale shape: ONE wide-signature aggregation feeds every config (the
+    * per-config band projections are re-derivations of the same exchange,
+    * which Spark's ReuseExchange collapses); each config's candidate join
+    * is the usual bucketed equi-join; the exact pair set is computed once.
+    * Everything reduces to one row per config before the union — driver
+    * traffic is |configs| rows.
+    * Output: (rows_per_band, n_bands, n_cand, n_true, n_exact, precision,
+    * recall).
+    */
+  def lshCalibration(sh: DataFrame, threshold: Double, k: Int = 64,
+                     configs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val sig = minhashSignaturesWide(sh, k)
+    val exactN = nearDupPairsFromShingles(sh, threshold, maxShingleDf = None)
+      .agg(count(lit(1)).as("n_exact"))
+    val rows = configs.map { r =>
+      val bandCols = (0 until k / r).map { b =>
+        md5(concat_ws("|", (0 until r).map(j => col(s"mh${b * r + j}")): _*))
+      }
+      val bands = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val verified = jaccardOverCandidates(sh, cands, threshold)
+      cands.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_true")))
+        .select(lit(r.toLong).as("rows_per_band"), lit((k / r).toLong).as("n_bands"),
+          col("n_cand"), col("n_true"))
+    }
+    rows.reduce(_ unionAll _).crossJoin(broadcast(exactN))
+      .withColumn("precision", when(col("n_cand") === 0, lit(0d)).otherwise(
+        round((col("n_true") * lit(1.0) / col("n_cand")).cast("decimal(28,10)"), 6)
+          .cast("double")))
+      .withColumn("recall", when(col("n_exact") === 0, lit(0d)).otherwise(
+        round((col("n_true") * lit(1.0) / col("n_exact")).cast("decimal(28,10)"), 6)
+          .cast("double")))
+  }
+
   def minhashLshFromShingles(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
                              threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignaturesWide(sh, k)
