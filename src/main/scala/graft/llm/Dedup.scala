@@ -462,38 +462,50 @@ object Dedup {
     * replaces the formula with the corpus' own numbers.
     *
     * Scale shape: ONE wide-signature aggregation feeds every config (the
-    * per-config band projections are re-derivations of the same exchange,
-    * which Spark's ReuseExchange collapses); each config's candidate join
-    * is the usual bucketed equi-join; the exact pair set is computed once.
-    * Everything reduces to one row per config before the union — driver
-    * traffic is |configs| rows.
+    * per-config band projections re-derive the same exchange, which Spark's
+    * ReuseExchange collapses); the per-config candidate sets union into a
+    * single tagged frame judged by ONE left join against the broadcast
+    * exact-pair truth (`exactPairs`, materialized once per campaign by the
+    * caller — it is one row per true duplicate pair, tiny by construction),
+    * then one |configs|-row aggregation. No per-config verification joins.
     * Output: (rows_per_band, n_bands, n_cand, n_true, n_exact, precision,
     * recall).
     */
-  def lshCalibration(sh: DataFrame, threshold: Double, k: Int = 64,
+  def lshCalibration(sig: DataFrame, exactPairs: DataFrame, k: Int = 64,
                      configs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
-    val sig = minhashSignaturesWide(sh, k)
-    val exactN = nearDupPairsFromShingles(sh, threshold, maxShingleDf = None)
-      .agg(count(lit(1)).as("n_exact"))
-    val rows = configs.map { r =>
+    // a candidate is TRUE iff it is in the exact pair set, so the per-config
+    // re-verification join collapses to one semi-judgment against the tiny
+    // broadcast truth table — the expensive exact pass runs once (the caller
+    // materializes it per campaign), not once per config
+    val exact = exactPairs.select(col("d1"), col("d2"), lit(1L).as("istrue"))
+    val candsAll = configs.map { r =>
       val bandCols = (0 until k / r).map { b =>
         md5(concat_ws("|", (0 until r).map(j => col(s"mh${b * r + j}")): _*))
       }
-      val bands = sig
-        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-      val cands = bands.as("a")
-        .join(bands.as("b"),
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+        .as("a").join(
+          sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh"))).as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val verified = jaccardOverCandidates(sh, cands, threshold)
-      cands.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(verified.agg(count(lit(1)).as("n_true")))
-        .select(lit(r.toLong).as("rows_per_band"), lit((k / r).toLong).as("n_bands"),
-          col("n_cand"), col("n_true"))
-    }
-    rows.reduce(_ unionAll _).crossJoin(broadcast(exactN))
+        .select(lit(r.toLong).as("rows_per_band"), col("d1"), col("d2"))
+    }.reduce(_ unionAll _)
+    val perCfg = candsAll.join(broadcast(exact), Seq("d1", "d2"), "left")
+      .groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("istrue"), lit(0L))).as("n_true"))
+    // a config whose candidate set is EMPTY drops out of the aggregation —
+    // reinstate it with zeros so the report always has one row per config
+    val cfgDf = sig.sparkSession.range(1)
+      .select(explode(array(configs.map(r =>
+        struct(lit(r.toLong).as("rows_per_band"), lit((k / r).toLong).as("n_bands"))): _*))
+        .as("c"))
+      .select(col("c.rows_per_band"), col("c.n_bands"))
+    cfgDf.join(perCfg, Seq("rows_per_band"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("n_exact"))))
       .withColumn("precision", when(col("n_cand") === 0, lit(0d)).otherwise(
         round((col("n_true") * lit(1.0) / col("n_cand")).cast("decimal(28,10)"), 6)
           .cast("double")))
@@ -503,8 +515,19 @@ object Dedup {
   }
 
   def minhashLshFromShingles(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
-                             threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignaturesWide(sh, k)
+                             threshold: Double = 0.5): DataFrame =
+    minhashLshFromSignatures(minhashSignaturesWide(sh, k), sh, k, rowsPerBand,
+      threshold)
+
+  /** The banded candidate join over an ALREADY-materialized signature table
+    * — in a real dedup campaign the k-column signatures are stored once and
+    * reused across band configs, incremental batches, and calibration runs
+    * (they are the expensive part: one pass over every shingle of the
+    * corpus).
+    */
+  def minhashLshFromSignatures(sig: DataFrame, sh: DataFrame, k: Int = 64,
+                               rowsPerBand: Int = 4,
+                               threshold: Double = 0.5): DataFrame = {
     val bandCols = (0 until k / rowsPerBand).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
     }
