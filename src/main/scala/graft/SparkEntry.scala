@@ -9,7 +9,7 @@ import graft.core.Tables
 import graft.derive.Derive
 import graft.fold.EntityFold
 import graft.ingest.EventTasks
-import graft.llm.{Ann, Dedup, Multimodal, Pq, Privacy, Sample, Simhash, TextStats}
+import graft.llm.{Ann, Bpe, Dedup, Multimodal, Pq, Privacy, Retrieval, Sample, Simhash, Sketch, TextStats}
 import graft.query.Search
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -24,6 +24,11 @@ import graft.query.Search
   *  - every result carries a total ORDER BY with a unique tiebreak.
   */
 object SparkEntry {
+
+  /** Fixed BM25 query terms (all present in the synthetic corpus) — shared
+    * by the Spark query and the oracle so neither can drift.
+    */
+  private val Bm25Terms = Seq("spark", "window", "join", "table")
 
   // ---- shared context (per sf dir), computed once per JVM ----
   private val todayCache = new ConcurrentHashMap[String, String]()
@@ -1306,6 +1311,27 @@ object SparkEntry {
           expectedPrior = 100000L, fpp = 0.02)
         .orderBy(col("doc_id"))
     }),
+
+    // BPE encode under a fixed merge table: tokens-per-word fertility —
+    // one narrow codegen projection, no shuffle (llm/Bpe.scala)
+    "llm_bpe_encode" -> ((s, dir) =>
+      Bpe.encode(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // BM25 keyword top-k: filtered explode + broadcast df/corpus stats +
+    // decimal-exact per-doc sum + TakeOrderedAndProject (llm/Retrieval.scala)
+    "llm_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // HyperLogLog distinct tokens per (lang, source) audited against exact:
+    // fixed 2^p-register state vs the distinct shuffle (llm/Sketch.scala)
+    "llm_hll_distinct" -> ((s, dir) =>
+      Sketch.hllDistinct(
+          Tables.documents(s, dir)
+            .select(concat_ws("|", col("lang"), col("source")).as("grp"),
+              explode(split(col("text"), " ")).as("tok")),
+          "grp", "tok", p = 6)
+        .orderBy(col("grp"))),
 
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
@@ -3348,6 +3374,93 @@ object SparkEntry {
         |  CAST(round(CAST(sum(r.lr) AS DOUBLE) / count(*), 4) > 0 AS INT) AS selected
         |FROM toks t JOIN r USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the replace chain is generated from the SAME Scala merge list the
+    // Spark query uses (Bpe.encodeSql), so oracle and impl cannot drift
+    "llm_bpe_encode" ->
+      s"""WITH enc AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    ${Bpe.encodeSql()} AS encoded
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(len(regexp_split_to_array(trim(encoded), ' +')) AS BIGINT) AS n_tokens
+         |  FROM enc)
+         |SELECT doc_id, n_words, n_tokens,
+         |  CAST(round(CAST(n_tokens * 1.0 / n_words AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |    AS fertility
+         |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    // per-term BM25 scores quantized to DECIMAL(18,9) before the per-doc sum
+    // (exact addition in any order), ranking on the exact decimal total
+    "llm_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM d),
+         |hits AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((tf.tf * (1.2 + 1.0)) /
+         |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+         |      AS DECIMAL(18,9)) AS term_score
+         |  FROM tf JOIN df USING (term), stats),
+         |agg AS (
+         |  SELECT doc_id, sum(term_score) AS score_dec,
+         |    CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM scored GROUP BY 1),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rk
+         |  FROM agg)
+         |SELECT doc_id, n_terms,
+         |  CAST(round(CAST(score_dec AS DECIMAL(28,10)), 4) AS DOUBLE) AS score
+         |FROM ranked WHERE rk <= 15 ORDER BY score DESC, doc_id""".stripMargin,
+
+    // register formation mirrored bit-for-bit: top-60-bit md5 hash, bucket =
+    // top 6 bits, rank via binary-string length; 2^-reg terms are exact
+    // powers of two so the double sum is order- and engine-independent
+    "llm_hll_distinct" ->
+      """WITH items AS (
+        |  SELECT lang || '|' || source AS grp,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT grp, tok,
+        |    CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM items),
+        |br AS (
+        |  SELECT grp, h >> 54 AS bucket,
+        |    55 - len(ltrim(bin(h & ((CAST(1 AS BIGINT) << 54) - 1)), '0')) AS rank
+        |  FROM h),
+        |regs AS (SELECT grp, bucket, max(rank) AS reg FROM br GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT grp, 64 - count(*) AS zeros,
+        |    sum(pow(2.0, -reg)) + CAST(64 - count(*) AS DOUBLE) AS z
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT grp, zeros,
+        |    (0.7213 / (1.0 + 1.079 / 64)) * 64.0 * 64.0 / z AS raw
+        |  FROM pg),
+        |fin AS (
+        |  SELECT grp,
+        |    CASE WHEN raw <= 160.0 AND zeros > 0
+        |      THEN 64.0 * ln(64.0 / zeros) ELSE raw END AS e
+        |  FROM est),
+        |ex AS (
+        |  SELECT grp, count(DISTINCT tok) AS n_exact FROM items GROUP BY 1)
+        |SELECT ex.grp, ex.n_exact,
+        |  CAST(round(CAST(e AS DECIMAL(28,10)), 4) AS DOUBLE) AS hll_est,
+        |  CAST(round(CAST(abs(e - ex.n_exact) / ex.n_exact AS DECIMAL(28,10)), 4)
+        |    AS DOUBLE) AS rel_err
+        |FROM ex JOIN fin USING (grp) ORDER BY ex.grp""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

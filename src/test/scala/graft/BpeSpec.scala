@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Bpe, Retrieval, Sketch}
+
+/** Pins the BPE encode replace-chain against a reference one-merge-at-a-time
+  * implementation, and unit-covers the BM25 and HLL paths the oracle queries
+  * exercise only end-to-end.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference BPE encode: split to chars per word, then repeatedly merge
+    * the single leftmost occurrence of the merge pair until none remains —
+    * the textbook per-merge fixpoint the double-replace chain must equal.
+    */
+  private def referenceEncode(text: String, merges: Seq[(String, String)]): Seq[String] =
+    text.split(" ").filter(_.nonEmpty).toSeq.flatMap { word =>
+      var syms = word.map(_.toString).toVector
+      for ((x, y) <- merges) {
+        var i = syms.indexOfSlice(Seq(x, y))
+        while (i >= 0) {
+          syms = (syms.take(i) :+ (x + y)) ++ syms.drop(i + 2)
+          i = syms.indexOfSlice(Seq(x, y))
+        }
+      }
+      syms
+    }
+
+  test("replace-chain encode equals the one-merge-at-a-time reference") {
+    import spark.implicits._
+    val texts = Seq(
+      "spark window table join scan hash",
+      "the thing under the table",
+      "aaaa abab ababab",  // adjacent-occurrence boundary-space case
+      "x", "und under thunder")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs).orderBy(col("doc_id")).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = referenceEncode(t, Bpe.PretrainedMerges)
+      val row = got(i)
+      assert(row.getLong(1) == t.split(" ").length, s"n_words for '$t'")
+      assert(row.getLong(2) == ref.length,
+        s"n_tokens for '$t': got ${row.getLong(2)}, ref $ref")
+    }
+  }
+
+  test("adjacent pair occurrences all merge (the double-replace fixpoint)") {
+    import spark.implicits._
+    // "ererer" with merge (e,r): one replace-all pass takes " e r e r e r "
+    // to " er e r er " (boundary spaces consumed); the second pass must
+    // finish the job -> 3 tokens, not 5.
+    val docs = Seq((1L, "ererer")).toDF("doc_id", "text")
+    val row = Bpe.encode(docs, Seq("e" -> "r")).head()
+    assert(row.getLong(2) == 3L)
+    assert(referenceEncode("ererer", Seq("e" -> "r")).length == 3)
+  }
+
+  test("merges never cross word boundaries") {
+    import spark.implicits._
+    // merge (a,b) must not fuse "a b" across the gap between words "xa" "by"
+    val docs = Seq((1L, "xa by")).toDF("doc_id", "text")
+    val row = Bpe.encode(docs, Seq("a" -> "b")).head()
+    assert(row.getLong(2) == 4L) // x a b y stay 4 symbols
+  }
+
+  test("BM25 ranks the doc with more query-term mass first; scores positive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark join filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, Seq("spark", "join"), k = 10).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 has no hit
+    assert(top.forall(_.getDouble(2) > 0.0))
+    assert(top(0).getLong(1) == 2L && top(1).getLong(1) == 1L) // n_terms
+  }
+
+  test("HLL estimate tracks exact distinct within the p=6 error regime") {
+    import spark.implicits._
+    val items = (1 to 2000).map(i => ("g1", s"tok$i")) ++
+      (1 to 10).map(i => ("g2", s"t$i"))
+    val out = Sketch.hllDistinct(items.toDF("grp", "tok"), "grp", "tok", p = 6)
+      .orderBy(col("grp")).collect()
+    assert(out(0).getLong(1) == 2000L && out(1).getLong(1) == 10L)
+    // m=64 registers: stderr ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(out(0).getDouble(3) < 0.4, s"rel_err g1 = ${out(0).getDouble(3)}")
+    // small-range group goes through linear counting: much tighter
+    assert(out(1).getDouble(3) < 0.3, s"rel_err g2 = ${out(1).getDouble(3)}")
+  }
+
+  test("HLL register formation is deterministic (md5-derived, no seed)") {
+    import spark.implicits._
+    val items = (1 to 500).map(i => ("g", s"v$i")).toDF("grp", "tok")
+    val a = Sketch.hllDistinct(items, "grp", "tok").head().getDouble(2)
+    val b = Sketch.hllDistinct(items, "grp", "tok").head().getDouble(2)
+    assert(a == b)
+  }
+}
