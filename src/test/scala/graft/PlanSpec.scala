@@ -208,4 +208,22 @@ class PlanSpec extends AnyFunSuite {
     // prefix-count and vocab tables ride in as broadcasts
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("BPE encode is one shuffle-free projection over the scan") {
+    val p = graft.llm.Bpe.encode(graft.core.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the only exchange is the test-fixture fan-out (Tables.fanOut round-
+    // robins the single small parquet file); the operator itself adds none
+    assert(!p.replace("Exchange RoundRobinPartitioning", "").contains("Exchange"), p)
+    assert(!p.contains("Generate"), p) // no explode: replace-chain only
+  }
+
+  test("BM25 broadcasts df/stats and heaps the top-k (no sort-merge, no full sort)") {
+    val p = graft.llm.Retrieval.bm25TopK(
+        graft.core.Tables.documents(spark, sf), Seq("spark", "window"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+  }
 }
