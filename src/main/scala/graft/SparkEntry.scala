@@ -1333,6 +1333,21 @@ object SparkEntry {
           "grp", "tok", p = 6)
         .orderBy(col("grp"))),
 
+    // count-min sketch heavy-hitter audit: 4x256 fixed counters vs the exact
+    // top-20 token counts — integer-exact, never underestimates
+    "llm_cms_freq" -> ((s, dir) =>
+      Sketch.countMinTopK(
+          Tables.documents(s, dir)
+            .select(explode(split(col("text"), " ")).as("tok")),
+          "tok", d = 4, w = 256, k = 20)
+        .orderBy(col("n_exact").desc, col("item"))),
+
+    // RAG chunk manifest: 64-token windows, 16-token overlap, content
+    // digests — one projection + explode, no shuffle (TextStats.ragChunks)
+    "llm_rag_chunks" -> ((s, dir) =>
+      TextStats.ragChunks(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -3461,6 +3476,46 @@ object SparkEntry {
         |  CAST(round(CAST(abs(e - ex.n_exact) / ex.n_exact AS DECIMAL(28,10)), 4)
         |    AS DOUBLE) AS rel_err
         |FROM ex JOIN fin USING (grp) ORDER BY ex.grp""".stripMargin,
+
+    // all-integer replay of the d=4 x w=256 sketch: salted 60-bit md5
+    // hashes, min-of-counters estimate for the exact top-20
+    "llm_cms_freq" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |rb AS (
+        |  SELECT rr, tok,
+        |    CAST('0x' || substring(md5('cms' || CAST(rr AS VARCHAR) || '|' || tok), 1, 15)
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS rr)),
+        |sketch AS (SELECT rr, bucket, count(*) AS counter FROM rb GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok AS item, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+        |  GROUP BY 1 ORDER BY n_exact DESC, item LIMIT 20),
+        |probes AS (
+        |  SELECT item, n_exact, rr,
+        |    CAST('0x' || substring(md5('cms' || CAST(rr AS VARCHAR) || '|' || item), 1, 15)
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS rr))
+        |SELECT item, n_exact, CAST(min(counter) AS BIGINT) AS cms_est,
+        |  CAST(min(counter) AS BIGINT) - n_exact AS overcount
+        |FROM probes JOIN sketch USING (rr, bucket)
+        |GROUP BY item, n_exact ORDER BY n_exact DESC, item""".stripMargin,
+
+    // chunk grid replayed with generate_series; digests key on the
+    // re-joined token slice so both engines hash identical strings
+    "llm_rag_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
+        |  FROM d)
+        |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - s) AS BIGINT) AS n_chunk_toks,
+        |  md5(array_to_string(list_slice(w, s + 1, s + 64), ' ')) AS chunk_digest
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketches: fixed-size distinct-count state for corpus
@@ -60,5 +60,46 @@ object Sketch {
         round(est.cast("decimal(28,10)"), 4).cast("double").as("hll_est"),
         round((abs(est - col("n_exact")) / col("n_exact")).cast("decimal(28,10)"), 4)
           .cast("double").as("rel_err"))
+  }
+
+  /** Count-min sketch frequency estimates (Cormode & Muthukrishnan 2005) for
+    * the exact top-k heavy hitters, audited against their true counts.
+    *
+    * The sketch is `d`×`w` counters — fixed state no matter the corpus size,
+    * built in ONE map-side-combinable aggregation over the exploded items
+    * (each occurrence contributes to d counters via d salted md5 hashes).
+    * The estimate for a probe item is the MIN of its d counters; count-min
+    * never underestimates, so `overcount = cms_est - n_exact >= 0` always.
+    * All arithmetic is integer — cross-engine parity is exact by
+    * construction.
+    *
+    * At 100 TB the d×w counter table replaces a full |vocab|-key shuffle for
+    * approximate frequency queries; the exact top-k side here is the audit
+    * (itself a `TakeOrderedAndProject` heap, not a global sort). The probe
+    * join broadcasts the d×w-row sketch onto k×d probe rows.
+    */
+  def countMinTopK(items: DataFrame, itemCol: String, d: Int = 4,
+                   w: Int = 256, k: Int = 20): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16, s"bad sketch shape d=$d w=$w")
+    def bucket(r: Int, item: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cms$r|"), item).cast("binary")), 1, 15),
+        16, 10).cast("long"), lit(w.toLong))
+    val buckets = (0 until d).map(r => bucket(r, col(itemCol)))
+    val sketch = items
+      .select(posexplode(array(buckets: _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("counter"))
+    val top = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("item"))
+      .limit(k)
+    val probes = top.select(col("item"), col("n_exact"),
+      posexplode(array((0 until d).map(r => bucket(r, col("item"))): _*))
+        .as(Seq("row", "bucket")))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("item"), col("n_exact"))
+      .agg(min(col("counter")).cast("long").as("cms_est"))
+      .select(col("item"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
   }
 }

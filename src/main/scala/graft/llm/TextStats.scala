@@ -430,4 +430,35 @@ object TextStats {
     val (bestScore, bestLang) = scored.maxBy { case (s, l) => (s, l) }
     if (bestScore > 0) bestLang else "und"
   }
+
+  /** RAG chunk manifest: fixed-size overlapping token windows — the
+    * retrieval-ingestion op that turns a corpus into embeddable chunks.
+    *
+    * Chunk starts step by `chunkToks - overlap`; a start is emitted only
+    * while it contributes at least one token beyond the previous chunk's
+    * overlap region (`start <= n - overlap - 1`), so a short tail is never a
+    * fully-redundant sub-window of its predecessor. The last chunk may be
+    * shorter than `chunkToks`. Each chunk carries a content digest (md5 of
+    * the re-joined token slice) so downstream chunk-level dedup and
+    * embedding caches key on content, not position.
+    *
+    * Scale shape: one narrow projection + explode per document — no shuffle,
+    * no join; output size is ~n/(chunkToks-overlap) rows per doc. The digest
+    * makes the manifest self-contained: re-chunking a grown corpus never
+    * invalidates unchanged chunks.
+    */
+  def ragChunks(docs: DataFrame, chunkToks: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkToks, s"bad chunk shape $chunkToks/$overlap")
+    val stride = chunkToks - overlap
+    val toks = tokens
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - lit(overlap + 1), lit(0)), lit(stride))
+    docs.select(col("doc_id"), toks.as("w"), n.as("n"),
+        posexplode(starts).as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("s").cast("long").as("start_tok"),
+        least(lit(chunkToks), col("n") - col("s")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", slice(col("w"), col("s") + lit(1), lit(chunkToks)))
+          .cast("binary")).as("chunk_digest"))
+  }
 }

@@ -107,4 +107,43 @@ class BpeSpec extends AnyFunSuite {
     val b = Sketch.hllDistinct(items, "grp", "tok").head().getDouble(2)
     assert(a == b)
   }
+
+  test("count-min never underestimates; exact on a collision-free stream") {
+    import spark.implicits._
+    // single distinct item: no other key can collide into its counters
+    val solo = Seq.fill(37)("only").toDF("tok")
+    val r = Sketch.countMinTopK(solo, "tok").head()
+    assert(r.getLong(1) == 37L && r.getLong(2) == 37L && r.getLong(3) == 0L)
+    // mixed stream: the CMS guarantee is est >= exact for every probe
+    val mixed = ((1 to 300).map(i => s"t${i % 40}") ++ Seq.fill(50)("hot"))
+      .toDF("tok")
+    val rows = Sketch.countMinTopK(mixed, "tok", k = 41).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) >= 0L))
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+    // the heavy hitter ranks first with its true count dominated
+    assert(rows.head.getString(0) == "hot" && rows.head.getLong(1) == 50L)
+  }
+
+  test("RAG chunks tile the document: full coverage, exact overlap, content-keyed digests") {
+    import spark.implicits._
+    val n = 150
+    val text = (0 until n).map(i => s"w$i").mkString(" ")
+    // doc 2 repeats doc 1's first 64 tokens at a DIFFERENT position
+    val shifted = ("x " * 48) + (0 until 64).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, shifted), (3L, "a b c")).toDF("doc_id", "text")
+    val rows = graft.llm.TextStats.ragChunks(docs).collect()
+      .groupBy(_.getLong(0))
+    val d1 = rows(1L).sortBy(_.getInt(1))
+    // starts step by stride=48 while adding tokens beyond the 16-tok overlap
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 48L, 96L))
+    // coverage: union of [start, start+len) is exactly [0, n)
+    val covered = d1.flatMap(r => r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(covered == (0L until n.toLong).toSet)
+    // a short doc yields one whole-doc chunk
+    val d3 = rows(3L)
+    assert(d3.length == 1 && d3.head.getLong(3) == 3L)
+    // digest keys on content: doc 2's chunk at start 48 equals doc 1's first
+    val d2 = rows(2L).find(_.getLong(2) == 48L).get
+    assert(d2.getString(4) == d1.head.getString(4))
+  }
 }
