@@ -1348,6 +1348,26 @@ object SparkEntry {
       TextStats.ragChunks(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // per-language tokenizer fertility: the multilingual equity metric
+    // under the shared merge table (Bpe.fertilityByLang)
+    "llm_bpe_fertility" -> ((s, dir) =>
+      Bpe.fertilityByLang(Tables.documents(s, dir)).orderBy(col("lang"))),
+
+    // fixed-histogram quantile sketch of doc lengths per language, audited
+    // vs exact interpolated quantiles (Sketch.histQuantiles)
+    "llm_quantile_sketch" -> ((s, dir) =>
+      Sketch.histQuantiles(
+          Tables.documents(s, dir)
+            .select(col("lang"), size(split(col("text"), " ")).cast("long")
+              .as("n_tokens")),
+          "lang", "n_tokens")
+        .orderBy(col("lang"))),
+
+    // per-dimension embedding stats: dead-dim / scale-outlier / sparsity
+    // audit before index or quantizer training (Ann.dimStats)
+    "llm_embed_dimstats" -> ((s, dir) =>
+      Ann.dimStats(Tables.embeddings(s, dir)).orderBy(col("pos"))),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -3516,6 +3536,85 @@ object SparkEntry {
         |  CAST(least(64, n - s) AS BIGINT) AS n_chunk_toks,
         |  md5(array_to_string(list_slice(w, s + 1, s + 64), ' ')) AS chunk_digest
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // integer word/token sums per language; the encode chain is generated
+    // from the same Scala merge list as the Spark query
+    "llm_bpe_fertility" ->
+      s"""WITH enc AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         |    CAST(len(regexp_split_to_array(trim(${Bpe.encodeSql()}), ' +')) AS BIGINT)
+         |      AS toks
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(words) AS BIGINT) AS total_words,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(round(CAST(CAST(sum(toks) AS BIGINT) * 1.0 / CAST(sum(words) AS BIGINT)
+         |    AS DECIMAL(28,10)), 4) AS DOUBLE) AS fertility
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // histogram replayed integer-exactly; q*n forced to DOUBLE (0.9e0) so
+    // the rank threshold is the same IEEE product in both engines
+    "llm_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |hist AS (
+        |  SELECT lang, least(v // 4, 1023) AS bucket, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, bucket,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |est AS (
+        |  SELECT lang, max(n) AS n,
+        |    min(CASE WHEN cum >= 0.5e0 * n THEN (bucket + 1) * 4 END) AS p50_est,
+        |    min(CASE WHEN cum >= 0.9e0 * n THEN (bucket + 1) * 4 END) AS p90_est,
+        |    min(CASE WHEN cum >= 0.99e0 * n THEN (bucket + 1) * 4 END) AS p99_est
+        |  FROM cum GROUP BY lang),
+        |ex AS (
+        |  SELECT lang,
+        |    CAST(round(CAST(quantile_cont(v, 0.5) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |      AS p50_exact,
+        |    CAST(round(CAST(quantile_cont(v, 0.9) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |      AS p90_exact,
+        |    CAST(round(CAST(quantile_cont(v, 0.99) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |      AS p99_exact
+        |  FROM v GROUP BY lang)
+        |SELECT lang, n, p50_exact, p50_est, p90_exact, p90_est,
+        |  p99_exact, p99_est
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+
+    // sums via round-then-quantize (round(x,12) is half-away-from-zero in
+    // both engines even at exact dyadic ties; the decimal cast then snaps
+    // unambiguously); min/max are pure selections — identical float bits
+    "llm_embed_dimstats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (
+        |  SELECT CAST(unnest(generate_series(1, len(emb))) - 1 AS INT) AS pos,
+        |    unnest(emb) AS xd
+        |  FROM e),
+        |t AS (
+        |  SELECT pos, xd,
+        |    CAST(round(xd, 12) AS DECIMAL(18,12)) AS tx,
+        |    CAST(round(xd * xd, 12) AS DECIMAL(18,12)) AS txx
+        |  FROM x),
+        |a AS (
+        |  SELECT pos, CAST(count(*) AS BIGINT) AS n, sum(tx) AS sx,
+        |    sum(txx) AS sxx, min(xd) AS x_min, max(xd) AS x_max,
+        |    CAST(sum(CASE WHEN abs(xd) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_small
+        |  FROM t GROUP BY pos)
+        |SELECT pos, n,
+        |  CAST(round(CAST(CAST(sx AS DOUBLE) / n AS DECIMAL(28,10)), 6) AS DOUBLE)
+        |    AS mean,
+        |  CAST(round(CAST(sqrt(greatest(
+        |    CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+        |    0.0)) AS DECIMAL(28,10)), 6) AS DOUBLE) AS std,
+        |  x_min, x_max, n_small
+        |FROM a ORDER BY pos""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -107,6 +107,47 @@ object Ann {
     * shuffle, and the global worst-k compiles to `TakeOrderedAndProject`
     * (per-partition heaps, no total sort). Output: (vec_id, cluster, ccos).
     */
+  /** Per-dimension embedding statistics — the data-quality audit run before
+    * training an index or a quantizer: dead dimensions (near-zero variance),
+    * scale outliers (one dim dominating the distance metric), and
+    * near-sparse dims (mass under |x| < 0.01) all distort cosine/L2 search
+    * and PQ codebook allocation, and all show up here.
+    *
+    * Scale shape: one posexplode + |dims|-key hash aggregation, map-side
+    * combinable, output is |dims| rows — no join, no window, no sort.
+    *
+    * Determinism: sums use round-then-quantize (`round(x, 12)` is
+    * half-away-from-zero in both engines even at exact decimal ties, and
+    * casting the rounded double to DECIMAL(18,12) then snaps unambiguously),
+    * summed exactly in decimal; min/max are pure selections of float-origin
+    * doubles (identical bits in any engine); derived mean/std round only at
+    * the output edge.
+    */
+  def dimStats(embeddings: DataFrame, smallAbs: Double = 0.01): DataFrame = {
+    val xd = col("x").cast("double")
+    def term(c: Column): Column = round(c, 12).cast("decimal(18,12)")
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), xd.as("xd"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(term(col("xd"))).as("sx"),
+        sum(term(col("xd") * col("xd"))).as("sxx"),
+        min(col("xd")).as("x_min"), max(col("xd")).as("x_max"),
+        sum(when(abs(col("xd")) < lit(smallAbs), 1L).otherwise(0L))
+          .cast("long").as("n_small"))
+      .select(col("pos"), col("n"),
+        round((col("sx").cast("double") / col("n")).cast("decimal(28,10)"), 6)
+          .cast("double").as("mean"),
+        round(sqrt(greatest(
+            col("sxx").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n")),
+            lit(0.0))).cast("decimal(28,10)"), 6)
+          .cast("double").as("std"),
+        col("x_min"), col("x_max"), col("n_small"))
+  }
+
   def centroidOutliers(embeddings: DataFrame, k: Int,
                        clusterCol: String = "label"): DataFrame = {
     val e = asDouble(embeddings, "embedding")

@@ -76,6 +76,29 @@ object Bpe {
         .cast("double").as("fertility"))
   }
 
+  /** Per-language fertility rollup — THE multilingual tokenizer-equity
+    * metric: a merge table trained on one language's statistics fragments
+    * the others into more tokens per word, which directly taxes their
+    * effective context length and training compute share.
+    *
+    * Scale shape: the encode projection followed by one |languages|-key
+    * aggregation of two long sums (map-side combinable) — the ratio and
+    * rounding happen on |languages| rows at the edge.
+    */
+  def fertilityByLang(docs: DataFrame,
+                      merges: Seq[(String, String)] = PretrainedMerges): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val encoded = applyMerges(charSpaced(col("text")), merges)
+    val nTokens = size(split(trim(encoded), " +")).cast("long")
+    docs.select(col("lang"), nWords.as("w"), nTokens.as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("w")).as("total_words"), sum(col("t")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_words"), col("total_tokens"),
+        round((col("total_tokens") * lit(1.0) / col("total_words"))
+          .cast("decimal(28,10)"), 4).cast("double").as("fertility"))
+  }
+
   /** The same encode chain as DuckDB SQL over column `text`, built from the
     * SAME merge list so the oracle cannot drift from the implementation.
     * Returns an expression string yielding the encoded char-spaced text.

@@ -102,4 +102,52 @@ object Sketch {
       .select(col("item"), col("n_exact"), col("cms_est"),
         (col("cms_est") - col("n_exact")).as("overcount"))
   }
+
+  /** Fixed-histogram quantile sketch per group, audited against the exact
+    * interpolated quantiles.
+    *
+    * State is `nBuckets` counters per group no matter how many values flow
+    * in — built in one map-side-combinable aggregation. The estimate for
+    * quantile q is the UPPER EDGE of the first bucket whose cumulative count
+    * reaches q·n: a deterministic, rank-true bound whose error is at most
+    * `bucketWidth` (the audit columns show the realized gap). The exact side
+    * (`percentile` / DuckDB `quantile_cont`) needs the full value multiset —
+    * at 100 TB that is the sort-shaped cost the histogram avoids; here it is
+    * computed as the audit.
+    *
+    * The cumulative scan runs per group over ≤ `nBuckets` rows — the window
+    * is bounded by sketch size, not data size. Determinism: counts are
+    * integers, `q·n` is the same IEEE product in any engine, and bucket
+    * edges are integers, so the estimate is exact cross-engine; the exact
+    * quantile's interpolation parity is established by `llm_corpus_stats`.
+    */
+  def histQuantiles(items: DataFrame, groupCol: String, valueCol: String,
+                    bucketWidth: Int = 4, nBuckets: Int = 1024,
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 2, s"bad shape $bucketWidth/$nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    def pName(q: Double): String = s"p${(q * 100).toInt}"
+    val bucket = least(floor(col(valueCol) / lit(bucketWidth)).cast("long"),
+      lit(nBuckets - 1L))
+    val hist = items.select(col(groupCol), bucket.as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    val ests = cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        qs.map(q => min(when(col("cum") >= lit(q) * col("n"),
+          (col("bucket") + lit(1L)) * lit(bucketWidth.toLong)))
+          .as(s"${pName(q)}_est")): _*)
+    val exacts = items.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, ${qs.head})").as(s"${pName(qs.head)}_exact"),
+        qs.tail.map(q =>
+          expr(s"percentile($valueCol, $q)").as(s"${pName(q)}_exact")): _*)
+    ests.join(exacts, groupCol)
+      .select(col(groupCol) +: col("n") +: qs.flatMap(q => Seq(
+        round(col(s"${pName(q)}_exact").cast("decimal(28,10)"), 4)
+          .cast("double").as(s"${pName(q)}_exact"),
+        col(s"${pName(q)}_est"))): _*)
+  }
 }

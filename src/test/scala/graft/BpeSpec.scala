@@ -124,6 +124,49 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.head.getString(0) == "hot" && rows.head.getLong(1) == 50L)
   }
 
+  test("fertility by language: merge-covered words hit 1.0, uncovered words stay fragmented") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table", "en"), (2L, "window join", "en"),
+      (3L, "zq wq", "xx"), (4L, "zq", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val r = Bpe.fertilityByLang(docs).orderBy(col("lang")).collect()
+    // en: every word is a single token under the pretrained merges
+    assert(r(0).getString(0) == "en" && r(0).getDouble(4) == 1.0)
+    // xx: no merge applies -> 2 chars = 2 tokens per word
+    assert(r(1).getString(0) == "xx" && r(1).getDouble(4) == 2.0)
+    assert(r(1).getLong(2) == 3L && r(1).getLong(3) == 6L)
+  }
+
+  test("histogram quantiles: upper-edge estimates bound the exact within one bucket") {
+    import spark.implicits._
+    val vals = (1 to 100).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val r = Sketch.histQuantiles(vals, "grp", "v", bucketWidth = 4).head()
+    val (p50e, p50s) = (r.getDouble(2), r.getLong(3))
+    val (p90e, p90s) = (r.getDouble(4), r.getLong(5))
+    val (p99e, p99s) = (r.getDouble(6), r.getLong(7))
+    assert(r.getLong(1) == 100L)
+    // rank 50 lands in bucket 12 (48..51) -> upper edge 52
+    assert(p50s == 52L && p50e == 50.5)
+    for ((e, s) <- Seq((p50e, p50s), (p90e, p90s), (p99e, p99s))) {
+      assert(s >= e - 4 && s <= e + 4, s"est $s vs exact $e")
+    }
+    assert(p50s <= p90s && p90s <= p99s)
+  }
+
+  test("embedding dim stats: dead dim, spread dim, and sparsity counter") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.5f, 0.0f)), (2L, Array(0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.llm.Ann.dimStats(embs).orderBy(col("pos")).collect()
+    // dim 0: constant -> std 0, never small
+    assert(r(0).getDouble(2) == 0.5 && r(0).getDouble(3) == 0.0 && r(0).getLong(6) == 0L)
+    // dim 1: {0, 1} -> mean .5, std .5, one |x|<0.01 value
+    assert(r(1).getDouble(2) == 0.5 && r(1).getDouble(3) == 0.5 && r(1).getLong(6) == 1L)
+    assert(r(1).getDouble(4) == 0.0 && r(1).getDouble(5) == 1.0)
+  }
+
   test("RAG chunks tile the document: full coverage, exact overlap, content-keyed digests") {
     import spark.implicits._
     val n = 150
