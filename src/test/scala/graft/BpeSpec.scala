@@ -167,6 +167,37 @@ class BpeSpec extends AnyFunSuite {
     assert(r(1).getDouble(4) == 0.0 && r(1).getDouble(5) == 1.0)
   }
 
+  test("randomized: CMS estimates dominate exact counts on arbitrary streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      // Zipf-ish stream: token t{i} appears ~ 400/i times
+      val stream = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"t$i"))
+      val shuffled = rnd.shuffle(stream).toDF("tok")
+      val rows = Sketch.countMinTopK(shuffled, "tok", k = 40).collect()
+      assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+      assert(rows.forall(_.getLong(3) >= 0L))
+    }
+  }
+
+  test("randomized: histogram quantile estimate brackets the true order statistic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val vals = Vector.fill(n)(rnd.nextInt(4000).toLong)
+      val r = Sketch.histQuantiles(vals.map(("g", _)).toDF("grp", "v"),
+        "grp", "v", bucketWidth = 4).head()
+      val sorted = vals.sorted
+      for ((q, idx) <- Seq(0.5 -> 3, 0.9 -> 5, 0.99 -> 7)) {
+        val stat = sorted(math.ceil(q * n).toInt - 1) // rank-q order statistic
+        val est = r.getLong(idx)
+        assert(stat < est && est <= stat + 4,
+          s"q=$q n=$n stat=$stat est=$est")
+      }
+    }
+  }
+
   test("RAG chunks tile the document: full coverage, exact overlap, content-keyed digests") {
     import spark.implicits._
     val n = 150
