@@ -1368,6 +1368,12 @@ object SparkEntry {
     "llm_embed_dimstats" -> ((s, dir) =>
       Ann.dimStats(Tables.embeddings(s, dir)).orderBy(col("pos"))),
 
+    // cross-document chunk-level dedup: verbatim sub-document reuse that
+    // doc-level dedup cannot see (TextStats.chunkDedup)
+    "llm_chunk_dedup" -> ((s, dir) =>
+      TextStats.chunkDedup(Tables.documents(s, dir))
+        .orderBy(col("chunk_digest"))),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -3615,6 +3621,28 @@ object SparkEntry {
         |    0.0)) AS DECIMAL(28,10)), 6) AS DOUBLE) AS std,
         |  x_min, x_max, n_small
         |FROM a ORDER BY pos""".stripMargin,
+
+    // the chunk grid CTE replayed, then one digest-key rollup kept to the
+    // duplicated slice
+    "llm_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(w, s + 1, s + 64), ' ')) AS chunk_digest
+        |  FROM st)
+        |SELECT chunk_digest,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM ch GROUP BY chunk_digest HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_digest""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -461,4 +461,26 @@ object TextStats {
         md5(concat_ws(" ", slice(col("w"), col("s") + lit(1), lit(chunkToks)))
           .cast("binary")).as("chunk_digest"))
   }
+
+  /** Cross-document chunk-level dedup: which fixed-grid chunks appear
+    * verbatim in MORE THAN ONE document — sub-document reuse (boilerplate,
+    * syndicated passages, license headers) that document-level dedup cannot
+    * see because the surrounding text differs. The ExactSubstr result (Lee
+    * et al. 2022) at chunk granularity: cheap enough to run on every crawl,
+    * with `llm_dup_spans` as the stride-1 escalation.
+    *
+    * Scale shape: the chunk projection feeds ONE hash aggregation on the
+    * digest (map-side combinable); only digests with `n_docs > 1` survive,
+    * so output is the duplicated slice, not the corpus. The canonical doc
+    * (min doc_id) and spread (max - min) make each row auditable.
+    */
+  def chunkDedup(docs: DataFrame, chunkToks: Int = 64,
+                 overlap: Int = 16): DataFrame =
+    ragChunks(docs, chunkToks, overlap)
+      .groupBy(col("chunk_digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).cast("long").as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
 }

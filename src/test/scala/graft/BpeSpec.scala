@@ -198,6 +198,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup flags cross-doc reuse, ignores within-doc repetition") {
+    import spark.implicits._
+    val shared = (0 until 150).map(i => s"w$i").mkString(" ")
+    val unique = (0 until 150).map(i => s"u$i").mkString(" ")
+    // doc 3 repeats a 48-token period INSIDE one doc: every grid chunk has
+    // the same digest, but only one doc is involved -> must not be flagged
+    val periodic = (0 until 160).map(i => s"p${i % 48}").mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared), (3L, unique), (4L, periodic))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.TextStats.chunkDedup(docs).collect()
+    assert(rows.nonEmpty)
+    // every flagged chunk spans exactly docs 1 and 2
+    assert(rows.forall(r => r.getLong(1) == 2L &&
+      r.getLong(3) == 1L && r.getLong(4) == 2L))
+    // all three of doc 1's grid chunks are caught
+    assert(rows.length == 3)
+  }
+
   test("RAG chunks tile the document: full coverage, exact overlap, content-keyed digests") {
     import spark.implicits._
     val n = 150

@@ -226,4 +226,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
   }
+
+  test("count-min probes broadcast-join the sketch and heap the exact top-k") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val p = graft.llm.Sketch.countMinTopK(docs, "tok")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("chunk dedup is one digest-key hash aggregation: no join, no window") {
+    val p = graft.llm.TextStats.chunkDedup(
+        graft.core.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
