@@ -156,6 +156,34 @@ object WardenFilter {
         b.fields.filterNot(f => a.fieldNames.contains(f.name)))
   }
 
+  /** True when the two extraction schemas can share one parse tree — i.e.
+    * no node is an array-spine in one path and a scalar/struct in the other
+    * (a pattern like `a.b = x` alongside `a.b[*].c = y`). Conflicting
+    * scalar paths fall back to their own `get_json_object`.
+    */
+  private def canMerge(a: org.apache.spark.sql.types.DataType,
+                       b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(p, _), ArrayType(q, _)) => canMerge(p, q)
+      case (p: StructType, q: StructType) =>
+        val pm = p.fields.map(f => f.name -> f.dataType).toMap
+        q.fields.forall(f => pm.get(f.name).forall(canMerge(_, f.dataType)))
+      case (StringType, StringType)           => true
+      case (_: ArrayType, _) | (_, _: ArrayType) => false
+      case (_: StructType, _) | (_, _: StructType) => false
+      case _                                  => true
+    }
+  }
+
+  /** Chained struct access for a non-wildcard path over the shared parsed
+    * column. The leaf is StringType: Spark's Jackson converter stringifies
+    * scalars by token text and nested subtrees by raw JSON — the same
+    * observable values `get_json_object` yields.
+    */
+  private def scalarField(parsed: Column, segs: Seq[Seg]): Column =
+    segs.foldLeft(parsed)((e, s) => e.getField(s.name))
+
   /** All matches of a wildcard pattern as `array<string>` (the reference's
     * `[match.value for match in pattern.find(msg)]`, values stringified),
     * extracted from the shared parsed-message column. Nested `[*]` levels
@@ -206,16 +234,34 @@ object WardenFilter {
     // duplicates non-cheap expressions into multiple consumers.
     val paths = parsed.flatMap(_.clauses.map(_.path)).distinct
     val pathCol = paths.zipWithIndex.map { case (p, i) => p -> s"__wf_jp$i" }.toMap
-    // All wildcard paths share ONE from_json over their merged schema: the
-    // parse is the dominant per-row cost, and CollapseProject keeps the
-    // single projected parse from being duplicated into its consumers.
-    val wildSegs = paths.filter(isWildcard).map(p => p -> parseSegs(p)).toMap
-    val withParsed =
-      if (wildSegs.isEmpty) events
-      else events.withColumn("__wf_parsed",
-        from_json(col(jsonCol), wildSegs.values.map(matchSchema).reduce(mergeSchemas)))
+    // ALL paths — wildcard match spines and scalar leaves — share ONE
+    // from_json over their merged schema: the parse is the dominant per-row
+    // cost (at 100 TB, k parses per row vs one is the ingest bill), and
+    // CollapseProject keeps the single projected parse from being duplicated
+    // into its consumers. A scalar path whose spine type-conflicts with the
+    // merged tree (e.g. `a.b` next to `a.b[*].c`) falls back to its own
+    // get_json_object rather than corrupting the shared schema.
+    val allSegs = paths.map(p => p -> parseSegs(p)).toMap
+    // wildcard paths claim the tree first (they always co-merge — array
+    // spines agree by construction); scalars join only when compatible
+    val ordered = allSegs.toSeq.sortBy { case (p, _) => (!isWildcard(p), p) }
+    val (mergedSchema, mergedPaths) = ordered
+      .foldLeft((Option.empty[org.apache.spark.sql.types.StructType], Set.empty[String])) {
+        case ((None, done), (p, segs)) => (Some(matchSchema(segs)), done + p)
+        case ((Some(acc), done), (p, segs)) =>
+          val s = matchSchema(segs)
+          if (canMerge(acc, s)) (Some(mergeSchemas(acc, s)), done + p)
+          else (Some(acc), done)
+      }
+    val withParsed = mergedSchema match {
+      case Some(schema) => events.withColumn("__wf_parsed", from_json(col(jsonCol), schema))
+      case None         => events
+    }
     val projected = pathCol.foldLeft(withParsed) { case (df, (p, c)) =>
-      if (isWildcard(p)) df.withColumn(c, multiMatch(col("__wf_parsed"), wildSegs(p)))
+      if (isWildcard(p) && mergedPaths(p))
+        df.withColumn(c, multiMatch(col("__wf_parsed"), allSegs(p)))
+      else if (mergedPaths(p))
+        df.withColumn(c, scalarField(col("__wf_parsed"), allSegs(p)))
       else df.withColumn(c, get_json_object(col(jsonCol), "$." + p))
     }
     val extracted = pathCol.map { case (p, c) => p -> col(c) }
@@ -228,7 +274,7 @@ object WardenFilter {
     val passIdx = actions.zipWithIndex.collect { case (Pass, i) => i }
     val samples = actions.zipWithIndex.collect { case (SampleN(n), i) => (i, n) }
     val helperCols = pathCol.values.toSeq ++
-      (if (wildSegs.isEmpty) Seq("_rule") else Seq("__wf_parsed", "_rule"))
+      (if (mergedSchema.isEmpty) Seq("_rule") else Seq("__wf_parsed", "_rule"))
     val passRows =
       if (passIdx.isEmpty) events.limit(0)
       else withRule.filter(col("_rule").isInCollection(passIdx)).drop(helperCols: _*)

@@ -142,4 +142,36 @@ class WardenFilterSpec extends AnyFunSuite {
       .select($"event_id").as[Long].collect().toSet
     assert(out === Set(1L))
   }
+
+  test("scalar paths ride the shared parse; mixed rules evaluate in one from_json") {
+    import spark.implicits._
+    val df = mk(
+      1L -> """{"cat":"x","src":[{"ip":"1.1.1.1"}]}""",
+      2L -> """{"cat":"y","src":[{"ip":"2.2.2.2"}]}""",
+      3L -> """{"cat":"x","src":[{"ip":"3.3.3.3"}]}""")
+    val q = WardenFilter(df,
+      Seq("cat = x AND src[*].ip = 1.1.1.1 ; pass", "; drop"))
+    assert(q.select($"event_id").as[Long].collect().toSet === Set(1L))
+    // ONE parse for both the scalar and the wildcard clause (the local
+    // fixture folds to LocalTableScan in the physical plan, so inspect the
+    // analyzed plan where the extraction expressions are still visible)
+    val plan = q.queryExecution.analyzed.toString
+    assert(plan.contains("from_json"), plan)
+    assert(!plan.contains("get_json_object"), plan)
+  }
+
+  test("a scalar path conflicting with a wildcard spine falls back and still evaluates") {
+    import spark.implicits._
+    // `a.b` (scalar leaf) vs `a.b[*].c` (array spine at b): incompatible
+    // types in one tree — the scalar must fall back to get_json_object
+    val df = mk(
+      1L -> """{"a":{"b":[{"c":"hit"}]},"k":"s"}""",
+      2L -> """{"a":{"b":"plain"},"k":"s"}""")
+    val out = WardenFilter(df, Seq(
+      "a.b[*].c = hit ; pass",
+      "a.b = plain ; pass",
+      "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+  }
 }
