@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChunkFps, CosineSim, DistinctNGrams, L2Dist, LatestK, NGramSpans, SpanDigests}
+import graft.functions.{BpeBroadcasts, BpeTokenCount, ChunkFps, CosineSim, DistinctNGrams, L2Dist, LatestK, NGramSpans, SpanDigests}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -81,6 +81,17 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"chunk_fps(arr, w, stride): w and stride must be integer literals, got $other")
         }
+      }),
+    // bpe_token_count(text, table_id): the id is a handle into
+    // BpeBroadcasts (registered by Bpe.tokenCount) — the merge table rides
+    // a Spark broadcast, NOT the plan, so plan shape is vocab-independent
+    (FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (es: Seq[Expression]) => { arity("bpe_token_count", es, 2); es(1) } match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(id: Int, _) =>
+          BpeTokenCount(es.head, BpeBroadcasts.get(id))
+        case other => throw new IllegalArgumentException(
+          s"bpe_token_count(text, table_id): table_id must be an integer literal, got $other")
       }),
     (FunctionIdentifier("latest_k"),
       new ExpressionInfo(classOf[LatestK].getName, "latest_k"),

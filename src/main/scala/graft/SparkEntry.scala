@@ -3416,18 +3416,16 @@ object SparkEntry {
         |FROM toks t JOIN r USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
-    // the replace chain is generated from the SAME Scala merge list the
-    // Spark query uses (Bpe.encodeSql), so oracle and impl cannot drift
+    // the per-merge replace CTE chain is generated from the SAME Scala
+    // merge list (all 5000 rules) the Spark query broadcasts, so oracle and
+    // impl cannot drift; rank-order per-merge application equals the
+    // engine's iterative best-rank encode for this well-formed table
     "llm_bpe_encode" ->
-      s"""WITH enc AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    ${Bpe.encodeSql()} AS encoded
-         |  FROM documents),
+      s"""WITH ${Bpe.encodeCtesSql()},
          |cnt AS (
          |  SELECT doc_id, n_words,
-         |    CAST(len(regexp_split_to_array(trim(encoded), ' +')) AS BIGINT) AS n_tokens
-         |  FROM enc)
+         |    CAST(len(regexp_split_to_array(trim(t), ' +')) AS BIGINT) AS n_tokens
+         |  FROM encoded)
          |SELECT doc_id, n_words, n_tokens,
          |  CAST(round(CAST(n_tokens * 1.0 / n_words AS DECIMAL(28,10)), 4) AS DOUBLE)
          |    AS fertility
@@ -3543,15 +3541,14 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(w, s + 1, s + 64), ' ')) AS chunk_digest
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    // integer word/token sums per language; the encode chain is generated
-    // from the same Scala merge list as the Spark query
+    // integer word/token sums per language; the encode CTE chain is
+    // generated from the same 5000-rule Scala merge list as the Spark query
     "llm_bpe_fertility" ->
-      s"""WITH enc AS (
-         |  SELECT lang,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-         |    CAST(len(regexp_split_to_array(trim(${Bpe.encodeSql()}), ' +')) AS BIGINT)
-         |      AS toks
-         |  FROM documents)
+      s"""WITH ${Bpe.encodeCtesSql()},
+         |enc AS (
+         |  SELECT lang, n_words AS words,
+         |    CAST(len(regexp_split_to_array(trim(t), ' +')) AS BIGINT) AS toks
+         |  FROM encoded)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(words) AS BIGINT) AS total_words,
          |  CAST(sum(toks) AS BIGINT) AS total_tokens,

@@ -3,28 +3,28 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{BpeBroadcasts, BpeRanks}
+
 /** BPE tokenizer APPLY — the encode half of the tokenizer story
   * (`llm_vocab_merges` is the fit half: it learns a ranked merge list; this
   * applies one). Token counts under the real merge table are what size a
   * training run: tokens-per-word fertility is the number a tokenizer is
   * judged by per language.
   *
-  * Encoding algorithm: the classic result that BPE encode can be applied
-  * merge-by-merge in rank order (a later merge can never create an earlier
-  * merge's pair, because an earlier pair only references tokens that existed
-  * before the later merge's output token was ever formed). Each merge is one
-  * `replace` of the space-delimited symbol pair — applied twice, because a
-  * single leftmost-nonoverlapping replace-all pass consumes the shared
-  * boundary space between adjacent occurrences ("a b a b" matches once, not
-  * twice); after one pass the surviving occurrences are never adjacent, so
-  * the second pass reaches the fixpoint. `BpeSpec` pins this equivalence
-  * against a reference one-merge-at-a-time implementation.
+  * Encoding is the native [[graft.functions.BpeTokenCount]] expression: per
+  * word, iteratively merge the best-ranked adjacent pair against a
+  * BROADCAST rank map until no pair is in the table — the algorithm real
+  * tokenizers run, O(len · merges_applied) per word and INDEPENDENT of
+  * vocab size in both plan shape and per-row work. (The previous
+  * formulation — one chained `replace` per merge — was correct at the
+  * 40-rule fixture but compiled a plan proportional to the merge table:
+  * a production 50k-rule tokenizer would mean 100k nested string traversals
+  * per document. It also mis-merged self-pair runs, see `BpeSpec`.)
   *
-  * Scale shape: the whole encode is ONE narrow codegen projection (a chain
-  * of `StringReplace` expressions — no UDF, no explode, no shuffle);
-  * per-document cost, embarrassingly parallel at any corpus size. Word
-  * boundaries are kept as multi-space gaps that no single-space merge
-  * pattern can cross, so no per-word explode is needed.
+  * Scale shape: the whole encode is ONE narrow codegen projection (a single
+  * scalar expression — no UDF, no explode, no shuffle); the merge table
+  * ships once per executor as a broadcast, never in the plan; per-document
+  * cost, embarrassingly parallel at any corpus size.
   */
 object Bpe {
 
@@ -42,32 +42,72 @@ object Bpe {
     "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e", "d" -> "er",
     "u" -> "n", "un" -> "d", "l" -> "e")
 
-  /** `text` → " c h a r s " with every character its own space-delimited
-    * symbol; original spaces widen to ≥3-space word gaps no merge crosses.
+  /** Deterministically extend [[PretrainedMerges]] to a production-scale
+    * ranked table of `n` rules, preserving well-formedness: the token pool
+    * starts as the 26 base characters plus the pretrained outputs, and each
+    * new rule pairs two existing pool tokens whose concatenation is a
+    * brand-new string (so token strings stay unique and a later merge can
+    * never re-create an earlier merge's pair — the property the iterative
+    * encode's equivalence proof rests on). Self-pairs (x == y) are excluded
+    * here because [[encodeCtesSql]]'s two-pass replace oracle is only sound
+    * for x != y (see that method's doc); the ENGINE handles self-pairs
+    * (`BpeSpec` pins a run-of-six case against the reference encoder).
+    * An LCG drives the picks — no RNG, same table every run.
     */
-  def charSpaced(text: Column): Column =
-    concat(lit(" "), regexp_replace(text, "(.)", "$1 "))
-
-  /** Apply `merges` in rank order to a char-spaced column (two
-    * leftmost-replace passes per merge = per-merge fixpoint, see object
-    * doc).
-    */
-  def applyMerges(spaced: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(spaced) { case (acc, (x, y)) =>
-      val pat = s" $x $y "
-      val rep = s" $x$y "
-      replace(replace(acc, lit(pat), lit(rep)), lit(pat), lit(rep))
+  def largeMerges(n: Int): Seq[(String, String)] = {
+    val pool = scala.collection.mutable.ArrayBuffer[String]() ++
+      ('a' to 'z').map(_.toString)
+    val produced = scala.collection.mutable.Set[String]() ++ pool
+    val pairs = scala.collection.mutable.Set[(String, String)]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for ((x, y) <- PretrainedMerges) {
+      out += ((x, y)); pairs += ((x, y)); pool += x + y; produced += x + y
     }
+    var state = 0x9e3779b97f4a7c15L
+    def next(mod: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % mod).toInt + mod) % mod
+    }
+    while (out.size < n) {
+      val x = pool(next(pool.size))
+      val y = pool(next(pool.size))
+      val xy = x + y
+      if (x != y && xy.length <= 24 && !produced.contains(xy) &&
+          !pairs.contains((x, y))) {
+        out += ((x, y)); pairs += ((x, y)); pool += xy; produced += xy
+      }
+    }
+    out.toSeq
+  }
+
+  /** The default table the oracle queries encode under: the pretrained
+    * rules (which do the real merging on this corpus) extended to 5 000 —
+    * production-shape, so the suite exercises the vocab-size-independent
+    * path, not a toy.
+    */
+  lazy val ProductionMerges: Seq[(String, String)] = largeMerges(5000)
+
+  /** `bpe_token_count(text)` under `merges` — the native expression with
+    * the rank map broadcast through `docs`'s session (one broadcast per
+    * call; a production caller encodes many columns/frames against the same
+    * table by reusing the returned Column's plan or calling once per
+    * campaign).
+    */
+  def tokenCount(docs: DataFrame, text: Column,
+                 merges: Seq[(String, String)]): Column = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val bc = docs.sparkSession.sparkContext.broadcast(BpeRanks.fromPairs(merges))
+    call_function("bpe_token_count", text, lit(BpeBroadcasts.register(bc)))
+  }
 
   /** Per-document encode audit: word count, post-BPE token count, and
     * fertility (tokens per word — 1.0 means every word became a single
     * token).
     */
   def encode(docs: DataFrame,
-             merges: Seq[(String, String)] = PretrainedMerges): DataFrame = {
+             merges: Seq[(String, String)] = ProductionMerges): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
-    val encoded = applyMerges(charSpaced(col("text")), merges)
-    val nTokens = size(split(trim(encoded), " +")).cast("long")
+    val nTokens = tokenCount(docs, col("text"), merges)
     docs.select(
       col("doc_id"),
       nWords.as("n_words"),
@@ -86,10 +126,9 @@ object Bpe {
     * rounding happen on |languages| rows at the edge.
     */
   def fertilityByLang(docs: DataFrame,
-                      merges: Seq[(String, String)] = PretrainedMerges): DataFrame = {
+                      merges: Seq[(String, String)] = ProductionMerges): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
-    val encoded = applyMerges(charSpaced(col("text")), merges)
-    val nTokens = size(split(trim(encoded), " +")).cast("long")
+    val nTokens = tokenCount(docs, col("text"), merges)
     docs.select(col("lang"), nWords.as("w"), nTokens.as("t"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -99,13 +138,39 @@ object Bpe {
           .cast("decimal(28,10)"), 4).cast("double").as("fertility"))
   }
 
-  /** The same encode chain as DuckDB SQL over column `text`, built from the
-    * SAME merge list so the oracle cannot drift from the implementation.
-    * Returns an expression string yielding the encoded char-spaced text.
+  /** The same encode as a DuckDB CTE chain over table `documents`, built
+    * from the SAME merge list so the oracle cannot drift from the
+    * implementation. The oracle applies merges one-by-one in rank order —
+    * the classical equivalent of the engine's iterative best-rank encode
+    * for well-formed tables — as two leftmost replace-all passes per merge
+    * over a char-spaced text: pass 1 can skip an occurrence only when the
+    * immediately preceding occurrence consumed its leading boundary space,
+    * so skipped occurrences are isolated and pass 2 is a fixpoint. That
+    * argument REQUIRES x != y (a self-pair run mis-merges under
+    * non-overlapping leftmost matching no matter how many passes — the
+    * engine handles those natively; `require`d away here).
+    *
+    * Merges are chunked `perCte` to a CTE so expression nesting stays
+    * bounded (a single 10 000-deep nested `replace` would exceed parser
+    * recursion). Emits CTE text ending in a table `encoded` with columns
+    * `(doc_id, lang, n_words, t)` where `t` is the encoded char-spaced
+    * text.
     */
-  def encodeSql(merges: Seq[(String, String)] = PretrainedMerges): String =
-    merges.foldLeft("' ' || regexp_replace(text, '(.)', '\\1 ', 'g')") {
-      case (acc, (x, y)) =>
+  def encodeCtesSql(merges: Seq[(String, String)] = ProductionMerges,
+                    perCte: Int = 20): String = {
+    require(merges.forall { case (x, y) => x != y },
+      "two-pass replace oracle is only sound for x != y merges")
+    val base = "e0 AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+      "' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS t FROM documents)"
+    val groups = merges.grouped(perCte).toSeq
+    val ctes = groups.zipWithIndex.map { case (g, i) =>
+      val expr = g.foldLeft("t") { case (acc, (x, y)) =>
         s"replace(replace($acc, ' $x $y ', ' $x$y '), ' $x $y ', ' $x$y ')"
+      }
+      s"e${i + 1} AS (SELECT doc_id, lang, n_words, $expr AS t FROM e$i)"
     }
+    (Seq(base) ++ ctes :+ s"encoded AS (SELECT * FROM e${groups.size})")
+      .mkString(",\n")
+  }
 }

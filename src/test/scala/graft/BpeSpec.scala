@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Bpe, Retrieval, Sketch}
 
-/** Pins the BPE encode replace-chain against a reference one-merge-at-a-time
-  * implementation, and unit-covers the BM25 and HLL paths the oracle queries
-  * exercise only end-to-end.
+/** Pins the native BPE encode expression against a reference
+  * one-merge-at-a-time implementation (including the self-pair case a
+  * replace-chain formulation mis-merges), and unit-covers the BM25 and HLL
+  * paths the oracle queries exercise only end-to-end.
   */
 class BpeSpec extends AnyFunSuite {
 
@@ -36,7 +37,7 @@ class BpeSpec extends AnyFunSuite {
       syms
     }
 
-  test("replace-chain encode equals the one-merge-at-a-time reference") {
+  test("native encode equals the one-merge-at-a-time reference (pretrained table)") {
     import spark.implicits._
     val texts = Seq(
       "spark window table join scan hash",
@@ -45,7 +46,7 @@ class BpeSpec extends AnyFunSuite {
       "x", "und under thunder")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val got = Bpe.encode(docs).orderBy(col("doc_id")).collect()
+    val got = Bpe.encode(docs, Bpe.PretrainedMerges).orderBy(col("doc_id")).collect()
     texts.zipWithIndex.foreach { case (t, i) =>
       val ref = referenceEncode(t, Bpe.PretrainedMerges)
       val row = got(i)
@@ -55,15 +56,51 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
-  test("adjacent pair occurrences all merge (the double-replace fixpoint)") {
+  test("native encode matches the reference under the full 5000-rule production table") {
     import spark.implicits._
-    // "ererer" with merge (e,r): one replace-all pass takes " e r e r e r "
-    // to " er e r er " (boundary spaces consumed); the second pass must
-    // finish the job -> 3 tokens, not 5.
+    val texts = Seq(
+      "spark window table join scan hash the thing under thunder",
+      "a quick jolt of scans and hashes over sorted tables",
+      "zzz qqq xyzzy plugh")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs).orderBy(col("doc_id")).collect()
+    assert(Bpe.ProductionMerges.size == 5000)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = referenceEncode(t, Bpe.ProductionMerges)
+      assert(got(i).getLong(2) == ref.length,
+        s"n_tokens for '$t': got ${got(i).getLong(2)}, ref $ref")
+    }
+  }
+
+  test("adjacent pair occurrences all merge (per-merge fixpoint)") {
+    import spark.implicits._
+    // "ererer" with merge (e,r): all three occurrences merge -> 3 tokens,
+    // not 5 (a single leftmost replace-all pass would strand the middle).
     val docs = Seq((1L, "ererer")).toDF("doc_id", "text")
     val row = Bpe.encode(docs, Seq("e" -> "r")).head()
     assert(row.getLong(2) == 3L)
     assert(referenceEncode("ererer", Seq("e" -> "r")).length == 3)
+  }
+
+  test("self-pair merge (x == y) over a run merges exactly like the reference") {
+    import spark.implicits._
+    // The case the old replace-chain got WRONG (it stranded tokens 3 and 6
+    // of a 6-run, yielding 4 tokens): iterative leftmost merging of (a,a)
+    // over "aaaaaa" gives aa aa aa = 3 tokens; "aaaaa" gives aa aa a = 3;
+    // chained self-pairs ((a,a) then (aa,aa)) collapse further.
+    val docs = Seq(
+      (1L, "aaaaaa"), (2L, "aaaaa"), (3L, "aaa aaaa"), (4L, "a")
+    ).toDF("doc_id", "text")
+    val selfPair = Seq("a" -> "a")
+    val got = Bpe.encode(docs, selfPair).orderBy(col("doc_id")).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 3L, 4L, 1L))
+    for ((t, i) <- Seq("aaaaaa", "aaaaa", "aaa aaaa", "a").zipWithIndex)
+      assert(got(i).getLong(2) == referenceEncode(t, selfPair).length, t)
+    val chained = Seq("a" -> "a", "aa" -> "aa")
+    val got2 = Bpe.encode(docs, chained).orderBy(col("doc_id")).collect()
+    for ((t, i) <- Seq("aaaaaa", "aaaaa", "aaa aaaa", "a").zipWithIndex)
+      assert(got2(i).getLong(2) == referenceEncode(t, chained).length, t)
   }
 
   test("merges never cross word boundaries") {
@@ -130,7 +167,7 @@ class BpeSpec extends AnyFunSuite {
       (1L, "spark table", "en"), (2L, "window join", "en"),
       (3L, "zq wq", "xx"), (4L, "zq", "xx")
     ).toDF("doc_id", "text", "lang")
-    val r = Bpe.fertilityByLang(docs).orderBy(col("lang")).collect()
+    val r = Bpe.fertilityByLang(docs, Bpe.PretrainedMerges).orderBy(col("lang")).collect()
     // en: every word is a single token under the pretrained merges
     assert(r(0).getString(0) == "en" && r(0).getDouble(4) == 1.0)
     // xx: no merge applies -> 2 chars = 2 tokens per word

@@ -215,7 +215,21 @@ class PlanSpec extends AnyFunSuite {
     // the only exchange is the test-fixture fan-out (Tables.fanOut round-
     // robins the single small parquet file); the operator itself adds none
     assert(!p.replace("Exchange RoundRobinPartitioning", "").contains("Exchange"), p)
-    assert(!p.contains("Generate"), p) // no explode: replace-chain only
+    assert(!p.contains("Generate"), p) // no explode: one native scalar
+    assert(p.contains("bpe_token_count"), p)
+  }
+
+  test("BPE encode plan is vocab-size-independent (broadcast rank map, not plan nodes)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    def planOf(merges: Seq[(String, String)]): String =
+      graft.llm.Bpe.encode(docs, merges)
+        .queryExecution.executedPlan.toString.replaceAll("[0-9]+", "#")
+    // 30-rule fixture vs the full 5000-rule production table: identical
+    // plan text modulo ids — the table rides the broadcast, never the plan
+    val small = planOf(graft.llm.Bpe.PretrainedMerges)
+    val large = planOf(graft.llm.Bpe.ProductionMerges)
+    assert(small == large,
+      s"plan grew with vocab:\nsmall:\n$small\nlarge:\n$large")
   }
 
   test("BM25 broadcasts df/stats and heaps the top-k (no sort-merge, no full sort)") {
