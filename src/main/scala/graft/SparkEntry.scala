@@ -1029,6 +1029,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // the same probe run against the index AS A DISK LAYOUT: the corpus is
+    // written partitionBy(cluster) from the learned kmeans assignment and
+    // the probe's partition filter (dynamic partition pruning, pinned in
+    // PlanSpec) reads only the probed cluster's files — scan bytes ∝
+    // nprobe/nlist, the 100-TB contract demonstrated instead of asserted
+    "llm_ann_ivf_pruned" -> ((s, dir) => {
+      val idx = ivfIndexDir(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKPruned(q, idx, k = 5, nprobe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // JSONL training-shard export ROUND-TRIP: deterministic md5 shard
     // assignment, partitionBy(shard) text write, re-read + JSON parse — the
     // curation-to-trainer handoff proven end-to-end, not just written
@@ -1866,6 +1881,21 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       a.count()
       a
+    })
+
+  /** The IVF index layout (corpus partitioned by learned cluster +
+    * centroid table) — an index-BUILD artifact like [[kmeansAssignment]],
+    * written once per campaign and probed many times.
+    */
+  private val ivfIndexCache = new ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val idx = scratchDir("graft-ivf-index")
+      val asg = kmeansAssignment(s, dir)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      Ann.writeIvfIndex(Tables.embeddings(s, dir).join(asg, Seq("vec_id")),
+        clusterCol = "kc", dir = idx)
+      idx
     })
 
   /** The production near-dup pair set (df-capped index, threshold 0.8) —
@@ -3657,6 +3687,35 @@ object SparkEntry {
          |SELECT vec_id, cluster, ccos + 0 AS ccos FROM ka ORDER BY vec_id""".stripMargin,
 
     "llm_ann_ivf_kmeans" ->
+      s"""WITH $KMEANS_CTE,
+         |ej AS (SELECT e.vec_id, ka.cluster AS kc, e.emb
+         |       FROM e JOIN ka USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM ej WHERE vec_id < 5),
+         |kcx AS (SELECT kc, unnest(emb) AS x,
+         |          unnest(generate_series(1, len(emb))) AS pos FROM ej),
+         |kcm AS (SELECT kc, pos, avg(x) AS m FROM kcx GROUP BY 1, 2),
+         |kcents AS (SELECT kc, list(m ORDER BY pos) AS centroid FROM kcm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, kc, ${COS("qe", "centroid")} AS pccos
+         |  FROM q, kcents),
+         |probe AS (
+         |  SELECT qid, qe, kc AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pccos DESC, kc) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, ej.vec_id, ${COS("p.qe", "ej.emb")} AS cos
+         |  FROM ej JOIN probe p ON ej.kc = p.probe_cluster AND ej.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // identical math to llm_ann_ivf_kmeans — the Spark side differs only in
+    // WHERE the corpus bytes come from (the cluster-partitioned index
+    // layout with dynamic partition pruning instead of an in-memory filter)
+    "llm_ann_ivf_pruned" ->
       s"""WITH $KMEANS_CTE,
          |ej AS (SELECT e.vec_id, ka.cluster AS kc, e.emb
          |       FROM e JOIN ka USING (vec_id)),

@@ -100,6 +100,70 @@ object Ann {
       .select(col("qid"), col("probe_cluster"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Materialize the IVF index AS a disk layout — the production shape the
+    * probe-side pruning claim rests on, mirroring the reference's
+    * index-as-layout discipline (reference
+    * `install/mongo_prepare_db.js:8–33` pre-shapes collections so range
+    * scans read only their index slice). Layout:
+    *  - `dir/corpus`    — the embeddings written `partitionBy(cluster)`, one
+    *    parquet directory per coarse cell, so a probe's partition filter
+    *    prunes to ~nprobe/nlist of the bytes at ANY corpus size;
+    *  - `dir/centroids` — the |clusters|-row coarse-quantizer table (the
+    *    build artifact every probe broadcasts).
+    */
+  def writeIvfIndex(embeddings: DataFrame, clusterCol: String, dir: String): Unit = {
+    val e = asDouble(embeddings, "embedding")
+    e.select(col("vec_id"), col("embedding"),
+        col(clusterCol).cast("long").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
+    centroids(embeddings, clusterCol)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** IVF probe AGAINST the partitioned layout: route each query to its
+    * `nprobe` nearest stored centroids, then scan ONLY the routed clusters'
+    * partitions of the corpus. The routing step is an explicit driver-side
+    * action producing the probe-cluster id list (≤ |queries|·nprobe longs —
+    * the probe ROUTER every IVF engine runs before touching the index; a
+    * documented bounded boundary like the MOR touched-bucket manifest, not
+    * a data collect), which becomes a STATIC `IN` partition filter on the
+    * scan: `PartitionFilters: [cluster IN (...)]`, pinned in `PlanSpec`
+    * together with the post-run `numPartitions` metric. Static pruning is
+    * deliberate — Spark's dynamic partition pruning would express the same
+    * thing but silently degrades to `dynamicpruningexpression(true)` (a
+    * full scan) whenever broadcast-exchange reuse or the cost heuristic
+    * declines, and an index probe's byte contract (scan ∝ nprobe/nlist of
+    * the corpus at ANY size) must not depend on optimizer mood. Same output
+    * as [[ivfTopK]]: (qid, probe_cluster, vec_id, cos, rank).
+    */
+  def ivfTopKPruned(queries: DataFrame, indexDir: String, k: Int,
+                    nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col("qid"),
+      col("qe").cast("array<double>").as("qe"))
+    val probe = q.join(broadcast(cents), lit(true))
+      .withColumn("ccos", round(cosN(q)(col("qe"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
+    // the router action: which coarse cells do these queries touch
+    val probedClusters = probe.select(col("probe_cluster")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    corpus
+      .filter(col("cluster").isin(probedClusters.map(Long.box): _*))
+      .join(broadcast(probe),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosN(corpus)(col("qe"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("probe_cluster"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding outlier scan: each vector's cosine against its own cluster's
     * centroid, worst `k` reported — the standard "mislabeled / garbage
     * embedding" filter in front of a training corpus. The centroid table is

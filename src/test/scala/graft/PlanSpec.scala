@@ -219,6 +219,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bpe_token_count"), p)
   }
 
+  test("IVF pruned layout: probe scan carries a dynamic partition filter and reads only probed clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    graft.llm.Ann.writeIvfIndex(emb, clusterCol = "label", dir = dir)
+    val nClusters = emb.select("label").distinct().count()
+    assert(nClusters > 1, "fixture must have multiple clusters")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val probed = graft.llm.Ann.ivfTopKPruned(q, dir, k = 3, nprobe = 1)
+    val p = probed.queryExecution.executedPlan.toString
+    // the corpus scan must be pruned BY PARTITION, not filtered in memory:
+    // dynamic partition pruning turns the broadcast probe side into a
+    // partition filter on the cluster-partitioned layout
+    assert(p.contains("dynamicpruning"), p)
+    probed.collect()
+    // after execution the scan's partition metric must show pruning: the
+    // two queries probe at most 2 of the clusters (AQE nests the final
+    // plan, so descend through AdaptiveSparkPlanExec by hand)
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("corpus")) => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val corpusScans = scans(probed.queryExecution.executedPlan)
+    assert(corpusScans.nonEmpty, p)
+    val partsRead = corpusScans.head.metrics("numPartitions").value
+    assert(partsRead > 0 && partsRead <= 2,
+      s"expected <=2 pruned partitions of $nClusters, read $partsRead")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("BPE encode plan is vocab-size-independent (broadcast rank map, not plan nodes)") {
     val docs = graft.core.Tables.documents(spark, sf)
     def planOf(merges: Seq[(String, String)]): String =
