@@ -24,6 +24,8 @@ object Bench {
       // pay multi-second Janino recompiles in the measurement. Size the
       // cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // pinned for WardenFilter's shared from_json (see Verify.scala)
+      .config("spark.sql.json.enablePartialResults", "true")
       // native graft expressions (cosine_sim) via the declarative hook; the
       // operators also self-register imperatively on foreign sessions
       .config("spark.sql.extensions", "graft.GraftExtensions")

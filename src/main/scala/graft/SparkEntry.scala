@@ -3630,8 +3630,8 @@ object SparkEntry {
         |  FROM e),
         |t AS (
         |  SELECT pos, xd,
-        |    CAST(round(xd, 12) AS DECIMAL(18,12)) AS tx,
-        |    CAST(round(xd * xd, 12) AS DECIMAL(18,12)) AS txx
+        |    CAST(round(xd, 12) AS DECIMAL(28,12)) AS tx,
+        |    CAST(round(xd * xd, 12) AS DECIMAL(28,12)) AS txx
         |  FROM x),
         |a AS (
         |  SELECT pos, CAST(count(*) AS BIGINT) AS n, sum(tx) AS sx,
@@ -3922,7 +3922,7 @@ object SparkEntry {
         |r AS (SELECT vec_id, code,
         |        CAST(CASE WHEN hi > lo
         |          THEN pow(x - (lo + code * (hi - lo) / CAST(255 AS DOUBLE)), 2)
-        |          ELSE 0 END AS DECIMAL(18,12)) AS sq
+        |          ELSE 0 END AS DECIMAL(28,12)) AS sq
         |      FROM q)
         |SELECT vec_id, min(code) AS code_min, max(code) AS code_max,
         |  round(CAST(sum(sq) AS DOUBLE) / count(*), 8) AS mse

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // see Bench.scala
+      // pinned: WardenFilter's shared from_json relies on partial-result
+      // conversion to confine per-row schema conflicts to the conflicting
+      // subtree (default true on Spark 4.x; pinned so behavior cannot
+      // silently change under us — see WardenFilter.apply)
+      .config("spark.sql.json.enablePartialResults", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
       .getOrCreate()

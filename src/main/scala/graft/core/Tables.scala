@@ -29,18 +29,28 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * by default. Read `ts` as a raw nanos long and truncate to micros with
-    * integer division (never double-divide an epoch-nanos long: 1.7e18 is
-    * beyond double's 2^53 exact-integer range).
+  /** The events table's `ts` has shipped in two physical shapes across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses by
+    * default — read as a raw nanos long and truncate to micros with integer
+    * division; never double-divide an epoch-nanos long, 1.7e18 is beyond
+    * double's 2^53 exact-integer range) and plain TIMESTAMP(MICROS) (read
+    * natively as TIMESTAMP_NTZ). Both normalize to session-local
+    * TimestampType here so every downstream day-bucket/window sees one type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // All day bucketing and the DuckDB oracles assume UTC; pin it here so a
     // driver-provided session (which may not set it) gets the same windows.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ → TimestampType under the pinned UTC session tz: same instant,
+        // same wall-clock arithmetic as the nanos-long path produced
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")

@@ -241,9 +241,24 @@ object WardenFilter {
     // into its consumers. A scalar path whose spine type-conflicts with the
     // merged tree (e.g. `a.b` next to `a.b[*].c`) falls back to its own
     // get_json_object rather than corrupting the shared schema.
+    //
+    // Malformed-row semantics of the shared parse: when a row's RUNTIME
+    // shape conflicts with the merged schema on one subtree (one row's
+    // `src` is an object where the schema says array), the shared from_json
+    // must not null out sibling extractions for that row. That containment
+    // is what `spark.sql.json.enablePartialResults` provides (Spark 4.x
+    // default true) — Bench/Verify pin it explicitly, and
+    // WardenFilterSpec("heterogeneous runtime shapes") locks the behavior.
+    // Without it the reference's independent per-path extraction would
+    // differ on such rows.
     val allSegs = paths.map(p => p -> parseSegs(p)).toMap
-    // wildcard paths claim the tree first (they always co-merge — array
-    // spines agree by construction); scalars join only when compatible
+    // wildcard paths claim the tree first (their array spines usually
+    // agree); any path — wildcard or scalar — whose spine type-conflicts
+    // with the merged tree (e.g. `a[*]` next to `a[*].b`, or `a.b` next to
+    // `a.b[*].c`) falls back to its own extraction below. Scalars fall back
+    // to get_json_object; wildcards to a per-path from_json over their own
+    // schema (a wildcard match list cannot come out of get_json_object —
+    // the clause needs an array<string>, not a JSON-text scalar).
     val ordered = allSegs.toSeq.sortBy { case (p, _) => (!isWildcard(p), p) }
     val (mergedSchema, mergedPaths) = ordered
       .foldLeft((Option.empty[org.apache.spark.sql.types.StructType], Set.empty[String])) {
@@ -260,6 +275,10 @@ object WardenFilter {
     val projected = pathCol.foldLeft(withParsed) { case (df, (p, c)) =>
       if (isWildcard(p) && mergedPaths(p))
         df.withColumn(c, multiMatch(col("__wf_parsed"), allSegs(p)))
+      else if (isWildcard(p))
+        // conflicting wildcard: its own focused parse, same multi-match
+        // semantics — one extra parse per such path, paid only on conflict
+        df.withColumn(c, multiMatch(from_json(col(jsonCol), matchSchema(allSegs(p))), allSegs(p)))
       else if (mergedPaths(p))
         df.withColumn(c, scalarField(col("__wf_parsed"), allSegs(p)))
       else df.withColumn(c, get_json_object(col(jsonCol), "$." + p))

@@ -182,14 +182,17 @@ object Ann {
     *
     * Determinism: sums use round-then-quantize (`round(x, 12)` is
     * half-away-from-zero in both engines even at exact decimal ties, and
-    * casting the rounded double to DECIMAL(18,12) then snaps unambiguously),
+    * casting the rounded double to DECIMAL(28,12) then snaps unambiguously —
+    * 16 integer digits, so |x| up to 10⁸ survives squaring; a narrower
+    * DECIMAL(18,12) would NULL-overflow at |x| ≥ ~10³ and sum() would
+    * silently skip those terms),
     * summed exactly in decimal; min/max are pure selections of float-origin
     * doubles (identical bits in any engine); derived mean/std round only at
     * the output edge.
     */
   def dimStats(embeddings: DataFrame, smallAbs: Double = 0.01): DataFrame = {
     val xd = col("x").cast("double")
-    def term(c: Column): Column = round(c, 12).cast("decimal(18,12)")
+    def term(c: Column): Column = round(c, 12).cast("decimal(28,12)")
     embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos"), xd.as("xd"))
@@ -286,8 +289,21 @@ object Ann {
           col("best.ccos").as("ccos"))
     var cents = seeded
     var assigned = assign(cents)
+    // Per-round lineage truncation (the [[Dedup.components]] discipline):
+    // without it the assigned→cents→assigned chain compounds — the plan
+    // gains two corpus scans per iteration and EVERY action re-executes all
+    // prior rounds. Each round's assignment is locally checkpointed
+    // (materialized once: |vectors| rows of (vec_id, cluster, ccos) — tiny
+    // next to the corpus), and the previous round's blocks are freed as
+    // soon as the new checkpoint has truncated the lineage past them. At
+    // most two assignment snapshots are ever live. Plan-size invariance
+    // across `iters` is pinned in PlanSpec.
+    var liveCkpt: Option[DataFrame] = None
     for (_ <- 2 to iters) {
-      cents = assigned.join(e, Seq("vec_id"))
+      val ck = assigned.localCheckpoint()
+      liveCkpt.foreach(Dedup.freeLocalCheckpoint)
+      liveCkpt = Some(ck)
+      cents = ck.join(e, Seq("vec_id"))
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -345,7 +361,8 @@ object Ann {
     *
     * Scale shape: the per-dimension stats table is |dims| rows (one
     * explode→hash-agg, map-side combined) and BROADCASTS onto a single
-    * corpus pass; per-element squared errors quantize to DECIMAL(18,12) and
+    * corpus pass; per-element squared errors quantize to DECIMAL(28,12)
+    * (wide enough that squaring a |x| ≤ 10⁸ input cannot NULL-overflow) and
     * sum exactly, so the reported MSE is order-independent and
     * engine-reproducible. Constant dimensions (hi == lo) code to 0 with zero
     * error. Output: (vec_id, code_min, code_max, mse).
@@ -363,7 +380,7 @@ object Ann {
           col("lo") + col("code") * (col("hi") - col("lo")) / lit(255d))
           .otherwise(col("x")))
       .withColumn("sq", ((col("x") - col("deq")) * (col("x") - col("deq")))
-        .cast("decimal(18,12)"))
+        .cast("decimal(28,12)"))
       .groupBy(col("vec_id"))
       .agg(min(col("code")).as("code_min"), max(col("code")).as("code_max"),
         round(sum(col("sq")).cast("double") / count(lit(1)), 8).as("mse"))

@@ -280,7 +280,7 @@ object Dedup {
     * [[components]] the free sits immediately before the `e = next`
     * reassignment for exactly this reason — keep it there.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[llm] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
       case _ => ()

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * subspaces); distances round to 6 dp with argmin ties to the lower code;
   * centroid components are DECIMAL(28,12)-summed (order-independent) then
   * rounded to 6 dp; squared reconstruction errors quantize to
-  * DECIMAL(18,12) before summing.
+  * DECIMAL(28,12) before summing.
   */
 object Pq {
 
@@ -99,8 +99,17 @@ object Pq {
       (0 until m).map(s => slice(col("embedding"), s * subDim + 1, subDim)): _*
     )).as(Seq("sub", "centroid")))
     var assigned = assign(subs, cents)
+    // Per-round lineage truncation, same discipline as [[Ann.kmeans]] /
+    // Dedup.components: checkpoint each round's subvector assignment so the
+    // plan never compounds across iterations (each snapshot is m·|vectors|
+    // assignment rows; at most two are live — the previous round's blocks
+    // free as soon as the new checkpoint truncates lineage past them).
+    var liveCkpt: Option[DataFrame] = None
     for (_ <- 2 to iters) {
-      cents = assigned
+      val ck = assigned.localCheckpoint()
+      liveCkpt.foreach(Dedup.freeLocalCheckpoint)
+      liveCkpt = Some(ck)
+      cents = ck
         .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /

@@ -136,12 +136,18 @@ object TextStats {
       (predicted =!= col("lang") && predicted =!= "und", "lang_mismatch"))
     val reasons = array(checks.map { case (c, tag) => when(c, tag) }: _*)
     // retainCols lets a downstream stage (e.g. streaming dedup) keep its
-    // inputs without a stream-to-stream re-join, which Spark disallows
+    // inputs without a stream-to-stream re-join, which Spark disallows.
+    // Columns the projection already carries (doc_id, lang) are filtered out
+    // of the retain list per projection — a duplicate same-exprId attribute
+    // only happens to resolve today because Spark dedups it, and that is
+    // fragile against aliased/computed callers.
+    val retainedIn = retainCols.filterNot(Set("doc_id", "lang"))
+    val retainedOut = retainCols.filterNot(_ == "doc_id")
     docs.select(col("doc_id") +: col("lang") +: split(col("text"), " ").as("w") +:
-        retainCols.map(col): _*)
+        retainedIn.map(col): _*)
       .select(col("doc_id") +:
         array_join(filter(reasons, v => v.isNotNull), ",").as("reasons") +:
-        retainCols.map(col): _*)
+        retainedOut.map(col): _*)
       .withColumn("keep", (col("reasons") === "").cast("long"))
   }
 

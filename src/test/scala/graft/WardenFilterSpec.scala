@@ -174,4 +174,46 @@ class WardenFilterSpec extends AnyFunSuite {
       .select($"event_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L))
   }
+
+  test("two conflicting wildcard paths both evaluate (per-path parse fallback)") {
+    import spark.implicits._
+    // `a[*]` (leaf array of strings) vs `a[*].b` (array of structs): the
+    // spines cannot share one schema. The non-merged wildcard must get its
+    // own from_json + multi-match — NOT a get_json_object scalar, which
+    // would fail analysis under array_contains.
+    val df = mk(
+      1L -> """{"a":["v","w"]}""",
+      2L -> """{"a":[{"b":"hit"}]}""",
+      3L -> """{"a":["z"]}""")
+    val out = WardenFilter(df, Seq(
+      "a[*] = v ; pass",
+      "a[*].b = hit ; pass",
+      "; drop"))
+      .select($"event_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+  }
+
+  test("heterogeneous runtime shapes: a row conflicting on one subtree keeps sibling extractions") {
+    import spark.implicits._
+    // Merged schema says src is array<struct<ip>> (from `src[*].ip`), but
+    // row 2's src is an OBJECT at runtime. With enablePartialResults (Spark
+    // 4.x default, pinned in Bench/Verify) the conflict is confined to the
+    // src subtree: row 2's sibling scalar `cat` still extracts, so the
+    // `cat = y` rule passes it — matching the reference's independent
+    // per-path extraction.
+    val prev = spark.conf.get("spark.sql.json.enablePartialResults", "true")
+    spark.conf.set("spark.sql.json.enablePartialResults", "true")
+    try {
+      val df = mk(
+        1L -> """{"cat":"x","src":[{"ip":"1.1.1.1"}]}""",
+        2L -> """{"cat":"y","src":{"ip":"2.2.2.2"}}""",
+        3L -> """{"cat":"z","src":[{"ip":"3.3.3.3"}]}""")
+      val out = WardenFilter(df, Seq(
+        "src[*].ip = 1.1.1.1 ; pass",
+        "cat = y ; pass",
+        "; drop"))
+        .select($"event_id").as[Long].collect().toSet
+      assert(out === Set(1L, 2L))
+    } finally spark.conf.set("spark.sql.json.enablePartialResults", prev)
+  }
 }
