@@ -239,7 +239,22 @@ object SparkEntry {
     java.time.LocalDate.parse(today(spark, dir)).plusDays(1)
       .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The uncapped inverted-index near-dedup (`llm_near_dedup`,
+    * `maxShingleDf = None`) is super-linear BY CONSTRUCTION — a df-10⁶
+    * shingle alone yields 10¹² candidate rows — and was the worst entry of
+    * every scale smoke. It stays available as an explicitly-gated exactness
+    * baseline (set `GRAFT_UNCAPPED_NEAR_DEDUP=1` to register it), but the
+    * default suite/bench/smoke carries no standing scale-killer shape; the
+    * df-capped variant (`llm_near_dedup_capped`) is the product default,
+    * and the uncapped-vs-capped recall pin lives in LlmOpsSpec.
+    */
+  private def uncappedNearDedupOptIn: Boolean =
+    sys.env.get("GRAFT_UNCAPPED_NEAR_DEDUP").contains("1")
+
+  private def gateUncapped[V](m: Map[String, V]): Map[String, V] =
+    if (uncappedNearDedupOptIn) m else m - "llm_near_dedup"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = gateUncapped(Map(
     // -- TPC-H-style relational core (SURVEY §2.5/§2.6/§2.7) --
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -465,11 +480,10 @@ object SparkEntry {
         (4, "jp", "Tokyo", "Asia/Tokyo"), (5, "br", "Sao Paulo", "America/Sao_Paulo"),
         (6, "in", "Delhi", "Asia/Kolkata"), (7, "au", "Sydney", "Australia/Sydney")
       ).toDF("gk", "ctry", "city", "tz")
-      events(s, dir).select(col("user_id").as("entity")).distinct()
+      val keyed = events(s, dir).select(col("user_id").as("entity")).distinct()
         .withColumn("gk", (col("entity") % 8).cast("int"))
-        .join(broadcast(geo), Seq("gk"))
-        .select(col("entity"), col("ctry"), col("city"), col("tz"))
-        .orderBy(col("entity"))
+      // through the pluggable connector seam (sources/Enrichment.scala)
+      graft.sources.GeoSource(geo).enrich(keyed).orderBy(col("entity"))
     }),
 
     // -- feed sources + classifiers (SURVEY §2.1/§2.4/§2.9) --
@@ -870,6 +884,9 @@ object SparkEntry {
     "llm_chunk_fp" -> ((s, dir) =>
       Dedup.repeatedChunks(Tables.documents(s, dir)).orderBy(col("fp"))),
 
+    // GATED (GRAFT_UNCAPPED_NEAR_DEDUP=1): exactness baseline only — the
+    // uncapped inverted index is super-linear; gateUncapped removes this row
+    // from the default suite so no standing scale-killer ships
     "llm_near_dedup" -> ((s, dir) =>
       Dedup.nearDupPairsFromShingles(shingleTable(s, dir), threshold = 0.8,
           maxShingleDf = None)
@@ -1413,7 +1430,8 @@ object SparkEntry {
       val prefixLists = (0L until 16L).filter(_ % 4 == 1)
         .map(p => ("pbl-ranges", p * 268435456L, p * 268435456L + 268435455L))
         .toDF("bl_id", "first", "last")
-      Intel.redisBlHits(ips, setLists, prefixLists).orderBy(col("entity"))
+      graft.sources.RedisBlSource(setLists, prefixLists).enrich(ips)
+        .orderBy(col("entity"))
     }),
 
     // -- ASN -> RIR as-of join (whois.py:166-177,220-237) --
@@ -1423,7 +1441,7 @@ object SparkEntry {
       val boundaries = Seq((0L, "arin"), (500L, "ripe"), (1000L, "apnic"),
         (2000L, "lacnic"), (3000L, "afrinic"), (3500L, "ripe"), (4000L, "arin"))
         .toDF("start", "rir")
-      graft.query.AsOf.asOfJoin(facts, "asn", boundaries)
+      graft.sources.WhoisRirSource(boundaries).enrich(facts)
         .select(col("entity"), col("asn"), col("start").as("block_start"), col("rir"))
         .orderBy(col("entity"))
     }),
@@ -1484,8 +1502,8 @@ object SparkEntry {
         .select(lit("z1").as("zone"), col("ip"))
         .unionByName(ips.filter(col("ip") % 5 === 0)
           .select(lit("z2").as("zone"), col("ip")))
-      Intel.dnsblLookups(ips, zoneLists, "dnsbl.example.org", budget = 100)
-        .orderBy(col("entity"))
+      graft.sources.DnsblSource(zoneLists, "dnsbl.example.org", budget = 100)
+        .enrich(ips).orderBy(col("entity"))
     }),
 
     // -- Shodan InternetDB enrichment with 404 removal (shodan.py:30-118) --
@@ -1496,7 +1514,7 @@ object SparkEntry {
         .select(col("ip"),
           concat_ws(",", lit(22), (col("entity") % 1000) + 1024).as("ports"),
           lit("iot,camera").as("tags"))
-      Intel.shodanEnrich(ips, scanDb).orderBy(col("entity"))
+      graft.sources.ShodanSource(scanDb).enrich(ips).orderBy(col("entity"))
     }),
 
     // -- passive DNS + domain blacklists (passive_dns.py:34-144) --
@@ -1519,11 +1537,7 @@ object SparkEntry {
       val ptrDb = ips.filter(col("entity") % 2 === 0)
         .select(col("ip"), concat(lit("h"), col("entity"), lit(".isp"),
           col("entity") % 5, lit(".example.net")).as("hostname"))
-      ips.join(broadcast(ptrDb), Seq("ip"), "left")
-        .select(col("entity"), col("ip"),
-          coalesce(col("hostname"), lit("")).as("hostname"),
-          when(col("hostname").isNull, 1L).otherwise(0L).as("nxdomain"))
-        .orderBy(col("entity"))
+      graft.sources.PtrSource(ptrDb).enrich(ips).orderBy(col("entity"))
     }),
 
     // -- ASN-level rank enrichment (bgp_rank.py / eml_asn_rank.py) --
@@ -1539,7 +1553,7 @@ object SparkEntry {
         .withColumn("caida_class", element_at(
           array(lit("transit"), lit("content"), lit("enterprise"), lit("access")),
           (col("asn") % 4 + 1).cast("int")))
-      Intel.asnRanks(withAsn, ranks).orderBy(col("asn"))
+      graft.sources.AsnRankSource(ranks).enrich(withAsn).orderBy(col("asn"))
     }),
 
     // -- detail page assembly (§3.2, nerd_main.py:1420-1560): one composed
@@ -1793,7 +1807,7 @@ object SparkEntry {
         .toDF()
         .orderBy(col("entity"))
     })
-  )
+  ))
 
   /** The (doc, word-3-shingle) table shared by the dedup candidate
     * generators, persisted per data dir — the materialize-once preprocessing
@@ -2275,7 +2289,7 @@ object SparkEntry {
        |FROM j""".stripMargin
 
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = gateUncapped(Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -4394,5 +4408,5 @@ object SparkEntry {
         |  mx.now + 10800 AS ttl_web
         |FROM req r LEFT JOIN tot t ON t.entity = r.entity, mx
         |ORDER BY r.entity""".stripMargin
-  )
+  ))
 }

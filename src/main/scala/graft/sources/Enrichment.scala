@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable enrichment connectors.
+  *
+  * The reference's live enrichment modules (whois
+  * `NERDd/modules/whois.py:77–549`, DNSBL `dnsbl.py:89–249`, Shodan
+  * `shodan.py:30–118`, passive DNS `passive_dns.py:34–144`, BGP rank
+  * `bgp_rank.py:16–83`, geolocation `geolocation.py`, PTR `dns.py:27–77`)
+  * each register a callable with the update manager; the network transport
+  * lives inside the module. The engine-side restatement of that seam is this
+  * trait: a connector produces the cycle's FEED TABLE (`feed`) — for a live
+  * implementation, the materialized batch of its lookups; paging, rate
+  * limits, and retries stay connector-internal — and applies its join +
+  * update semantics to the entity frame (`enrich`).
+  *
+  * The fixture implementations below delegate to [[Intel]]'s broadcast
+  * joins unchanged, so the suite's oracle rows exercise the exact same
+  * shapes through the seam. A user wiring a real whois/DNS/Shodan source
+  * implements the trait instead of editing Intel.scala; EnrichmentSpec
+  * demonstrates a connector defined entirely outside this file plugging in.
+  *
+  * Scale contract every implementation inherits: `feed` must be a
+  * feed-sized table (broadcastable — blacklists, scan dbs, rank feeds are
+  * millions of rows at most), never corpus-sized; `enrich` must be a
+  * broadcast join against the entity frame, so enrichment never shuffles
+  * the 100-TB side.
+  */
+trait EnrichmentSource {
+  /** Connector id — the reference's module name (`shodan`, `dnsbl`, …). */
+  def name: String
+
+  /** The feed table this cycle resolves against. */
+  def feed: DataFrame
+
+  /** Join the feed onto the entity frame with this source's update
+    * semantics (attribute upserts, miss/404 removals, query budgets).
+    */
+  def enrich(entities: DataFrame): DataFrame
+}
+
+/** Shodan InternetDB (`shodan.py:30–118`): hit upserts ports/tags, miss is
+  * the 404-removal path.
+  */
+final case class ShodanSource(scanDb: DataFrame) extends EnrichmentSource {
+  val name = "shodan"
+  def feed: DataFrame = scanDb
+  def enrich(ips: DataFrame): DataFrame = Intel.shodanEnrich(ips, scanDb)
+}
+
+/** DNSBL zones with the reference's daily request budget (`dnsbl.py`). */
+final case class DnsblSource(zoneLists: DataFrame, zoneSuffix: String,
+                             budget: Int) extends EnrichmentSource {
+  val name = "dnsbl"
+  def feed: DataFrame = zoneLists
+  def enrich(ips: DataFrame): DataFrame =
+    Intel.dnsblLookups(ips, zoneLists, zoneSuffix, budget)
+}
+
+/** Redis-cached blacklists: ip sets + prefix intervals (`redis_bl.py`). */
+final case class RedisBlSource(setLists: DataFrame, prefixLists: DataFrame)
+    extends EnrichmentSource {
+  val name = "redis_bl"
+  def feed: DataFrame = setLists
+  def enrich(ips: DataFrame): DataFrame =
+    Intel.redisBlHits(ips, setLists, prefixLists)
+}
+
+/** ASN rank feeds: CIRCL BGP rank + email rank (`bgp_rank.py`,
+  * `eml_asn_rank.py`).
+  */
+final case class AsnRankSource(ranks: DataFrame) extends EnrichmentSource {
+  val name = "bgp_rank"
+  def feed: DataFrame = ranks
+  def enrich(ipsWithAsn: DataFrame): DataFrame = Intel.asnRanks(ipsWithAsn, ranks)
+}
+
+/** Geolocation db (`geolocation.py`): MaxMind-style lookup table. */
+final case class GeoSource(geoDb: DataFrame) extends EnrichmentSource {
+  val name = "geo"
+  def feed: DataFrame = geoDb
+  def enrich(keyed: DataFrame): DataFrame = Intel.geoEnrich(keyed, geoDb)
+}
+
+/** DNS PTR resolver (`dns.py:27–77`): NXDOMAIN removes stored hostnames. */
+final case class PtrSource(ptrDb: DataFrame) extends EnrichmentSource {
+  val name = "dns_ptr"
+  def feed: DataFrame = ptrDb
+  def enrich(ips: DataFrame): DataFrame = Intel.ptrEnrich(ips, ptrDb)
+}
+
+/** whois RIR delegation boundaries (`whois.py:166–177,220–237`): an as-of
+  * join of each fact's ASN against the sorted delegation starts.
+  * `boundaries`: (start, rir).
+  */
+final case class WhoisRirSource(boundaries: DataFrame) extends EnrichmentSource {
+  val name = "whois"
+  def feed: DataFrame = boundaries
+  def enrich(factsWithAsn: DataFrame): DataFrame =
+    graft.query.AsOf.asOfJoin(factsWithAsn, "asn", boundaries)
+}

@@ -139,4 +139,22 @@ object Intel {
     ipsWithAsn.groupBy(col("asn"))
       .agg(count(lit(1)).as("n_ips"))
       .join(broadcast(ranks), Seq("asn"), "left")
+
+  /** Geolocation enrichment (reference `NERDd/modules/geolocation.py`):
+    * broadcast join against a MaxMind-style db keyed by `gk`.
+    * `geoDb`: (gk, ctry, city, tz).
+    */
+  def geoEnrich(keyed: DataFrame, geoDb: DataFrame): DataFrame =
+    keyed.join(broadcast(geoDb), Seq("gk"))
+      .select(col("entity"), col("ctry"), col("city"), col("tz"))
+
+  /** DNS PTR enrichment (reference `NERDd/modules/dns.py:27–77`): broadcast
+    * left join against the resolver table; a miss is the NXDOMAIN path,
+    * which REMOVES any stored hostname. `ptrDb`: (ip, hostname).
+    */
+  def ptrEnrich(ips: DataFrame, ptrDb: DataFrame): DataFrame =
+    ips.join(broadcast(ptrDb), Seq("ip"), "left")
+      .select(col("entity"), col("ip"),
+        coalesce(col("hostname"), lit("")).as("hostname"),
+        when(col("hostname").isNull, 1L).otherwise(0L).as("nxdomain"))
 }

@@ -480,6 +480,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("d1"), col("d2")).collect().map(key).toSet == exact)
   }
 
+  test("uncapped near-dedup suite row is env-gated: absent from the default registry") {
+    // the default bench/verify suite must carry no standing super-linear
+    // shape; the uncapped exactness baseline registers only under
+    // GRAFT_UNCAPPED_NEAR_DEDUP=1 (its semantics stay covered by the
+    // capped-vs-exact recall pin above)
+    assume(!sys.env.get("GRAFT_UNCAPPED_NEAR_DEDUP").contains("1"))
+    assert(!SparkEntry.queries.contains("llm_near_dedup"))
+    assert(!SparkEntry.oracleSql.contains("llm_near_dedup"))
+    assert(SparkEntry.queries.contains("llm_near_dedup_capped"))
+    assert(SparkEntry.oracleSql.contains("llm_near_dedup_capped"))
+  }
+
   test("unigram-LM quality ranks common-token docs above gibberish; DSIR flags target-like docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
