@@ -417,6 +417,29 @@ object SparkEntry {
       Search.bulkRep(rep, requests).select(col("entity"), round(col("rep"), 6).as("rep"))
     }),
 
+    // -- the binary bulk endpoint END-TO-END (nerd_main.py:2427-2468,
+    //    application/octet-stream in and out): request ids packed as
+    //    big-endian 4-byte IPs, response unpacked from native-order packed
+    //    doubles — the full wire round-trip, then the decoded frame is
+    //    oracle-checked. Request/response sizes are the HTTP-body boundary
+    //    (== request count by construction), not a data collect. --
+    "nerd_bulk_binary" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.EdgeCodec
+      val rep = Derive.reputationWarden(events(s, dir), today(s, dir))
+      val maxId = maxUserId(s, dir)
+      val reqIds = (0L to maxId + 19 by 5).toArray
+      val payload = EdgeCodec.packIps(reqIds)
+      val response = Search.bulkRepBinary(rep, payload)
+      val decoded = EdgeCodec.unpackDoubles(response)
+      require(decoded.length == reqIds.length,
+        "binary response must carry one double per requested ip")
+      reqIds.zip(decoded).zipWithIndex
+        .map { case ((e, r), i) => (i.toLong, e, r) }.toSeq
+        .toDF("idx", "entity", "rep")
+        .select(col("idx"), col("entity"), round(col("rep"), 6).as("rep"))
+    }),
+
     "nerd_event_listing" -> ((s, dir) => {
       // Scale-aware selector: worst-10 entities by reputation (a fixed
       // threshold matches nobody at small scale factors).
@@ -1772,6 +1795,54 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- multi-batch evict-then-reactivate (cleaner.py:204–241 lifetime
+    //    semantics across three micro-batches): batch 1 activates the 6
+    //    lowest entities plus a clock entity whose steady events keep the
+    //    watermark advancing; batch 2 carries ONLY the clock, so the 6 time
+    //    out and emit tombstones; batch 3 brings them back — and each
+    //    reactivated counter RESTARTS at 1 (the reference re-creates a
+    //    !DELETEd record as fresh). Output is the raw emission log
+    //    (entity, n, last_activity), tombstones as n = -1; the oracle
+    //    replays the same fixture grid with per-lifetime cumulative counts
+    //    delimited by the TTL-derived tombstone. --
+    "nerd_stream_reactivate" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val ids = ev.select(col("user_id")).distinct().orderBy(col("user_id"))
+        .limit(6).as[Long].collect().toSeq
+      val clock = maxUserId(s, dir) + 1
+      val t0 = ev.agg(max(col("ts").cast("long"))).as[Long].head() + 3600L
+      val src = scratchDir("graft-react-src")
+      def writeBatch(rows: Seq[(Long, Long)]): Unit = {
+        backdateExistingFiles(src) // keep admission order strictly by batch
+        rows.toDF("user_id", "sec")
+          .select(col("user_id"), col("sec").cast("timestamp").as("ts"))
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      writeBatch(ids.map(_ -> t0) :+ (clock -> (t0 + 500L)))
+      writeBatch(Seq(clock -> (t0 + 1000L)))
+      writeBatch(ids.map(_ -> (t0 + 1500L)) :+ (clock -> (t0 + 1500L)))
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = graft.streaming.StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 100L)
+      val qname = "sreact_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft-sreact-ck"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("_1").as("entity"), col("_2").as("n"),
+          col("_3").as("last_activity"))
+        .orderBy(col("entity"), col("last_activity"), col("n"))
+    }),
+
     // -- on-demand record creation (nerd_main.py:1473–1489): a web request
     //    is one `set _ttl.web now+3h` task folded onto the snapshot; unknown
     //    entities materialize as fresh records, known ones just gain the
@@ -2484,6 +2555,17 @@ object SparkEntry {
          |SELECT req.entity, round(coalesce(rep.rep, 0.0), 6) AS rep
          |FROM req LEFT JOIN rep USING (entity)
          |ORDER BY entity""".stripMargin,
+
+    // replays the binary endpoint's SEMANTICS (request order preserved,
+    // misses 0.0); the byte-level pack/unpack equivalence is pinned by
+    // EdgeCodecSpec's struct-format vectors
+    "nerd_bulk_binary" ->
+      s"""WITH $REP_CTE,
+         |req AS (SELECT unnest(generate_series(0, (SELECT max(user_id) + 19 FROM events), 5)) AS entity),
+         |idxed AS (SELECT entity, CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx FROM req)
+         |SELECT idx, idxed.entity, round(coalesce(rep.rep, 0.0), 6) AS rep
+         |FROM idxed LEFT JOIN rep USING (entity)
+         |ORDER BY idx""".stripMargin,
 
     "nerd_event_listing" ->
       s"""WITH $REP_CTE,
@@ -4388,6 +4470,58 @@ object SparkEntry {
         |  CAST(CASE WHEN (last_activity + 3600) * 1000 < wm.w THEN 1 ELSE 0 END
         |       AS BIGINT) AS expired
         |FROM g, wm ORDER BY entity""".stripMargin,
+
+    // Lifetime-aware replay of the 3-batch evict→reactivate fixture: the
+    // same grid the Spark side streams (6 lowest entities + a clock), the
+    // state-TTL rule applied per batch (an absent, active entity evicts
+    // when the batch's ENTERING watermark — the previous batch's max event
+    // time — is past last_activity + ttl), and cumulative counts restart in
+    // the post-tombstone lifetime.
+    "nerd_stream_reactivate" ->
+      """WITH ids AS (SELECT user_id AS entity
+        |             FROM (SELECT DISTINCT user_id FROM events)
+        |             ORDER BY user_id LIMIT 6),
+        |mx AS (SELECT max(user_id) + 1 AS clock,
+        |              CAST(floor(epoch(max(ts))) AS BIGINT) + 3600 AS t0
+        |       FROM events),
+        |fx AS (
+        |  SELECT entity, 1 AS b, t0 AS t FROM ids, mx
+        |  UNION ALL SELECT clock, 1, t0 + 500 FROM mx
+        |  UNION ALL SELECT clock, 2, t0 + 1000 FROM mx
+        |  UNION ALL SELECT entity, 3, t0 + 1500 FROM ids, mx
+        |  UNION ALL SELECT clock, 3, t0 + 1500 FROM mx),
+        |wm AS (SELECT b, max(mt) OVER (ORDER BY b) AS w
+        |       FROM (SELECT b, max(t) AS mt FROM fx GROUP BY b)),
+        |grid AS (SELECT e.entity, bb.b
+        |         FROM (SELECT DISTINCT entity FROM fx) e,
+        |              (SELECT DISTINCT b FROM fx) bb),
+        |pres AS (SELECT g.entity, g.b, count(f.t) AS n_rows, max(f.t) AS bt
+        |         FROM grid g LEFT JOIN fx f ON f.entity = g.entity AND f.b = g.b
+        |         GROUP BY 1, 2),
+        |acts AS (SELECT entity, b, n_rows, bt,
+        |                max(bt) OVER (PARTITION BY entity ORDER BY b) AS last_t
+        |         FROM pres),
+        |ev AS (SELECT a.entity, min(a.b) AS evict_b, min(a.last_t) AS evict_last
+        |       FROM acts a JOIN wm ON wm.b = a.b - 1
+        |       WHERE a.n_rows = 0 AND a.last_t IS NOT NULL
+        |         AND a.last_t + 100 < wm.w
+        |       GROUP BY 1),
+        |lives AS (SELECT a.entity, a.b, a.n_rows, a.bt,
+        |                 CASE WHEN e.evict_b IS NOT NULL AND a.b >= e.evict_b
+        |                      THEN 1 ELSE 0 END AS life
+        |          FROM acts a LEFT JOIN ev e USING (entity)),
+        |upd AS (SELECT entity, n_rows,
+        |          CAST(sum(n_rows) OVER (PARTITION BY entity, life ORDER BY b)
+        |               AS BIGINT) AS n,
+        |          max(bt) OVER (PARTITION BY entity, life ORDER BY b)
+        |            AS last_activity
+        |        FROM lives),
+        |outp AS (
+        |  SELECT entity, n, last_activity FROM upd WHERE n_rows > 0
+        |  UNION ALL
+        |  SELECT entity, CAST(-1 AS BIGINT), evict_last FROM ev)
+        |SELECT entity, n, last_activity FROM outp
+        |ORDER BY entity, last_activity, n""".stripMargin,
 
     // request set = 5 lowest known entities + 10 past the id space; a known
     // entity keeps its event totals (created=0), an unknown one materializes
