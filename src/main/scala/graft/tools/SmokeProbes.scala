@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke evidence probes (run by the round's smoke harness, output
+  * merged into SCALE_SMOKE_r{N}.json):
+  *
+  *  1. MOR-store write amplification under hot-entity skew: drive the
+  *     merge-on-read delta store with a task distribution where ONE entity
+  *     receives 50% of all tasks, vs a uniform campaign of the same task
+  *     count, and record bytes written + buckets touched per batch. The
+  *     touched-bucket contract says bytes/batch is bounded by the live
+  *     state of the touched buckets — skew concentrates tasks but must not
+  *     amplify writes.
+  *
+  *  2. IVF partition-pruned scan bytes: build the cluster-partitioned index
+  *     layout from the learned kmeans assignment, probe it at nprobe = 1
+  *     and 2, and read the corpus scan's `filesSize`/`numPartitions`
+  *     metrics — scan bytes must track nprobe/nlist of the corpus (the
+  *     claim PlanSpec pins structurally, here measured in bytes).
+  */
+object SmokeProbes {
+
+  private def dirBytes(dir: java.io.File): Long = {
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+    fs.map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+  }
+
+  private def jLong(m: Iterable[(String, Long)]): String =
+    m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  // ---- probe 1: MOR write amplification under skew ----
+
+  private def morCampaign(spark: SparkSession, name: String, numBuckets: Int,
+                          batches: Seq[Seq[(Long, Long)]]): Seq[String] = {
+    import spark.implicits._
+    import graft.fold.UpdateTask
+    import graft.ops.{TaskCodec, UpdateAlgebra => UA}
+    val root = java.nio.file.Files.createTempDirectory(s"graft-morskew-$name")
+    val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
+      spark, root.toString, numBuckets = numBuckets, maxDeltas = 0)
+    val out = batches.zipWithIndex.map { case (batch, b) =>
+      // pre-aggregated task form — the ingest path's own skew bound
+      // (EventTasks.preAggregated): a hot entity arrives as ONE task row
+      // carrying its count, so the fold shuffle never sees the raw fan-in
+      val tasks = batch.toDS().map { case (eid, n) =>
+        UpdateTask("ip", eid, b.toLong,
+          "probe", TaskCodec.render(Seq(UA.AddNum("total", n))))
+      }
+      store.applyBatch(tasks, nowEpoch = 1700000000L + b)
+      val vDir = new java.io.File(root.toFile,
+        "v" + (0 to 100).filter(v => new java.io.File(root.toFile, s"v$v").exists()).max)
+      val manifest = new java.io.File(vDir, "_buckets.json")
+      val touched = scala.io.Source.fromFile(manifest, "UTF-8").mkString
+        .count(_ == ',') + 1
+      jLong(Seq("batch" -> b.toLong, "touched_buckets" -> touched.toLong,
+        "bytes_written" -> dirBytes(vDir),
+        "store_bytes_total" -> dirBytes(root.toFile)))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    out
+  }
+
+  def morSkew(spark: SparkSession): String = {
+    val nTasksPerBatch = 10000L
+    val nEntities = 5000L
+    // uniform: every entity gets the same share, all buckets touched
+    val uniform = (0 until 4).map { _ =>
+      (0L until nEntities).map(e => e -> (nTasksPerBatch / nEntities))
+    }
+    // hot: ONE entity takes 50% of the batch's tasks; the rest spread over
+    // a 100-entity active set (the reference's "one loud scanner" shape)
+    val hot = (0 until 4).map { _ =>
+      Seq(0L -> nTasksPerBatch / 2) ++
+        (1L to 100L).map(e => e -> (nTasksPerBatch / 2 / 100))
+    }
+    val u = morCampaign(spark, "uniform", 64, uniform)
+    val h = morCampaign(spark, "hot", 64, hot)
+    s"""{"task_rows_per_batch_note":"pre-aggregated: hot entity = 1 task row carrying its count","uniform":[${u.mkString(",")}],"hot_50pct_one_entity":[${h.mkString(",")}]}"""
+  }
+
+  // ---- probe 2: IVF pruned-layout scan bytes ----
+
+  private def corpusScans(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      corpusScans(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      corpusScans(qs.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec
+      if s.metadata.get("Location").exists(_.contains("corpus")) => Seq(s)
+    case other => other.children.flatMap(corpusScans)
+  }
+
+  def ivfPrune(spark: SparkSession, sfDir: String): String = {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val k = math.max(8, (n / 2500L).toInt)
+    val asg = graft.llm.Ann.kmeans(emb, k = k, iters = 2)
+      .select(col("vec_id"), col("cluster").as("kc"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfprobe")
+    graft.llm.Ann.writeIvfIndex(emb.join(asg, Seq("vec_id")),
+      clusterCol = "kc", dir = idx.toString)
+    val corpusBytes = dirBytes(new java.io.File(idx.toFile, "corpus"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def probeBytes(nprobe: Int): (Long, Long) = {
+      val probed = graft.llm.Ann.ivfTopKPruned(q, idx.toString, k = 5, nprobe = nprobe)
+      probed.collect()
+      val s = corpusScans(probed.queryExecution.executedPlan).head
+      (s.metrics.get("filesSize").map(_.value).getOrElse(-1L),
+        s.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+    }
+    val (b1, p1) = probeBytes(1)
+    val (b2, p2) = probeBytes(2)
+    org.apache.commons.io.FileUtils.deleteDirectory(idx.toFile)
+    jLong(Seq("nlist" -> k.toLong, "n_vectors" -> n,
+      "corpus_bytes_on_disk" -> corpusBytes,
+      "nprobe1_scan_bytes" -> b1, "nprobe1_partitions_read" -> p1,
+      "nprobe2_scan_bytes" -> b2, "nprobe2_partitions_read" -> p2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json =
+      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)}}"""
+    println("SMOKEPROBES " + json)
+    if (args.length > 1)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json)
+    spark.stop()
+  }
+}

@@ -167,15 +167,20 @@ class PlanSpec extends AnyFunSuite {
     val p = graft.llm.Ann.kmeans(
         graft.core.Tables.embeddings(spark, sf), k = 4, iters = 2)
       .queryExecution.executedPlan.toString
-    // both assignment passes join the k-row centroid table via broadcast —
-    // a SortMergeJoin here would shuffle k copies of the corpus
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    // the final assignment pass joins the k-row centroid table via
+    // broadcast — a SortMergeJoin here would shuffle k copies of the
+    // corpus. (Earlier rounds sit behind the per-round localCheckpoint —
+    // the visible plan carries exactly one assignment join plus the
+    // checkpointed previous assignment as an RDD scan; iteration-count
+    // invariance is pinned by the lineage test below.)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // the per-vector argmax is an aggregation with a map-side partial, not a
-    // per-vector window; the only Window allowed is seed numbering, which
-    // sits on the k-row TakeOrderedAndProject seed set
-    assert("partial_max".r.findAllIn(p).size >= 2, p)
-    assert("Window".r.findAllIn(p).size <= "TakeOrderedAndProject".r.findAllIn(p).size, p)
+    // per-vector window; no Window over the corpus (seed numbering happens
+    // inside the checkpointed rounds)
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Window"), p)
   }
 
   test("semanticDedup broadcasts centroids and buckets the pair join by cluster") {
