@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default on the 128-GiB bench box: the 60-query suite in one JVM at
-  // 8g spent multi-second GC pauses that landed on whichever query ran next
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default on the 128-GiB bench box: at 24g the 133-query suite (plus
+  // its cross-query campaign caches — kmeans assignments, MinHash
+  // signatures, BPE rank broadcasts) ran the heap hot enough that JSON-parse
+  // heavy queries late in the alphabet absorbed multi-second GC stalls
+  // (nerd_warden_filter 2.6 s standalone vs 10.8 s in-suite); at 8g the
+  // 60-query suite did the same. Still under half the box for the oracle's
+  // DuckDB side.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -103,12 +103,18 @@ object Pq {
     // Dedup.components: checkpoint each round's subvector assignment so the
     // plan never compounds across iterations (each snapshot is m·|vectors|
     // assignment rows; at most two are live — the previous round's blocks
-    // free as soon as the new checkpoint truncates lineage past them).
+    // free as soon as the new checkpoint truncates lineage past them). As
+    // in [[Ann.kmeans]], the FIRST loop round stays fused — one round of
+    // lineage hasn't compounded, and iters = 2 (the default) then runs as a
+    // single pipelined job instead of paying an eager materialization.
     var liveCkpt: Option[DataFrame] = None
-    for (_ <- 2 to iters) {
-      val ck = assigned.localCheckpoint()
-      liveCkpt.foreach(Dedup.freeLocalCheckpoint)
-      liveCkpt = Some(ck)
+    for (i <- 2 to iters) {
+      val ck = if (i == 2) assigned else {
+        val c = assigned.localCheckpoint()
+        liveCkpt.foreach(Dedup.freeLocalCheckpoint)
+        liveCkpt = Some(c)
+        c
+      }
       cents = ck
         .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
