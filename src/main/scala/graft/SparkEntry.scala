@@ -1196,7 +1196,7 @@ object SparkEntry {
         .filter(col("keep") === 1)
       val out = graft.streaming.StreamIngest.statefulDedup(gated,
         keyExpr = "md5(array_join(sort_array(array_distinct(split(text, ' '))), ' '))")
-      val qname = "scur_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = memorySink(s, "scur", dir)
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1273,7 +1273,7 @@ object SparkEntry {
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val out = graft.streaming.StreamIngest.statefulDedup(stream)
-      val qname = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = memorySink(s, "sdd", dir)
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1367,6 +1367,20 @@ object SparkEntry {
       Dedup.incrementalExactDedup(Tables.documents(s, dir), cutoff = cut,
           expectedPrior = 100000L, fpp = 0.02)
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental crawl-vs-corpus NEAR dedup against the PERSISTED banded
+    // LSH index (even doc ids = the standing corpus whose index is a disk
+    // artifact, odd = the new crawl batch): crawl band rows join the stored
+    // index on (band, bh), exact-Jaccard verification — the near-dup
+    // sibling of llm_incr_dedup's Bloom exact path, and the second
+    // index-as-layout operator next to llm_ann_ivf_pruned
+    "llm_incr_near_dedup" -> ((s, dir) => {
+      val idx = s.read.parquet(lshIndexDir(s, dir))
+      val crawl = Dedup.lshBandRows(
+        signatureTable(s, dir).filter(col("doc_id") % 2 === 1))
+      Dedup.incrementalNearDups(crawl, idx, shingleTable(s, dir), threshold = 0.5)
+        .orderBy(col("crawl_doc"), col("corpus_doc"))
     }),
 
     // BPE encode under a fixed merge table: tokens-per-word fertility —
@@ -1724,7 +1738,7 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val counts = graft.streaming.StreamIngest.statefulCounts(stream)
-      val qname = "sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = memorySink(s, "sc", dir)
       val q = counts.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1780,7 +1794,7 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val out = graft.streaming.StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 3600L)
-      val qname = "sttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = memorySink(s, "sttl", dir)
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1832,7 +1846,7 @@ object SparkEntry {
             org.apache.spark.sql.types.TimestampType))))
         .option("maxFilesPerTrigger", "1").parquet(src)
       val out = graft.streaming.StreamIngest.statefulCountsWithTtl(stream, ttlSecs = 100L)
-      val qname = "sreact_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = memorySink(s, "sreact", dir)
       val q = out.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2032,6 +2046,34 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sig.count()
       sig
+    })
+
+  /** Memory-sink table name for a streaming query, STABLE per (query, data
+    * dir): re-invoking the query (the bench runs every query twice — warmup
+    * then timed) drops the previous invocation's pinned sink table before
+    * starting, so the driver holds ONE copy of each stream's output instead
+    * of an accumulating pile of uuid-named tables (at the 10× smoke those
+    * piled up to hundreds of MB of dead driver heap that later queries paid
+    * for in GC).
+    */
+  private def memorySink(s: SparkSession, prefix: String, dir: String): String = {
+    val name = prefix + "_" + java.lang.Integer.toHexString(dir.hashCode)
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    name
+  }
+
+  /** The corpus half's banded LSH index as a DISK artifact (written once
+    * per data dir, like a real dedup campaign's stored index): even doc ids
+    * are the standing corpus, and `llm_incr_near_dedup` probes this layout
+    * with the odd-id crawl batch's band rows.
+    */
+  private val lshIndexCache = new ConcurrentHashMap[String, String]()
+  private def lshIndexDir(spark: SparkSession, dir: String): String =
+    lshIndexCache.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
+      val out = scratchDir("graft-lsh-index")
+      Dedup.lshBandRows(signatureTable(spark, dir).filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(out)
+      out
     })
 
   /** The EXACT near-dup pair truth at threshold 0.5 — the ground-truth
@@ -3064,6 +3106,28 @@ object SparkEntry {
          |FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
          |WHERE j.jaccard >= 0.5
          |ORDER BY j.d1, j.d2""".stripMargin,
+
+    "llm_incr_near_dedup" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+         |SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |FROM cands n JOIN jac j
+         |  ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         | AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |WHERE j.jaccard >= 0.5
+         |ORDER BY n.crawl_doc, n.corpus_doc""".stripMargin,
 
     "llm_lsh_calibration" -> {
       val cfg = Seq(2, 4, 8)

@@ -528,11 +528,7 @@ object Dedup {
   def minhashLshFromSignatures(sig: DataFrame, sh: DataFrame, k: Int = 64,
                                rowsPerBand: Int = 4,
                                threshold: Double = 0.5): DataFrame = {
-    val bandCols = (0 until k / rowsPerBand).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
-    }
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val bands = lshBandRows(sig, k, rowsPerBand)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -540,5 +536,55 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     jaccardOverCandidates(sh, cands, threshold)
+  }
+
+  /** The banded-index rows of a k-column signature table: one
+    * (doc_id, band, bh) row per band — the physical row format of a stored
+    * LSH index (and the shape both sides of every banded candidate join
+    * take). 16 rows per document at k=64/r=4, independent of corpus size.
+    */
+  def lshBandRows(sig: DataFrame, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  /** Incremental crawl-vs-corpus NEAR dedup — the near-dup sibling of the
+    * Bloom-backed exact path ([[incrementalExactDedup]]): the corpus's
+    * banded LSH index is a PERSISTED build artifact (written once by
+    * [[lshBandRows]]`.write`, the index-as-layout discipline of
+    * [[graft.llm.Ann.writeIvfIndex]]); each new crawl batch computes its own
+    * band rows and joins the stored index on (band, bh) — candidates are
+    * crawl×corpus only (a batch is deduplicated against the CORPUS here;
+    * intra-batch duplicates are [[minhashLshFromSignatures]] over the batch
+    * alone). Verification is exact Jaccard over the candidate pairs, so the
+    * output has no false positives.
+    *
+    * Scale shape: the join is keyed on (band, bh) — shuffle volume is 16
+    * rows per document per side, never the pair space — and the corpus side
+    * is read straight from the index layout with no signature recompute. A
+    * production caller whose crawl batch is small relative to the corpus
+    * broadcasts the crawl band rows (|batch|·16 rows), making the probe one
+    * shuffle-free pass over the stored index; the suite's fixture halves
+    * are same-sized, so the plan here keeps the neutral keyed join.
+    * Output: (crawl_doc, corpus_doc, jaccard).
+    */
+  def incrementalNearDups(crawlBands: DataFrame, indexBands: DataFrame,
+                          sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = crawlBands.as("w")
+      .join(indexBands.as("c"),
+        col("w.band") === col("c.band") && col("w.bh") === col("c.bh"))
+      .select(col("w.doc_id").as("crawl_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    // exact-Jaccard verification reuses the symmetric pair machinery on
+    // (least, greatest) and re-attaches the crawl/corpus roles after
+    val sym = cands.select(
+      least(col("crawl_doc"), col("corpus_doc")).as("d1"),
+      greatest(col("crawl_doc"), col("corpus_doc")).as("d2"),
+      col("crawl_doc"), col("corpus_doc"))
+    jaccardOverCandidates(sh, sym.select(col("d1"), col("d2")), threshold)
+      .join(sym, Seq("d1", "d2"))
+      .select(col("crawl_doc"), col("corpus_doc"), col("jaccard"))
   }
 }

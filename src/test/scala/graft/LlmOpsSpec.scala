@@ -427,6 +427,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fallback.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
   }
 
+  test("incremental near-dedup reports crawl-vs-corpus pairs only, with exact jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus (even ids): 2 and 4 are near-dups of each other; crawl (odd
+    // ids): 1 is a verbatim dup of corpus 2, 3 is novel, 5 is a verbatim
+    // dup of crawl 1 (an INTRA-crawl pair the operator must NOT report)
+    val docs = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, "completely different corpus content about spark plans"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "novel crawl text that matches nothing in the corpus"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    val sig = Dedup.minhashSignaturesWide(sh, 64)
+    val idx = Dedup.lshBandRows(sig.filter(col("doc_id") % 2 === 0))
+    val crawl = Dedup.lshBandRows(sig.filter(col("doc_id") % 2 === 1))
+    val out = Dedup.incrementalNearDups(crawl, idx, sh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 and 5 each hit corpus 2 (identical: jaccard 1.0) and near-dup 4;
+    // the intra-crawl pair (1,5) and the intra-corpus pair (2,4) are absent
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((5L, 2L)), out.mkString(","))
+    assert(out.forall(t => t._1 % 2 == 1 && t._2 % 2 == 0), out.mkString(","))
+    assert(out.filter(t => t._2 == 2L && (t._1 == 1L || t._1 == 5L))
+      .forall(_._3 == 1.0), out.mkString(","))
+  }
+
   test("bloom sizing formula hits the requested fpp within tolerance") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)

@@ -50,6 +50,8 @@ def main():
                     help="comma-separated 100x subset query names")
     ap.add_argument("--note10", default="")
     ap.add_argument("--note100", default="")
+    ap.add_argument("--probes", default=None,
+                    help="optional SmokeProbes JSON (mor_skew + ivf_prune) to embed")
     args = ap.parse_args()
 
     base = json.load(open(args.base))
@@ -70,6 +72,8 @@ def main():
         "smoke_10x": section(base, s10, 10, qs10, args.note10),
         "smoke_100x": section(base, s100, 100, qs100, args.note100),
     }
+    if args.probes:
+        out["probes"] = json.load(open(args.probes))
     json.dump(out, open(args.out, "w"), indent=1)
     for k in ("smoke_10x", "smoke_100x"):
         print(k, out[k]["normalized_ratio"], "outliers:", out[k]["outliers_gt_2x"])
