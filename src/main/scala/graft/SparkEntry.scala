@@ -974,6 +974,14 @@ object SparkEntry {
       Dedup.contamination(shingleTable(s, dir), benchMaxId = 24L, threshold = 0.6)
         .orderBy(col("doc_id"), col("bench_id"))),
 
+    // the GPT-3/PaLM 13-gram rule: ANY shared 13-gram with a benchmark doc
+    // flags the pair (verbatim-overlap decontamination, no threshold) —
+    // benchmark side broadcast, corpus streams through one hash join
+    "llm_contam_13gram" -> ((s, dir) =>
+      Dedup.ngramContamination(
+          Dedup.shingles(Tables.documents(s, dir), 13), benchMaxId = 24L)
+        .orderBy(col("doc_id"), col("bench_id"))),
+
     // temperature-scaled language rebalancing (τ=2, half the corpus kept):
     // head languages downsample, tail languages survive — deterministic
     // md5-draw vs broadcast per-stratum probability, no corpus shuffle
@@ -3311,6 +3319,19 @@ object SparkEntry {
          |FROM hits h JOIN bsz z ON z.bench_id = h.bench_id
          |WHERE CAST(round(CAST(h.i * 1.0 / z.bsz AS DECIMAL(28,10)), 6) AS DOUBLE) >= 0.6
          |ORDER BY h.doc_id, h.bench_id""".stripMargin,
+
+    "llm_contam_13gram" -> {
+      val gram13 = (0 until 13).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH sh13 AS (
+         |  SELECT DISTINCT doc_id, $gram13 AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       unnest(generate_series(1, len(w) - 12)) AS t(i)),
+         |bench AS (SELECT doc_id AS bench_id, s FROM sh13 WHERE doc_id <= 24)
+         |SELECT c.doc_id, b.bench_id, count(*) AS n_hits
+         |FROM sh13 c JOIN bench b ON c.s = b.s AND c.doc_id > 24
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // weights as cnt^(1/τ) (the n^(1/τ) factor cancels against the total —
     // same algebra as Sample.temperatureSample, one aggregate pass) and p

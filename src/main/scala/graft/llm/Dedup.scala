@@ -361,6 +361,29 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** Long-n-gram decontamination — the GPT-3/PaLM discipline (the GPT-3
+    * paper filters training docs sharing any 13-gram with an eval set;
+    * PaLM/Llama use the same long-n-gram hit rule): a single shared n-gram
+    * at n = 13 is an effectively verbatim overlap, so ANY hit flags the
+    * (corpus doc, benchmark doc) pair — no containment ratio, no threshold
+    * tuning. Complements [[contamination]]'s shingle-containment scan: that
+    * one catches paraphrase-level overlap on short shingles; this one is
+    * the strict verbatim filter run before a training dump ships.
+    *
+    * Scale shape: identical to [[contamination]] — the benchmark side is
+    * tiny and BROADCAST, the corpus side streams through one hash join and
+    * an (doc, bench)-keyed count; no corpus shuffle, no pair space.
+    * Output: (doc_id, bench_id, n_hits) — distinct shared n-grams per pair.
+    */
+  def ngramContamination(shN: DataFrame, benchMaxId: Long): DataFrame = {
+    val bench = shN.filter(col("doc_id") <= benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    shN.filter(col("doc_id") > benchMaxId)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-document cluster assignment: every document mapped to the minimum
     * doc_id of its near-duplicate component (itself when it has no
     * duplicates), plus the cluster size. The canonical "which copy do we
