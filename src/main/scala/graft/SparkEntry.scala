@@ -438,6 +438,10 @@ object SparkEntry {
         .map { case ((e, r), i) => (i.toLong, e, r) }.toSeq
         .toDF("idx", "entity", "rep")
         .select(col("idx"), col("entity"), round(col("rep"), 6).as("rep"))
+        // the local Seq is already idx-ordered, but the oracle ends in
+        // ORDER BY idx and the compare is row-ordered — pin it rather than
+        // rely on LocalRelation order surviving future plan changes
+        .orderBy(col("idx"))
     }),
 
     "nerd_event_listing" -> ((s, dir) => {
@@ -1990,7 +1994,7 @@ object SparkEntry {
     val n = embCountCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
       _ => Tables.embeddings(s, dir).count())
-    math.max(8, (n / 2500L).toInt)
+    Ann.proportionalK(n)
   }
 
   /** The kmeans coarse-quantizer assignment — in a real campaign this is
@@ -2066,7 +2070,7 @@ object SparkEntry {
     */
   private def memorySink(s: SparkSession, prefix: String, dir: String): String = {
     val name = prefix + "_" + java.lang.Integer.toHexString(dir.hashCode)
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    s.catalog.dropTempView(name) // returns false (no throw) when absent
     name
   }
 

@@ -270,6 +270,15 @@ object Ann {
     * cluster simply drops out of the next update, as in textbook Lloyd.
     * Output: (vec_id, cluster, ccos).
     */
+  /** Corpus-proportional coarse-quantizer size — the SemDeDup/IVF
+    * discipline (clusters hold ~`perCluster` vectors at ANY corpus size, so
+    * within-cluster pair spaces and probe scans stay bounded). ONE
+    * definition shared by the suite's campaign cache and the scale-smoke
+    * probes, so the measured layout is always the shipped sizing.
+    */
+  def proportionalK(n: Long, perCluster: Long = 2500L, floor: Int = 8): Int =
+    math.max(floor, (n / perCluster).toInt)
+
   def kmeans(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val seeds = e

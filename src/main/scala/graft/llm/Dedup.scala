@@ -190,26 +190,28 @@ object Dedup {
     * intersection drop out of the equi-join, which is correct for any
     * threshold > 0.
     */
-  def jaccardOverCandidates(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+  def jaccardOverCandidates(sh: DataFrame, cands: DataFrame, threshold: Double,
+                            k1: String = "d1", k2: String = "d2"): DataFrame = {
     val inter = cands
-      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2"))
+      .join(sh.select(col("doc_id").as(k1), col("s")), Seq(k1))
+      .join(sh.select(col("doc_id").as(k2), col("s")), Seq(k2, "s"))
+      .groupBy(col(k1), col(k2))
       .agg(count(lit(1)).as("inter"))
-    attachJaccard(sh, inter, threshold)
+    attachJaccard(sh, inter, threshold, k1, k2)
   }
 
   /** Join per-doc shingle-set sizes onto pair intersection counts and filter
     * by the Jaccard threshold.
     */
-  private def attachJaccard(sh: DataFrame, inter: DataFrame, threshold: Double): DataFrame = {
+  private def attachJaccard(sh: DataFrame, inter: DataFrame, threshold: Double,
+                            k1: String = "d1", k2: String = "d2"): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .join(sizes.select(col("doc_id").as(k1), col("sz").as("sz1")), Seq(k1))
+      .join(sizes.select(col("doc_id").as(k2), col("sz").as("sz2")), Seq(k2))
       .withColumn("jaccard", round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .select(col(k1), col(k2), col("jaccard"))
   }
 
   /** WIDE MinHash signatures: all k per-document minima as k aggregate
@@ -600,14 +602,11 @@ object Dedup {
         col("w.band") === col("c.band") && col("w.bh") === col("c.bh"))
       .select(col("w.doc_id").as("crawl_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    // exact-Jaccard verification reuses the symmetric pair machinery on
-    // (least, greatest) and re-attaches the crawl/corpus roles after
-    val sym = cands.select(
-      least(col("crawl_doc"), col("corpus_doc")).as("d1"),
-      greatest(col("crawl_doc"), col("corpus_doc")).as("d2"),
-      col("crawl_doc"), col("corpus_doc"))
-    jaccardOverCandidates(sh, sym.select(col("d1"), col("d2")), threshold)
-      .join(sym, Seq("d1", "d2"))
-      .select(col("crawl_doc"), col("corpus_doc"), col("jaccard"))
+    // exact-Jaccard verification keyed directly on the (crawl, corpus)
+    // roles — one execution of the candidate join (a least/greatest
+    // symmetrization + re-attach join would put the band join in the plan
+    // TWICE; Spark only reuses shuffle exchanges, not arbitrary subtrees)
+    jaccardOverCandidates(sh, cands, threshold,
+      k1 = "crawl_doc", k2 = "corpus_doc")
   }
 }

@@ -52,8 +52,16 @@ object SmokeProbes {
       val vDir = new java.io.File(root.toFile,
         "v" + (0 to 100).filter(v => new java.io.File(root.toFile, s"v$v").exists()).max)
       val manifest = new java.io.File(vDir, "_buckets.json")
-      val touched = scala.io.Source.fromFile(manifest, "UTF-8").mkString
-        .count(_ == ',') + 1
+      val mtxt = {
+        val src = scala.io.Source.fromFile(manifest, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      // parse the manifest (comma counting would report 1 for an empty [])
+      val touched = {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mtxt)
+        import scala.jdk.CollectionConverters._
+        node.elements().asScala.size
+      }
       jLong(Seq("batch" -> b.toLong, "touched_buckets" -> touched.toLong,
         "bytes_written" -> dirBytes(vDir),
         "store_bytes_total" -> dirBytes(root.toFile)))
@@ -96,7 +104,9 @@ object SmokeProbes {
   def ivfPrune(spark: SparkSession, sfDir: String): String = {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val n = emb.count()
-    val k = math.max(8, (n / 2500L).toInt)
+    // the suite's own sizing (one shared definition) so the probed layout
+    // is exactly the configuration the benchmarked queries run
+    val k = graft.llm.Ann.proportionalK(n)
     val asg = graft.llm.Ann.kmeans(emb, k = k, iters = 2)
       .select(col("vec_id"), col("cluster").as("kc"))
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfprobe")
