@@ -960,8 +960,14 @@ object SparkEntry {
         .withColumn("probe_cluster", col("probe_cluster").cast("long"))
         .orderBy(col("qid"), col("rank"))),
 
+    // embedding-cosine near-dup: sign-LSH bucket join with a CORPUS-
+    // PROPORTIONAL bucket space (bits grows with log n, buckets hold ~256
+    // vectors at any scale — pair work ~n·256, never n²/2^const; same
+    // discipline as the proportional coarse-quantizer k); the oracle
+    // derives the identical width from count(*)
     "llm_embed_dedup" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
+      Ann.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35,
+          bits = Ann.proportionalBits(embCount(s, dir)))
         .orderBy(col("d1"), col("d2"))),
 
     // pairwise near-dup hits -> transitive dedup GROUPS (large-star/small-star
@@ -1996,6 +2002,10 @@ object SparkEntry {
       _ => Tables.embeddings(s, dir).count())
     Ann.proportionalK(n)
   }
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => Tables.embeddings(s, dir).count())
 
   /** The kmeans coarse-quantizer assignment — in a real campaign this is
     * the index-BUILD artifact, written once and read by every probe; it is
@@ -3267,9 +3277,13 @@ object SparkEntry {
 
     "llm_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bb AS (SELECT CAST(LEAST(32, GREATEST(8,
+         |         CASE WHEN (count(*) + 255) // 256 <= 1 THEN 0
+         |              ELSE length(bin((count(*) + 255) // 256 - 1)) END)) AS INT) AS bits
+         |       FROM e),
          |b AS (SELECT vec_id, emb,
-         |        list_sum(list_transform(generate_series(1, 8),
-         |          i -> CASE WHEN emb[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
+         |        list_sum(list_transform(generate_series(1, (SELECT bits FROM bb)),
+         |          i -> CASE WHEN emb[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS bucket
          |      FROM e)
          |SELECT a.vec_id AS d1, c.vec_id AS d2, ${COS("a.emb", "c.emb")} AS cos
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id

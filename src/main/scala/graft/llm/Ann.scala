@@ -279,6 +279,22 @@ object Ann {
   def proportionalK(n: Long, perCluster: Long = 2500L, floor: Int = 8): Int =
     math.max(floor, (n / perCluster).toInt)
 
+  /** Corpus-proportional sign-LSH width for [[cosineNearDupPairs]]: enough
+    * bits that buckets hold ~`perBucket` vectors (pair work stays
+    * ~n·perBucket instead of n²/2^fixed_bits — the same grows-with-corpus
+    * discipline as [[proportionalK]]). Integer ceil-log2 (no FP log at a
+    * power-of-two boundary), capped at 32 of the 64 embedding dims; equals
+    * the floor of 8 at every oracle SF, so small-scale results are
+    * unchanged. The DuckDB oracle derives the identical width from
+    * `count(*)` via `length(bin(m-1))`.
+    */
+  def proportionalBits(n: Long, perBucket: Long = 256L, floor: Int = 8,
+                       maxBits: Int = 32): Int = {
+    val m = (n + perBucket - 1) / perBucket
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(maxBits, math.max(floor, ceilLog2))
+  }
+
   def kmeans(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val seeds = e

@@ -456,6 +456,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .forall(_._3 == 1.0), out.mkString(","))
   }
 
+  test("proportionalBits: floor at oracle SFs, grows with log n, capped at 32") {
+    import graft.llm.Ann.proportionalBits
+    // every driver-oracle scale stays on the floor -> results unchanged
+    assert(proportionalBits(200L) == 8)    // sf0.01
+    assert(proportionalBits(2000L) == 8)   // sf0.1
+    assert(proportionalBits(20000L) == 8)  // 10x (ceil-log2(79) = 7 < floor)
+    // growth: 100x corpus -> 10 bits (2^9 = 512 < ceil(200000/256) = 782 <= 2^10)
+    assert(proportionalBits(200000L) == 10)
+    // exact power-of-two boundary (the FP-log hazard case): m = 512 -> 9
+    assert(proportionalBits(512L * 256L) == 9)
+    assert(proportionalBits(512L * 256L + 1L) == 10)
+    assert(proportionalBits(Long.MaxValue / 4) == 32)
+  }
+
   test("bloom sizing formula hits the requested fpp within tolerance") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
