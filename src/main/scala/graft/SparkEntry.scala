@@ -1370,6 +1370,12 @@ object SparkEntry {
     "llm_unigram_lp" -> ((s, dir) =>
       TextStats.unigramLogProb(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // CCNet head/middle/tail buckets per language: tercile thresholds read
+    // off a fixed per-language histogram of the LM-score grid (sketch
+    // discipline, no per-language sort), docs tag via a broadcast join
+    "llm_ppl_buckets" -> ((s, dir) =>
+      TextStats.pplBuckets(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     // DSIR importance weights: log ratio of target-slice (English) vs raw
     // unigram distributions, Laplace-smoothed, length-normalized per doc
     "llm_dsir" -> ((s, dir) =>
@@ -3637,6 +3643,35 @@ object SparkEntry {
         |  round(CAST(sum(lm.logp) AS DOUBLE) / count(*), 4) AS mean_logp
         |FROM toks t JOIN lm USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "llm_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |lm AS (
+        |  SELECT tok, CAST(ln(count(*) * 1.0 / n.n_total) AS DECIMAL(18,9)) AS logp
+        |  FROM toks, n GROUP BY tok, n.n_total),
+        |scored AS (
+        |  SELECT t.doc_id, round(CAST(sum(lm.logp) AS DOUBLE) / count(*), 4) AS mlp
+        |  FROM toks t JOIN lm USING (tok) GROUP BY t.doc_id),
+        |sg AS (
+        |  SELECT s.doc_id, d.lang,
+        |    LEAST(CAST(floor(-s.mlp * 100) AS BIGINT), 2047) AS g
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |hist AS (SELECT lang, g, count(*) AS cnt FROM sg GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, g,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY g) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang, min(CASE WHEN cum * 3 >= n THEN g END) AS t33,
+        |         min(CASE WHEN cum * 3 >= 2 * n THEN g END) AS t66
+        |  FROM cum GROUP BY 1)
+        |SELECT sg.doc_id, sg.lang, sg.g AS ppl_grid,
+        |  CASE WHEN sg.g <= th.t33 THEN 'head'
+        |       WHEN sg.g <= th.t66 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sg JOIN th USING (lang) ORDER BY sg.doc_id""".stripMargin,
 
     // DSIR: Laplace-smoothed target-vs-raw unigram log ratios, same decimal
     // quantization; selected = positive rounded weight

@@ -268,6 +268,44 @@ object TextStats {
       .select(col("doc_id"), col("n_tokens"), round(col("raw"), 4).as("mean_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each document
+    * tagged head/middle/tail by LM score WITHIN its language — CCNet keeps
+    * head+middle as the quality cut and trains on the split. Scores come
+    * from [[unigramLogProb]] (CCNet uses a KenLM perplexity; the bucketing
+    * contract is the same), mapped to a fixed integer grid
+    * (`floor(-mean_logp · grid)`, clamped to `nBuckets`), and the tercile
+    * thresholds are read off a per-language HISTOGRAM of that grid — the
+    * fixed-state sketch discipline of `llm_quantile_sketch`, not a
+    * per-language sort: the histogram is ≤ |langs|·nBuckets rows however
+    * large the corpus, thresholds broadcast back, and each doc tags in one
+    * projection. (CCNet itself pays a per-shard sort; at 100 TB a dominant
+    * language would serialize through that sort — the histogram form keeps
+    * the corpus pass shuffle-free beyond the score join.) All threshold
+    * comparisons are integer (`cum·3 ≥ n`, `cum·3 ≥ 2n`), so engines agree
+    * exactly. Output: (doc_id, lang, ppl_grid, ppl_bucket).
+    */
+  def pplBuckets(docs: DataFrame, grid: Int = 100, nBuckets: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("g",
+        least(floor(-col("mean_logp") * grid).cast("long"), lit(nBuckets - 1L)))
+    val hist = scored.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("g"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    val th = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("n"), col("g"))).as("t33"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("g"))).as("t66"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("ppl_bucket",
+        when(col("g") <= col("t33"), lit("head"))
+          .when(col("g") <= col("t66"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("g").as("ppl_grid"), col("ppl_bucket"))
+  }
+
   /** Bigram conditional language-model score — the order-2 refinement of
     * [[unigramLogProb]] (CCNet's KenLM step is an order-5 version of exactly
     * this shape): each document's mean log P(w2|w1) under the corpus's own
