@@ -119,6 +119,26 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("13-gram decontamination broadcasts the benchmark n-grams, no corpus self-shuffle") {
+    val p = plan("llm_contam_13gram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ppl buckets: thresholds broadcast onto the scored corpus; the only Window runs on the fixed-size histogram") {
+    val p = plan("llm_ppl_buckets")
+    // the tercile-threshold table is |langs| rows and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the Window (cumulative histogram) partitions by lang over the
+    // |langs|x2048-bounded histogram — it must sit ABOVE an aggregation of
+    // the grid, never directly over per-document rows: the window's child
+    // subtree contains the (lang, g) count aggregate
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, p)
+    assert(p.substring(wIdx).contains("HashAggregate"), p)
+  }
+
   test("tf-idf broadcasts the document-frequency table") {
     assert(plan("llm_tfidf").contains("BroadcastHashJoin"))
   }
