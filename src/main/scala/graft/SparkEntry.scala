@@ -978,6 +978,14 @@ object SparkEntry {
       Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // soft dedup (keep w.p. 1/cluster-size): expected one survivor per
+    // duplicate group without hard-picking the canonical — integer-exact
+    // md5 draw, one stateless projection over the cluster assignment
+    "llm_soft_dedup" -> ((s, dir) =>
+      graft.llm.Sample.softDedupSample(
+          Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // eval-set containment scan: benchmark docs are ids <= 24; a corpus doc
     // containing >= 60% of a benchmark doc's shingles is a contamination hit
     "llm_contamination" -> ((s, dir) =>
@@ -2179,6 +2187,40 @@ object SparkEntry {
     * 3-grams, pair intersections off the inverted-index self-join, Jaccard
     * rounded to 6 (Spark filters on the ROUNDED value).
     */
+  /** The near-dup cluster assignment as a recursive-CTE chain ending in
+    * `asg(doc_id, cluster)` — shared by the cluster listing and the
+    * soft-dedup sampler so the two oracles cannot drift. Same capped pair
+    * set as the Spark side's `cappedPairs`.
+    */
+  private val CLUSTERS_CTE =
+    """RECURSIVE sh0 AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       unnest(generate_series(1, len(w) - 2)) AS t(i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 25),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2),
+      |pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+      |          UNION SELECT d2, d1 FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+      |cl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY 1),
+      |asg AS (
+      |  SELECT d.doc_id, least(coalesce(cl.mn, d.doc_id), d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin
+
   private val SHINGLES =
     """sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -3300,35 +3342,21 @@ object SparkEntry {
     // luxury; the Spark side is the O(log n) star-contraction) over the
     // CAPPED pair set — df-capped shingle index, like llm_near_dedup_capped
     "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE sh0 AS (
-         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |       unnest(generate_series(1, len(w) - 2)) AS t(i)),
-         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 25),
-         |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jac AS (
-         |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
-         |  FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2),
-         |pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
-         |          UNION SELECT d2, d1 FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-         |cl AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY 1),
-         |asg AS (
-         |  SELECT d.doc_id, least(coalesce(cl.mn, d.doc_id), d.doc_id) AS cluster
-         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+      s"""WITH $CLUSTERS_CTE
          |SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
          |FROM asg ORDER BY doc_id""".stripMargin,
+
+    // soft dedup: same clusters, each doc survives with p = 1/csize via the
+    // integer-exact salted-md5 draw (u·csize < 2^32 up to the div floor)
+    "llm_soft_dedup" ->
+      s"""WITH $CLUSTERS_CTE,
+         |sz AS (
+         |  SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS csize
+         |  FROM asg)
+         |SELECT doc_id, cluster, csize FROM sz
+         |WHERE CAST('0x' || substring(md5('softdd|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      < 4294967296 // csize
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_contamination" ->
       s"""WITH $SHINGLES,

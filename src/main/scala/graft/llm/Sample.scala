@@ -116,6 +116,29 @@ object Sample {
     * sampling-precision concern (quota error ≤ n·10⁻¹²) and far above
     * cross-engine float noise.
     */
+  /** Cluster-size-aware SOFT dedup: keep each document with probability
+    * 1/|its near-dup cluster| — in expectation one survivor per duplicate
+    * group, but WHICH copy survives varies per cluster instead of always
+    * hard-picking the canonical minimum (the "soft deduplication" used when
+    * some duplication is wanted for distributional reasons but cluster mass
+    * must stop scaling with copy count; singleton clusters pass untouched
+    * at p = 1). Deterministic and RNG-free like every sampler here: the
+    * draw is the salted-md5 32-bit integer against `2³² div csize` — an
+    * INTEGER comparison (u < 1/size up to the floor), so no FP boundary and
+    * no overflow at any cluster size, replayed exactly by the oracle.
+    *
+    * Scale shape: input is [[graft.llm.Dedup.clusterAssignments]]'s
+    * (doc_id, cluster, csize) — the draw is one stateless projection over
+    * it, no extra shuffle. Output: (doc_id, cluster, csize) of survivors.
+    */
+  def softDedupSample(assignments: DataFrame): DataFrame = {
+    val raw = conv(substring(md5(concat_ws("|", lit("softdd"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    assignments
+      .filter(raw < expr("CAST(4294967296 AS BIGINT) div csize"))
+      .select(col("doc_id"), col("cluster"), col("csize"))
+  }
+
   def temperatureSample(docs: DataFrame, strataCol: String, tau: Double,
                         targetFrac: Double = 0.5): DataFrame = {
     val shares = docs.groupBy(col(strataCol).as("stratum"))
