@@ -975,15 +975,13 @@ object SparkEntry {
     // pairs come from the CAPPED inverted index — the production candidate
     // path (the uncapped one is superlinear at scale, see llm_near_dedup)
     "llm_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir))
-        .orderBy(col("doc_id"))),
+      clusterAssignment(s, dir).orderBy(col("doc_id"))),
 
     // soft dedup (keep w.p. 1/cluster-size): expected one survivor per
     // duplicate group without hard-picking the canonical — integer-exact
     // md5 draw, one stateless projection over the cluster assignment
     "llm_soft_dedup" -> ((s, dir) =>
-      graft.llm.Sample.softDedupSample(
-          Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir)))
+      graft.llm.Sample.softDedupSample(clusterAssignment(s, dir))
         .orderBy(col("doc_id"))),
 
     // eval-set containment scan: benchmark docs are ids <= 24; a corpus doc
@@ -2031,6 +2029,19 @@ object SparkEntry {
   private def kmeansAssignment(s: SparkSession, dir: String): DataFrame =
     kmeansCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
       val a = Ann.kmeans(Tables.embeddings(s, dir), k = kmeansK(s, dir), iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a
+    })
+
+  /** The near-dup cluster assignment — a campaign build artifact like
+    * [[kmeansAssignment]] (the components run is the expensive part; the
+    * cluster listing and the soft-dedup sampler both read it).
+    */
+  private val clustersCache = new ConcurrentHashMap[String, DataFrame]()
+  private def clusterAssignment(s: SparkSession, dir: String): DataFrame =
+    clustersCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val a = Dedup.clusterAssignments(Tables.documents(s, dir), cappedPairs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       a.count()
       a

@@ -456,6 +456,28 @@ class LlmOpsSpec extends AnyFunSuite {
       .forall(_._3 == 1.0), out.mkString(","))
   }
 
+  test("soft dedup: singletons always survive, big clusters thin to ~1, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 50 singleton clusters + one 200-member cluster
+    val singles = (1000L to 1049L).map(i => (i, i, 1L))
+    val big = (1L to 200L).map(i => (i, 1L, 200L))
+    val asg = (singles ++ big).toDF("doc_id", "cluster", "csize")
+    val out = graft.llm.Sample.softDedupSample(asg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // p = 1 for csize = 1: every singleton survives
+    assert(out.count(_._2 >= 1000L) == 50, out.filter(_._2 >= 1000L).length)
+    // the 200-cluster thins to ~1 expected survivor (allow 0..6 — binomial
+    // tail at p = 1/200 over 200 draws; the draw is deterministic, so this
+    // is a fixed number, the bound just documents the contract)
+    val kept = out.count(_._2 == 1L)
+    assert(kept <= 6, s"200-cluster kept $kept")
+    // determinism: same input, same survivors
+    val again = graft.llm.Sample.softDedupSample(asg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == out)
+  }
+
   test("proportionalBits: floor at oracle SFs, grows with log n, capped at 32") {
     import graft.llm.Ann.proportionalBits
     // every driver-oracle scale stays on the floor -> results unchanged
