@@ -2008,12 +2008,8 @@ object SparkEntry {
     * engages on the replicated scale smokes.
     */
   private val embCountCache = new ConcurrentHashMap[String, java.lang.Long]()
-  private def kmeansK(s: SparkSession, dir: String): Int = {
-    val n = embCountCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:$dir",
-      _ => Tables.embeddings(s, dir).count())
-    Ann.proportionalK(n)
-  }
+  private def kmeansK(s: SparkSession, dir: String): Int =
+    Ann.proportionalK(embCount(s, dir))
   private def embCount(s: SparkSession, dir: String): Long =
     embCountCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
@@ -2104,7 +2100,12 @@ object SparkEntry {
     * for in GC).
     */
   private def memorySink(s: SparkSession, prefix: String, dir: String): String = {
-    val name = prefix + "_" + java.lang.Integer.toHexString(dir.hashCode)
+    // full-md5 of the dir, not String.hashCode: two data dirs in one session
+    // (the multi-dir shape every applicationId:dir cache supports) must
+    // never collide into one sink name and drop each other's results
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val name = s"${prefix}_$digest"
     s.catalog.dropTempView(name) // returns false (no throw) when absent
     name
   }

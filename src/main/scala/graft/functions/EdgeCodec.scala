@@ -90,8 +90,13 @@ object EdgeCodec {
     Array.fill(payload.length / 4)(buf.getInt() & 0xffffffffL)
   }
 
-  /** Int IPs → the request wire format. */
+  /** Int IPs → the request wire format. The wire is 4 bytes per address by
+    * protocol (IPv4), so an out-of-range id would otherwise wrap SILENTLY
+    * to a different address — fail loudly instead.
+    */
   def packIps(ips: Array[Long]): Array[Byte] = {
+    require(ips.forall(ip => ip >= 0L && ip <= 0xffffffffL),
+      "bulk request ids must fit the 4-byte IPv4 wire format")
     val buf = ByteBuffer.allocate(ips.length * 4).order(ByteOrder.BIG_ENDIAN)
     ips.foreach(ip => buf.putInt((ip & 0xffffffffL).toInt))
     buf.array()

@@ -346,7 +346,19 @@ object Ann {
           x => x.getField("m")).as("centroid"))
       assigned = assign(cents)
     }
-    assigned.select(col("vec_id"), col("cluster"), col("ccos"))
+    // hand back a self-contained result: checkpoint the final assignment
+    // and free the last intermediate snapshot — otherwise that |vectors|-row
+    // block (held by liveCkpt and referenced by the returned lazy plan)
+    // survives for the session lifetime on every deep-iters build. The one
+    // remaining snapshot is the RESULT the caller owns (standard Spark
+    // cached-artifact semantics); iters = 2 never checkpoints and is
+    // returned fully lazy as before.
+    val out = if (liveCkpt.isDefined) {
+      val fin = assigned.localCheckpoint()
+      liveCkpt.foreach(Dedup.freeLocalCheckpoint)
+      fin
+    } else assigned
+    out.select(col("vec_id"), col("cluster"), col("ccos"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): within each

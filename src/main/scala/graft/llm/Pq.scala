@@ -125,7 +125,14 @@ object Pq {
           x => x.getField("mv")).as("centroid"))
       assigned = assign(subs, cents)
     }
-    cents
+    // as in Ann.kmeans: checkpoint the (tiny, m·k-row) returned codebook and
+    // free the last intermediate assignment snapshot, so deep-iters builds
+    // don't leave a per-call |vectors|-row block behind for the session
+    if (liveCkpt.isDefined) {
+      val fin = cents.localCheckpoint()
+      liveCkpt.foreach(Dedup.freeLocalCheckpoint)
+      fin
+    } else cents
   }
 
   /** Final code assignment against a trained codebook plus the per-vector

@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
   * `bgp_rank.py:16–83`, geolocation `geolocation.py`, PTR `dns.py:27–77`)
   * each register a callable with the update manager; the network transport
   * lives inside the module. The engine-side restatement of that seam is this
-  * trait: a connector produces the cycle's FEED TABLE (`feed`) — for a live
+  * trait: a connector produces the cycle's FEED TABLES (`feeds`) — for a live
   * implementation, the materialized batch of its lookups; paging, rate
   * limits, and retries stay connector-internal — and applies its join +
   * update semantics to the entity frame (`enrich`).
@@ -21,8 +21,8 @@ import org.apache.spark.sql.DataFrame
   * implements the trait instead of editing Intel.scala; EnrichmentSpec
   * demonstrates a connector defined entirely outside this file plugging in.
   *
-  * Scale contract every implementation inherits: `feed` must be a
-  * feed-sized table (broadcastable — blacklists, scan dbs, rank feeds are
+  * Scale contract every implementation inherits: every `feeds` entry must be
+  * feed-sized (broadcastable — blacklists, scan dbs, rank feeds are
   * millions of rows at most), never corpus-sized; `enrich` must be a
   * broadcast join against the entity frame, so enrichment never shuffles
   * the 100-TB side.
@@ -31,8 +31,11 @@ trait EnrichmentSource {
   /** Connector id — the reference's module name (`shodan`, `dnsbl`, …). */
   def name: String
 
-  /** The feed table this cycle resolves against. */
-  def feed: DataFrame
+  /** The feed table(s) this cycle resolves against — EVERY table `enrich`
+    * joins, so the scale contract above is checkable per connector
+    * (EnrichmentSpec asserts each stays feed-sized and broadcastable).
+    */
+  def feeds: Seq[DataFrame]
 
   /** Join the feed onto the entity frame with this source's update
     * semantics (attribute upserts, miss/404 removals, query budgets).
@@ -45,7 +48,7 @@ trait EnrichmentSource {
   */
 final case class ShodanSource(scanDb: DataFrame) extends EnrichmentSource {
   val name = "shodan"
-  def feed: DataFrame = scanDb
+  def feeds: Seq[DataFrame] = Seq(scanDb)
   def enrich(ips: DataFrame): DataFrame = Intel.shodanEnrich(ips, scanDb)
 }
 
@@ -53,7 +56,7 @@ final case class ShodanSource(scanDb: DataFrame) extends EnrichmentSource {
 final case class DnsblSource(zoneLists: DataFrame, zoneSuffix: String,
                              budget: Int) extends EnrichmentSource {
   val name = "dnsbl"
-  def feed: DataFrame = zoneLists
+  def feeds: Seq[DataFrame] = Seq(zoneLists)
   def enrich(ips: DataFrame): DataFrame =
     Intel.dnsblLookups(ips, zoneLists, zoneSuffix, budget)
 }
@@ -62,7 +65,7 @@ final case class DnsblSource(zoneLists: DataFrame, zoneSuffix: String,
 final case class RedisBlSource(setLists: DataFrame, prefixLists: DataFrame)
     extends EnrichmentSource {
   val name = "redis_bl"
-  def feed: DataFrame = setLists
+  def feeds: Seq[DataFrame] = Seq(setLists, prefixLists)
   def enrich(ips: DataFrame): DataFrame =
     Intel.redisBlHits(ips, setLists, prefixLists)
 }
@@ -72,21 +75,21 @@ final case class RedisBlSource(setLists: DataFrame, prefixLists: DataFrame)
   */
 final case class AsnRankSource(ranks: DataFrame) extends EnrichmentSource {
   val name = "bgp_rank"
-  def feed: DataFrame = ranks
+  def feeds: Seq[DataFrame] = Seq(ranks)
   def enrich(ipsWithAsn: DataFrame): DataFrame = Intel.asnRanks(ipsWithAsn, ranks)
 }
 
 /** Geolocation db (`geolocation.py`): MaxMind-style lookup table. */
 final case class GeoSource(geoDb: DataFrame) extends EnrichmentSource {
   val name = "geo"
-  def feed: DataFrame = geoDb
+  def feeds: Seq[DataFrame] = Seq(geoDb)
   def enrich(keyed: DataFrame): DataFrame = Intel.geoEnrich(keyed, geoDb)
 }
 
 /** DNS PTR resolver (`dns.py:27–77`): NXDOMAIN removes stored hostnames. */
 final case class PtrSource(ptrDb: DataFrame) extends EnrichmentSource {
   val name = "dns_ptr"
-  def feed: DataFrame = ptrDb
+  def feeds: Seq[DataFrame] = Seq(ptrDb)
   def enrich(ips: DataFrame): DataFrame = Intel.ptrEnrich(ips, ptrDb)
 }
 
@@ -96,7 +99,7 @@ final case class PtrSource(ptrDb: DataFrame) extends EnrichmentSource {
   */
 final case class WhoisRirSource(boundaries: DataFrame) extends EnrichmentSource {
   val name = "whois"
-  def feed: DataFrame = boundaries
+  def feeds: Seq[DataFrame] = Seq(boundaries)
   def enrich(factsWithAsn: DataFrame): DataFrame =
     graft.query.AsOf.asOfJoin(factsWithAsn, "asn", boundaries)
 }

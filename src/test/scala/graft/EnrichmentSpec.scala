@@ -39,6 +39,24 @@ class EnrichmentSpec extends AnyFunSuite {
       Intel.ptrEnrich(ips, ptrDb).orderBy($"entity").collect().toSeq)
   }
 
+  test("feeds declares EVERY table enrich joins, and each stays feed-sized") {
+    import spark.implicits._
+    val scanDb = ips.filter($"ip" % 4 === 1)
+      .select($"ip", lit("22,80").as("ports"), lit("iot").as("tags"))
+    val setLists = ips.filter($"ip" % 5 === 0).select(lit("bl1").as("list_id"), $"ip")
+    val prefixLists = Seq(("p1", 0L, 1000000L)).toDF("list_id", "p_start", "p_end")
+    val sources = Seq(
+      ShodanSource(scanDb),
+      graft.sources.RedisBlSource(setLists, prefixLists))
+    sources.foreach { src =>
+      // the scale contract is checkable across the WHOLE connector: every
+      // joined table is declared (RedisBl has two — sets AND prefixes)
+      assert(src.feeds.nonEmpty, src.name)
+      src.feeds.foreach(f => assert(f.count() <= 1000L, s"${src.name} feed too big"))
+    }
+    assert(sources.find(_.name == "redis_bl").get.feeds.size == 2)
+  }
+
   test("a connector defined outside the library plugs in through the trait") {
     import spark.implicits._
     // A stand-in for a live integration: the feed is assembled by the
@@ -46,10 +64,11 @@ class EnrichmentSpec extends AnyFunSuite {
     // batch), and the engine only ever sees the trait.
     final class FakeLiveGreynoise extends EnrichmentSource {
       val name = "greynoise"
-      def feed: DataFrame =
+      private def feed: DataFrame =
         (1L to 20L).filter(_ % 3 == 0)
           .map(e => ((e * 2654435761L) % 4294967296L, "scanner"))
           .toDF("ip", "classification")
+      def feeds: Seq[DataFrame] = Seq(feed)
       def enrich(entities: DataFrame): DataFrame =
         entities.join(broadcast(feed), Seq("ip"), "left")
           .select(col("entity"), col("ip"),

@@ -184,29 +184,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("kmeans assignment broadcasts centroids; the corpus never shuffles k-fold") {
-    // iters = 3: truncation has engaged, so the visible plan carries
-    // exactly one assignment join (the k-row centroid table via broadcast —
-    // a SortMergeJoin here would shuffle k copies of the corpus) plus the
-    // checkpointed previous assignment as an RDD scan; iteration-count
-    // invariance is pinned by the lineage test below.
-    val p = graft.llm.Ann.kmeans(
-        graft.core.Tables.embeddings(spark, sf), k = 4, iters = 3)
-      .queryExecution.executedPlan.toString
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
-    assert(p.contains("ExistingRDD"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    // the per-vector argmax is an aggregation with a map-side partial, not a
-    // per-vector window; no Window over the corpus (seed numbering happens
-    // inside the checkpointed rounds)
-    assert("partial_max".r.findAllIn(p).size >= 1, p)
-    assert(!p.contains("Window"), p)
-    // iters = 2 (the default build) stays fully fused — both assignment
-    // rounds pipeline as broadcast joins in ONE job, no checkpoint barrier
+    // iters = 2 (the default build) is fully fused — both assignment
+    // rounds pipeline as broadcast joins of the k-row centroid table in ONE
+    // job (a SortMergeJoin here would shuffle k copies of the corpus), and
+    // the per-vector argmax is an aggregation with a map-side partial
     val p2 = graft.llm.Ann.kmeans(
         graft.core.Tables.embeddings(spark, sf), k = 4, iters = 2)
       .queryExecution.executedPlan.toString
     assert("BroadcastNestedLoopJoin".r.findAllIn(p2).size == 2, p2)
     assert(!p2.contains("SortMergeJoin"), p2)
+    assert("partial_max".r.findAllIn(p2).size >= 1, p2)
+    // iters >= 3: the build materializes through per-round checkpoints and
+    // the returned frame is a SELF-CONTAINED snapshot — its plan is a bare
+    // RDD scan (no joins, no re-execution path), and the intermediate
+    // rounds' blocks are freed (only the result snapshot remains)
+    val p3 = graft.llm.Ann.kmeans(
+        graft.core.Tables.embeddings(spark, sf), k = 4, iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("ExistingRDD"), p3)
+    assert(!p3.contains("Join"), p3)
   }
 
   test("semanticDedup broadcasts centroids and buckets the pair join by cluster") {
@@ -341,15 +337,16 @@ class PlanSpec extends AnyFunSuite {
       ("Relation".r.findAllIn(p).size, p.length)
     }
     // iters = 2 stays fully fused (no checkpoint — one round of lineage
-    // hasn't compounded); truncation engages from round 3, after which the
-    // plan bottoms out at the latest checkpointed LogicalRDD and stops
-    // growing
+    // hasn't compounded); from round 3 the build checkpoints per round and
+    // returns a self-contained snapshot, so the returned plan is scan-free
+    // and IDENTICAL in shape however deep the iteration count
     val three = shape(3)
     val six = shape(6)
     assert(three._1 === six._1, s"scan count grew with iters: $three vs $six")
     assert(six._2 <= three._2 * 3 / 2, s"plan text grew with iters: $three vs $six")
+    assert(three._1 === 0, s"deep-iters result not self-contained: $three")
     val two = shape(2)
-    assert(two._1 <= three._1 * 2, s"fused iters=2 plan unexpectedly large: $two vs $three")
+    assert(two._1 >= 1, s"fused iters=2 plan should still scan the corpus: $two")
   }
 
   test("pq train lineage is truncated per Lloyd round; iters=8 completes") {
