@@ -2098,6 +2098,13 @@ object SparkEntry {
     * of an accumulating pile of uuid-named tables (at the 10× smoke those
     * piled up to hundreds of MB of dead driver heap that later queries paid
     * for in GC).
+    *
+    * ASSUMES STRICTLY SEQUENTIAL invoke-then-collect harness semantics (the
+    * Verify/Bench contract): the drop below would yank a previous
+    * invocation's sink out from under a concurrent reader that had deferred
+    * collecting its lazy DataFrame. A parallel runner must collect each
+    * invocation's result before starting the next, or key sinks per
+    * invocation.
     */
   private def memorySink(s: SparkSession, prefix: String, dir: String): String = {
     // full-md5 of the dir, not String.hashCode: two data dirs in one session

@@ -43,6 +43,8 @@ object BpeRanks {
 object BpeBroadcasts {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[Int, Broadcast[BpeRanks]]()
+  private val byContent =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[(String, String)]), Integer]()
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def register(bc: Broadcast[BpeRanks]): Int = {
@@ -50,6 +52,39 @@ object BpeBroadcasts {
     tables.put(id, bc)
     id
   }
+
+  /** Registered id for `merges`, broadcasting AT MOST ONCE per distinct
+    * merge table per Spark application: repeated `Bpe.tokenCount` calls
+    * against the same table (the common shape — one tokenizer artifact,
+    * many encode jobs / micro-batches) reuse one broadcast instead of
+    * accumulating an undestroyable block per call. Keyed by
+    * (applicationId, table content) so a restarted context never resolves
+    * to a dead broadcast from its predecessor.
+    */
+  def registerCached(spark: org.apache.spark.sql.SparkSession,
+                     merges: Seq[(String, String)]): Int =
+    byContent.computeIfAbsent(
+      (spark.sparkContext.applicationId, merges),
+      _ => Integer.valueOf(
+        register(spark.sparkContext.broadcast(BpeRanks.fromPairs(merges))))
+    ).intValue()
+
+  /** Drop `id` and DESTROY its broadcast (frees the executor-side blocks).
+    * Any still-running plan holding the broadcast handle keeps its own
+    * reference; only registry resolution and the content cache are cut.
+    */
+  def unregister(id: Int): Unit = {
+    val bc = tables.remove(id)
+    if (bc != null) {
+      byContent.entrySet().removeIf(
+        (e: java.util.Map.Entry[(String, Seq[(String, String)]), Integer]) =>
+          e.getValue.intValue() == id)
+      bc.destroy()
+    }
+  }
+
+  /** Live registrations — spec hook for the no-growth invariant. */
+  def registeredCount: Int = tables.size()
 
   def get(id: Int): Broadcast[BpeRanks] = {
     val bc = tables.get(id)

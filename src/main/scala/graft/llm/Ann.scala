@@ -295,6 +295,13 @@ object Ann {
     math.min(maxBits, math.max(floor, ceilLog2))
   }
 
+  /** NOTE on laziness: with `iters = 2` (the default) the result is a FULLY
+    * LAZY plan — no checkpoint anywhere — so a caller that triggers multiple
+    * actions on it re-executes both Lloyd rounds each time; persist or
+    * `localCheckpoint()` the result yourself if you reuse it (SparkEntry's
+    * campaign cache does exactly that). Deep-iters builds (`iters >= 3`)
+    * return a self-contained checkpointed result and don't need it.
+    */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val seeds = e

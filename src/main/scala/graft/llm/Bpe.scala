@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeBroadcasts, BpeRanks}
+import graft.functions.BpeBroadcasts
 
 /** BPE tokenizer APPLY — the encode half of the tokenizer story
   * (`llm_vocab_merges` is the fit half: it learns a ranked merge list; this
@@ -88,16 +88,18 @@ object Bpe {
   lazy val ProductionMerges: Seq[(String, String)] = largeMerges(5000)
 
   /** `bpe_token_count(text)` under `merges` — the native expression with
-    * the rank map broadcast through `docs`'s session (one broadcast per
-    * call; a production caller encodes many columns/frames against the same
-    * table by reusing the returned Column's plan or calling once per
-    * campaign).
+    * the rank map broadcast through `docs`'s session. The broadcast is
+    * cached by merge-table content ([[BpeBroadcasts.registerCached]]), so
+    * encoding many columns / frames / micro-batches against the same
+    * tokenizer artifact ships and registers exactly ONE broadcast; call
+    * [[graft.functions.BpeBroadcasts.unregister]] when a table is retired
+    * to destroy its executor blocks.
     */
   def tokenCount(docs: DataFrame, text: Column,
                  merges: Seq[(String, String)]): Column = {
     graft.GraftExtensions.register(docs.sparkSession)
-    val bc = docs.sparkSession.sparkContext.broadcast(BpeRanks.fromPairs(merges))
-    call_function("bpe_token_count", text, lit(BpeBroadcasts.register(bc)))
+    val id = BpeBroadcasts.registerCached(docs.sparkSession, merges)
+    call_function("bpe_token_count", text, lit(id))
   }
 
   /** Per-document encode audit: word count, post-BPE token count, and

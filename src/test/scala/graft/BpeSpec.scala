@@ -103,6 +103,35 @@ class BpeSpec extends AnyFunSuite {
       assert(got2(i).getLong(2) == referenceEncode(t, chained).length, t)
   }
 
+  test("repeated tokenCount calls against one merge table reuse ONE broadcast; unregister destroys it") {
+    import spark.implicits._
+    import graft.functions.BpeBroadcasts
+    val docs = Seq((1L, "spark table"), (2L, "window join")).toDF("doc_id", "text")
+    val table = Seq("q" -> "w", "qw" -> "e") // distinct from other tests' tables
+    val before = BpeBroadcasts.registeredCount
+    val id1 = BpeBroadcasts.registerCached(spark, table)
+    // five more encode calls against the SAME table: registry must not grow
+    for (_ <- 1 to 5) {
+      val n = docs.select(Bpe.tokenCount(docs, col("text"), table).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(n > 0L)
+    }
+    assert(BpeBroadcasts.registerCached(spark, table) == id1)
+    assert(BpeBroadcasts.registeredCount == before + 1,
+      "same-content table must reuse one broadcast across calls")
+    // a DIFFERENT table gets its own broadcast
+    val id2 = BpeBroadcasts.registerCached(spark, Seq("z" -> "x"))
+    assert(id2 != id1 && BpeBroadcasts.registeredCount == before + 2)
+    // unregister drops both registry and content cache; re-register re-broadcasts
+    BpeBroadcasts.unregister(id1)
+    BpeBroadcasts.unregister(id2)
+    assert(BpeBroadcasts.registeredCount == before)
+    intercept[IllegalArgumentException](BpeBroadcasts.get(id1))
+    val id3 = BpeBroadcasts.registerCached(spark, table)
+    assert(id3 != id1, "destroyed broadcast must not be served from the cache")
+    BpeBroadcasts.unregister(id3)
+  }
+
   test("merges never cross word boundaries") {
     import spark.implicits._
     // merge (a,b) must not fuse "a b" across the gap between words "xa" "by"
