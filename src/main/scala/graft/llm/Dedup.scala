@@ -552,7 +552,8 @@ object Dedup {
     */
   def minhashLshFromSignatures(sig: DataFrame, sh: DataFrame, k: Int = 64,
                                rowsPerBand: Int = 4,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               prefilterMargin: Double = 0.25): DataFrame = {
     val bands = lshBandRows(sig, k, rowsPerBand)
     val cands = bands.as("a")
       .join(bands.as("b"),
@@ -560,7 +561,47 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    jaccardOverCandidates(sh, cands, threshold)
+    jaccardOverCandidates(sh, signatureGate(sig, cands, threshold,
+      prefilterMargin, k), threshold)
+  }
+
+  /** Signature-estimate PREFILTER for banded-LSH verification: before the
+    * exact shingle-intersection join, estimate each candidate pair's Jaccard
+    * from the k minhash columns already in hand (the fraction of equal
+    * columns is an unbiased Jaccard estimator, stderr √(s(1−s)/k) ≈ 0.06 at
+    * k = 64) and drop pairs whose estimate sits more than `margin` BELOW the
+    * verification threshold. Only the gate uses the estimate — survivors are
+    * still verified exactly, so precision is untouched; the margin (default
+    * 0.25 ≈ 4σ) makes dropping a true ≥-threshold pair a 4-sigma event, and
+    * the estimator is DETERMINISTIC (md5-derived hashes), so a fixture's
+    * result is reproducibly identical with and without the gate (pinned in
+    * `LlmOpsSpec`).
+    *
+    * Why it matters at scale: band collisions admit moderate-overlap pairs
+    * (s ≈ 0.2–0.4) whose full shingle intersection is the expensive part of
+    * the operator, and whose count grows with corpus size; the gate costs
+    * two |docs|-row signature joins on the (small) candidate list instead of
+    * two shingle-table joins on every candidate (measured: the rising 100×
+    * trend of `llm_minhash_lsh` was exactly this). A non-positive gate bar
+    * (threshold ≤ margin) disables the filter — nothing could be dropped.
+    */
+  def signatureGate(sig: DataFrame, cands: DataFrame, threshold: Double,
+                    margin: Double = 0.25, k: Int = 64,
+                    k1: String = "d1", k2: String = "d2"): DataFrame = {
+    val bar = threshold - margin
+    if (bar <= 0) cands.select(col(k1), col(k2))
+    else {
+      val s1 = sig.select(col("doc_id").as(k1) +:
+        (0 until k).map(i => col(s"mh$i").as(s"_a$i")): _*)
+      val s2 = sig.select(col("doc_id").as(k2) +:
+        (0 until k).map(i => col(s"mh$i").as(s"_b$i")): _*)
+      val matches = (0 until k)
+        .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cands.join(s1, Seq(k1)).join(s2, Seq(k2))
+        .filter(matches >= math.ceil(bar * k).toInt)
+        .select(col(k1), col(k2))
+    }
   }
 
   /** The banded-index rows of a k-column signature table: one

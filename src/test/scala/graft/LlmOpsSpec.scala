@@ -63,6 +63,35 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("signature-estimate gate leaves the LSH result identical and only prunes sub-bar candidates") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingles(docs, 3)
+    val sig = Dedup.minhashSignaturesWide(sh, 64)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // gate disabled (margin = threshold => bar 0) vs default gate: identical
+    val ungated = Dedup.minhashLshFromSignatures(sig, sh,
+        threshold = 0.5, prefilterMargin = 0.5).collect().map(key).toSet
+    val gated = Dedup.minhashLshFromSignatures(sig, sh,
+        threshold = 0.5).collect().map(key).toSet
+    assert(gated == ungated,
+      s"gate changed the result: only=${gated -- ungated} missing=${ungated -- gated}")
+    assert(gated.nonEmpty)
+    // the estimator itself: an identical-signature pair passes any bar;
+    // a disjoint pair is pruned at every positive bar
+    import spark.implicits._
+    val sig2 = Dedup.minhashSignaturesWide(
+      Dedup.shingles(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "uno dos tres cuatro cinco seis")).toDF("doc_id", "text"), 3), 64)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val kept = Dedup.signatureGate(sig2, pairs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L)))
+  }
+
   test("sign-LSH cosine near-dup is a no-false-positive subset of brute force") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann
