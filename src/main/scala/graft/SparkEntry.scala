@@ -936,6 +936,15 @@ object SparkEntry {
       Dedup.lshCalibration(signatureTable(s, dir), exactPairs05(s, dir))
         .orderBy(col("rows_per_band"))),
 
+    // The SCALE-CAPABLE calibration: same report, measured on a
+    // deterministic md5(mh0)-bucketed 200-doc sample whose exact truth is
+    // bounded by the sample at any corpus size — the banding harness that
+    // can actually run in the regime it calibrates for (the full-truth row
+    // above is pinned to the uncapped all-pairs table and cannot)
+    "llm_lsh_calibration_sampled" -> ((s, dir) =>
+      Dedup.lshCalibrationSampled(signatureTable(s, dir), shingleTable(s, dir))
+        .orderBy(col("rows_per_band"))),
+
     "llm_simhash" -> ((s, dir) =>
       Simhash.nearDupPairs(Tables.documents(s, dir), maxDist = 3)
         .withColumn("hamming", col("hamming").cast("long"))
@@ -3244,6 +3253,61 @@ object SparkEntry {
          |        FROM base, idx GROUP BY 1, 2),
          |$blocks,
          |ex AS (SELECT count(*) AS n_exact FROM jac WHERE jaccard >= 0.5),
+         |rows0 AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+         |          UNION ALL SELECT * FROM row8)
+         |SELECT rows_per_band, n_bands, n_cand, n_true, ex.n_exact,
+         |  CASE WHEN n_cand = 0 THEN 0.0 ELSE
+         |    CAST(round(CAST(n_true * 1.0 / n_cand AS DECIMAL(28,10)), 6) AS DOUBLE)
+         |  END AS precision,
+         |  CASE WHEN ex.n_exact = 0 THEN 0.0 ELSE
+         |    CAST(round(CAST(n_true * 1.0 / ex.n_exact AS DECIMAL(28,10)), 6) AS DOUBLE)
+         |  END AS recall
+         |FROM rows0, ex ORDER BY rows_per_band""".stripMargin
+    },
+
+    // Sampled calibration: sig/sh restricted to the 200 docs ranking lowest
+    // by md5(mh0) (ties by doc_id — the content-bucketed sample that keeps
+    // near-dup pairs together); exact truth recomputed WITHIN the sample
+    "llm_lsh_calibration_sampled" -> {
+      val cfg = Seq(2, 4, 8)
+      val blocks = cfg.map { r =>
+        s"""bands$r AS (
+           |  SELECT doc_id, i // $r AS band,
+           |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+           |  FROM ssig GROUP BY 1, 2),
+           |cands$r AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands$r a JOIN bands$r b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |row$r AS (
+           |  SELECT CAST($r AS BIGINT) AS rows_per_band,
+           |    CAST(${64 / r} AS BIGINT) AS n_bands,
+           |    (SELECT count(*) FROM cands$r) AS n_cand,
+           |    (SELECT count(*) FROM cands$r c JOIN sjac j
+           |       ON j.d1 = c.d1 AND j.d2 = c.d2 WHERE j.jaccard >= 0.5) AS n_true)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |samp AS (SELECT doc_id FROM sig WHERE i = 0
+         |         ORDER BY md5(CAST(mh AS VARCHAR)), doc_id LIMIT 200),
+         |ssig AS (SELECT sig.* FROM sig JOIN samp USING (doc_id)),
+         |ssh AS (SELECT sh.* FROM sh JOIN samp USING (doc_id)),
+         |ssizes AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
+         |sinter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sjac AS (
+         |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+         |  FROM sinter
+         |  JOIN ssizes s1 ON s1.doc_id = d1
+         |  JOIN ssizes s2 ON s2.doc_id = d2),
+         |$blocks,
+         |ex AS (SELECT count(*) AS n_exact FROM sjac WHERE jaccard >= 0.5),
          |rows0 AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
          |          UNION ALL SELECT * FROM row8)
          |SELECT rows_per_band, n_bands, n_cand, n_true, ex.n_exact,

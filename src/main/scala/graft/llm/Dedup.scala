@@ -539,6 +539,50 @@ object Dedup {
           .cast("double")))
   }
 
+  /** Deterministic FIXED-SIZE calibration sample over a signature table:
+    * the `n` documents ranking lowest by `md5(mh0)` (tie-broken by doc_id).
+    * Ranking by a hash of the FIRST MINHASH — not of the doc id — is the
+    * point: two documents at Jaccard s share their minimum shingle hash
+    * with probability s, land on the SAME rank key, and survive the cut
+    * together — so true near-dup pairs enter the sample at rate ≈ s·(n/N)
+    * instead of the (n/N)² an independent per-doc draw would give, and the
+    * sampled truth set still contains enough positives to measure recall.
+    * Fixed size means the downstream exact all-pairs truth is bounded by
+    * n² at ANY corpus scale. A top-n by rank is `TakeOrderedAndProject` —
+    * per-partition top-n, no global sort.
+    */
+  def calibrationSample(sig: DataFrame, n: Int): DataFrame =
+    sig.withColumn("_r", md5(col("mh0").cast("string").cast("binary")))
+      .orderBy(col("_r"), col("doc_id")).limit(n).drop("_r")
+
+  /** SAMPLED LSH banding calibration — the scale-capable variant of
+    * [[lshCalibration]]. The full calibration consumes the deliberately
+    * uncapped exact all-pairs truth, which by its own definition cannot
+    * complete at corpus scale — but banding must be calibrated IN the
+    * regime it is chosen for. This variant measures the same report on a
+    * deterministic [[calibrationSample]] of `n` documents: the only
+    * corpus-size-proportional work is the signature pass the campaign has
+    * already paid (one linear scan), while the exact truth, the band joins,
+    * and the report are all bounded by the sample — the job completes
+    * unchanged at 1× or 1000×. The banding S-curve is a per-pair property,
+    * so precision/recall measured on a content-bucketed sample estimate
+    * the corpus values (the sample preserves the pair-level Jaccard mix;
+    * only pair COUNTS shrink).
+    */
+  def lshCalibrationSampled(sig: DataFrame, sh: DataFrame, n: Int = 200,
+                            k: Int = 64,
+                            configs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    // the sample is ≤ n rows: checkpoint it once so the per-config band
+    // projections and the truth path reuse the materialized rows instead of
+    // re-running the top-n over the signature table per consumer
+    val ssig = calibrationSample(sig, n).localCheckpoint()
+    val ids = ssig.select(col("doc_id"))
+    val ssh = sh.join(broadcast(ids), Seq("doc_id"))
+    val truth = nearDupPairsFromShingles(ssh, threshold = 0.5,
+      maxShingleDf = None)
+    lshCalibration(ssig, truth, k, configs)
+  }
+
   def minhashLshFromShingles(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
                              threshold: Double = 0.5): DataFrame =
     minhashLshFromSignatures(minhashSignaturesWide(sh, k), sh, k, rowsPerBand,

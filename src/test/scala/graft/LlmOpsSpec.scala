@@ -92,6 +92,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept == Set((1L, 2L)))
   }
 
+  test("calibration sample is deterministic, bounded, and keeps near-dup pairs together") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingles(docs, 3)
+    val sig = Dedup.minhashSignaturesWide(sh, 64)
+    val a = Dedup.calibrationSample(sig, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Dedup.calibrationSample(sig, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 100)
+    // the md5(mh0) bucketing keeps true pairs together: the sampled truth
+    // set must retain a nontrivial share of the full truth relative to the
+    // naive per-doc expectation ((100/500)^2 = 4% of pairs) — both-members
+    // survival via the shared-min bucket is the whole design
+    val full = Dedup.nearDupPairsFromShingles(sh, 0.5, None)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inSample = full.count { case (d1, d2) => a.contains(d1) && a.contains(d2) }
+    assert(full.isEmpty || inSample.toDouble / full.size > 0.08,
+      s"sample kept $inSample of ${full.size} true pairs")
+    // the sampled report itself runs and has one row per config
+    val rep = Dedup.lshCalibrationSampled(sig, sh, n = 100).collect()
+    assert(rep.length == 3 && rep.forall(_.getLong(4) >= 0L))
+  }
+
   test("sign-LSH cosine near-dup is a no-false-positive subset of brute force") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann
