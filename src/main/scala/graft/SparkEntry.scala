@@ -1333,6 +1333,13 @@ object SparkEntry {
     "llm_multimodal" -> ((s, dir) =>
       Multimodal.featureTable(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // REAL image decode: genuine PNG payloads (javax.imageio) decoded back
+    // to pixels, features from the decoded raster — the oracle knows the
+    // expected pixels because the payload grid is a pure function of text
+    "llm_decode_image" -> ((s, dir) =>
+      Multimodal.decodeImage(Multimodal.withImagePayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // every-3rd 32-byte frame sampled from the payload; head-frame digest
     "llm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -4385,6 +4392,33 @@ object SparkEntry {
         |  a.checksum, a.f0, a.f1, a.f2, a.f3
         |FROM agg a JOIN documents d USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // ground truth for the REAL PNG decode: the payload grid is the text's
+    // bytes tiled into a (len%13+3)-wide grid, zero-padded — PNG is
+    // lossless, so the decoded raster must equal the source bytes, whose
+    // stats this SQL states directly (padding zeros land in brightness
+    // bin 0); fixture text is ASCII so unicode(char) == byte value
+    "llm_decode_image" ->
+      """WITH d AS (SELECT doc_id, length(text) AS n,
+        |             length(text) % 13 + 3 AS w FROM documents),
+        |g AS (SELECT doc_id, n, w, greatest(1, (n + w - 1) // w) AS h FROM d),
+        |b AS (SELECT doc_id, unicode(substring(text, i, 1)) AS byte
+        |      FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(byte) AS BIGINT) AS px_sum,
+        |    CAST(sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |  FROM b GROUP BY 1)
+        |SELECT g.doc_id, CAST(1 AS BIGINT) AS decoded,
+        |  CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+        |  coalesce(agg.px_sum, 0) AS px_sum,
+        |  coalesce(agg.c0, 0) + (g.w * g.h - g.n) AS b0,
+        |  coalesce(agg.b1, 0) AS b1, coalesce(agg.b2, 0) AS b2,
+        |  coalesce(agg.b3, 0) AS b3
+        |FROM g LEFT JOIN agg USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     // fixture text is ASCII, so char positions == byte positions and
     // md5(substring(text)) hashes the same bytes the Spark stub slices

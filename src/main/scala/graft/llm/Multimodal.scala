@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * and feature extraction run batch-wise per partition so a real decoder
   * (JNI/native image lib) amortizes setup per partition, not per row.
   *
-  * The decode itself is STUBBED (this container has no image/audio libs):
-  * `decodeStub` derives deterministic pseudo-features from the raw bytes.
-  * Everything around it — schema, binary payload handling, partition-batch
-  * shape, feature vector contract — is real and tested.
+  * IMAGE decode is REAL: [[withImagePayload]] writes genuine PNG bytes
+  * (`javax.imageio`, JVM-builtin — no native libs needed) and
+  * [[decodeImage]] decodes them and features the actual pixels, falling
+  * back to byte-level pseudo-features only for undecodable payloads.
+  * AUDIO/VIDEO decode remains STUBBED (no codec libs in this container):
+  * `decodeStub`/`frameSampleStub` derive deterministic pseudo-features from
+  * the raw bytes, with the schema, binary payload handling, partition-batch
+  * shape, and feature vector contract real and tested.
   */
 object Multimodal {
 
@@ -146,6 +150,102 @@ object Multimodal {
         (id, out.toSeq, out.sum.toDouble / out.length)
       }
     }.toDF("doc_id", "pixels", "mean_px")
+  }
+
+  /** Attach a REAL PNG payload to each document: the document's UTF-8 bytes
+    * tiled row-major into a `w`×`h` 8-bit grayscale grid (zero-padded to
+    * fill the last row, `w = len % 13 + 3`) and PNG-encoded with
+    * `javax.imageio` — an actual image file in a binary column, not a
+    * pseudo-payload. Runs partition-batched like every decode here;
+    * `ImageIO` ships with the JVM, so this needs no native libs. The pixel
+    * grid being a pure function of the text is what lets the DuckDB oracle
+    * state the expected decode output without a PNG decoder of its own.
+    */
+  def withImagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = docs
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory, no tmp spill
+      rows.map { case (id, bytes) =>
+        val n = bytes.length
+        val w = n % 13 + 3
+        val h = math.max(1, (n + w - 1) / w)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, if (i < n) bytes(i) & 0xff else 0)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(n + 256)
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray, w, h)
+      }
+    }.toDF("doc_id", "media", "width", "height")
+      .withColumn("media_meta", struct(
+        lit("png").as("format"), col("width"), col("height")))
+      .drop("width", "height")
+  }
+
+  /** REAL image decode behind the same partition-batched binary-in /
+    * features-out contract as [[decodeStub]]: `javax.imageio.ImageIO.read`
+    * decodes each payload (PNG/BMP/JPEG — whatever the JVM's readers
+    * handle), and the features come from the ACTUAL decoded pixels — the
+    * raster dimensions, the gray-value sum, and a 4-bin brightness
+    * histogram (64-wide bins). `decoded = 1` marks a successful decode; an
+    * undecodable payload falls back to the byte-level pseudo-features
+    * (`decoded = 0`, dims 0×0), so a corrupt file degrades instead of
+    * failing the batch — the honest no-decoder path [[decodeStub]] always
+    * took, now only for the rows that need it.
+    */
+  def decodeImage(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = withMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          val hist = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = raster.getSample(x, y, 0)
+              sum += px
+              hist(px / 64) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (id, 1L, w.toLong, h.toLong, sum, hist(0), hist(1), hist(2), hist(3))
+        } else {
+          var sum = 0L
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            sum += b
+            hist(b / 64) += 1L
+            i += 1
+          }
+          (id, 0L, 0L, 0L, sum, hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+    }.toDF("doc_id", "decoded", "width", "height", "px_sum",
+      "b0", "b1", "b2", "b3")
   }
 
   /** The multimodal pipeline end-to-end: payload → batch decode → flat

@@ -117,6 +117,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rep.length == 3 && rep.forall(_.getLong(4) >= 0L))
   }
 
+  test("image payload is a genuine PNG; decode features the actual pixels; corrupt bytes fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val docs = Seq((1L, "hello spark world"), (2L, "ab")).toDF("doc_id", "text")
+    val media = Multimodal.withImagePayload(docs)
+    assert(media.select(col("media_meta.format")).distinct().head().getString(0) == "png")
+    val rows = media.select(col("doc_id"), col("media")).collect()
+    for (r <- rows) {
+      val bytes = r.getAs[Array[Byte]](1)
+      // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+        s"doc ${r.getLong(0)} payload is not a PNG")
+      // and the JVM decoder genuinely decodes it
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+    }
+    // decoded features equal the source-byte stats (PNG is lossless)
+    val feats = Multimodal.decodeImage(media).orderBy(col("doc_id")).collect()
+    val t1 = "hello spark world".getBytes("UTF-8")
+    val w1 = t1.length % 13 + 3
+    val h1 = math.max(1, (t1.length + w1 - 1) / w1)
+    val r1 = feats(0)
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == w1 && r1.getLong(3) == h1)
+    assert(r1.getLong(4) == t1.map(_ & 0xff).map(_.toLong).sum)
+    val pad = w1 * h1 - t1.length
+    assert(r1.getLong(5) == t1.count(b => (b & 0xff) / 64 == 0) + pad)
+    assert(r1.getLong(6) == t1.count(b => (b & 0xff) / 64 == 1))
+    // a corrupt payload takes the fallback path instead of failing the batch
+    val bad = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
+    val fb = Multimodal.decodeImage(bad).head()
+    assert(fb.getLong(1) == 0L && fb.getLong(2) == 0L && fb.getLong(4) == 10L)
+  }
+
   test("sign-LSH cosine near-dup is a no-false-positive subset of brute force") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann
