@@ -1591,6 +1591,29 @@ object SparkEntry {
         .enrich(ips).orderBy(col("entity"))
     }),
 
+    // -- DNSBL against a zone FILE keyed by the reversed record name
+    // (dnsbl.py:73-86): the fixture publishes its record names with
+    // arithmetic octet extraction, the engine probes with
+    // reverseLabels(int2ipstr(ip)) — the reversal is the join key, so a
+    // wrong reversal turns this row red --
+    "nerd_dnsbl_zone" -> ((s, dir) => {
+      import graft.sources.Intel
+      val ips = entityIps(s, dir)
+      val revArith = concat_ws(".",
+        (col("ip") % 256).cast("string"),
+        expr("CAST((ip DIV 256) % 256 AS STRING)"),
+        expr("CAST((ip DIV 65536) % 256 AS STRING)"),
+        expr("CAST((ip DIV 16777216) % 256 AS STRING)"))
+      val records = ips.filter(col("ip") % 3 === 0)
+        .select(lit("z1").as("zone"),
+          concat(revArith, lit(".z1.dnsbl.example.org")).as("name"))
+        .unionByName(ips.filter(col("ip") % 5 === 0)
+          .select(lit("z2").as("zone"),
+            concat(revArith, lit(".z2.dnsbl.example.org")).as("name")))
+      Intel.dnsblZoneLookups(ips, records, Seq("z1", "z2"),
+        "dnsbl.example.org", budget = 100).orderBy(col("entity"))
+    }),
+
     // -- Shodan InternetDB enrichment with 404 removal (shodan.py:30-118) --
     "nerd_shodan" -> ((s, dir) => {
       import graft.sources.Intel
@@ -4569,6 +4592,36 @@ object SparkEntry {
          |  coalesce(h.zones, '') AS zones,
          |  coalesce(h.n_listed, 0) AS n_listed
          |FROM ips i LEFT JOIN q ON i.entity = q.entity LEFT JOIN h ON i.entity = h.entity
+         |ORDER BY i.entity""".stripMargin,
+
+    "nerd_dnsbl_zone" ->
+      s"""WITH $IPS_CTE,
+         |rev AS (SELECT entity, ip,
+         |          CAST(ip % 256 AS VARCHAR) || '.' ||
+         |          CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+         |          CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+         |          CAST((ip // 16777216) % 256 AS VARCHAR) AS qbase
+         |        FROM ips),
+         |q AS (SELECT entity, ip, qbase FROM rev ORDER BY entity LIMIT 100),
+         |z AS (SELECT 'z1' AS zone, qbase || '.z1.dnsbl.example.org' AS name
+         |        FROM rev WHERE ip % 3 = 0
+         |      UNION ALL
+         |      SELECT 'z2', qbase || '.z2.dnsbl.example.org'
+         |        FROM rev WHERE ip % 5 = 0),
+         |probes AS (
+         |  SELECT q.entity, zz.zone,
+         |    q.qbase || '.' || zz.zone || '.dnsbl.example.org' AS qname
+         |  FROM q, (VALUES ('z1'), ('z2')) AS zz(zone)),
+         |h AS (SELECT p.entity,
+         |        array_to_string(list_sort(list(DISTINCT p.zone)), ',') AS zones,
+         |        CAST(count(DISTINCT p.zone) AS BIGINT) AS n_listed
+         |      FROM probes p JOIN z ON p.qname = z.name GROUP BY 1)
+         |SELECT i.entity, i.ip,
+         |  CAST(CASE WHEN q.entity IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS queried,
+         |  coalesce(h.zones, '') AS zones,
+         |  coalesce(h.n_listed, 0) AS n_listed
+         |FROM ips i LEFT JOIN q ON i.entity = q.entity
+         |LEFT JOIN h ON i.entity = h.entity
          |ORDER BY i.entity""".stripMargin,
 
     "nerd_shodan" ->

@@ -101,6 +101,42 @@ object Intel {
         coalesce(col("n_listed"), lit(0L)).as("n_listed"))
   }
 
+  /** DNSBL lookups against a ZONE FILE keyed by the reversed query name —
+    * the reference protocol shape (`NERDd/modules/dnsbl.py:73–86`: a lookup
+    * resolves `<reversed-octets>.<zone>.<suffix>`; the zone's records ARE
+    * those names). Unlike [[dnsblLookups]] (which joins the fixture on the
+    * raw ip and only REPORTS the qname), here the octet reversal is
+    * LOAD-BEARING: the engine constructs each probe name with
+    * `reverseLabels(int2ipstr(ip))` and equi-joins it against the zone
+    * records' `name` column — a wrong reversal finds nothing. Same daily
+    * budget semantics. `zoneRecords`: (zone, name) — the record names as the
+    * zone publishes them; `zones`: the configured zone list (tiny, exploded
+    * per queried ip like the reference's per-zone query loop).
+    * Output: (entity, ip, queried, zones, n_listed).
+    */
+  def dnsblZoneLookups(ips: DataFrame, zoneRecords: DataFrame,
+                       zones: Seq[String], zoneSuffix: String,
+                       budget: Int): DataFrame = {
+    val queried = ips.orderBy(col("entity")).limit(budget)
+    val probes = queried
+      .withColumn("zone", explode(array(zones.map(lit): _*)))
+      .withColumn("qname", concat(
+        Funcs.reverseLabels(Funcs.int2ipstr(col("ip"))),
+        lit("."), col("zone"), lit("." + zoneSuffix)))
+    val hits = probes
+      .join(broadcast(zoneRecords), probes("qname") === zoneRecords("name"))
+      .groupBy(probes("entity"))
+      .agg(array_join(sort_array(collect_set(probes("zone"))), ",").as("zones"),
+        size(collect_set(probes("zone"))).cast("long").as("n_listed"))
+    ips
+      .join(queried.select(col("entity"), lit(1).as("queried")), Seq("entity"), "left")
+      .join(hits, Seq("entity"), "left")
+      .select(col("entity"), col("ip"),
+        coalesce(col("queried"), lit(0)).cast("long").as("queried"),
+        coalesce(col("zones"), lit("")).as("zones"),
+        coalesce(col("n_listed"), lit(0L)).as("n_listed"))
+  }
+
   /** Shodan InternetDB enrichment (reference `NERDd/modules/shodan.py:30–118`):
     * broadcast left join against the scan-db table; a hit upserts
     * `shodan.{ports,tags}`, a miss is the 404 path which REMOVES any stored
