@@ -1429,6 +1429,15 @@ object SparkEntry {
         .orderBy(col("crawl_doc"), col("corpus_doc"))
     }),
 
+    // The persisted LSH index's OWN lifecycle: two crawl batches against a
+    // stored corpus index, where batch 1's deduped SURVIVORS are appended
+    // (and the layout compacted) before batch 2 probes — so batch 2's dups
+    // include matches against batch-1 survivors that the original corpus
+    // index could never produce. Build sequence cached per campaign.
+    "llm_lsh_index_maint" -> ((s, dir) =>
+      lshMaintPairs(s, dir)
+        .orderBy(col("batch"), col("crawl_doc"), col("corpus_doc"))),
+
     // BPE encode under a fixed merge table: tokens-per-word fertility —
     // one narrow codegen projection, no shuffle (llm/Bpe.scala)
     "llm_bpe_encode" -> ((s, dir) =>
@@ -2167,6 +2176,48 @@ object SparkEntry {
       val out = scratchDir("graft-lsh-index")
       Dedup.lshBandRows(signatureTable(spark, dir).filter(col("doc_id") % 2 === 0))
         .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The two-batch index-maintenance sequence behind `llm_lsh_index_maint`,
+    * run ONCE per campaign: corpus = doc_id % 3 == 0 (index written to
+    * disk), batch 1 = % 3 == 1 (probed, then its survivors' band rows
+    * APPENDED to the index with compaction), batch 2 = % 3 == 2 (probed
+    * against the UPDATED index). Each batch's dup pairs must be
+    * materialized before the next append mutates the layout (the
+    * [[Dedup.appendToLshIndex]] contract), which is exactly the cadence a
+    * real campaign runs at — the persisted result per batch IS the
+    * product. maxFiles = 2 forces the compaction path at suite scale.
+    */
+  private val lshMaintCache = new ConcurrentHashMap[String, DataFrame]()
+  private def lshMaintPairs(s: SparkSession, dir: String): DataFrame =
+    lshMaintCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val sh = shingleTable(s, dir)
+      val sig = signatureTable(s, dir)
+      val idxDir = scratchDir("graft-lsh-maint") + "/index"
+      Dedup.lshBandRows(sig.filter(col("doc_id") % 3 === 0))
+        .write.mode("overwrite").parquet(idxDir)
+      val b1 = Dedup.lshBandRows(sig.filter(col("doc_id") % 3 === 1))
+      // localCheckpoint, not persist: the append below runs refreshByPath
+      // on the index dir, which DROPS any cached plan that references the
+      // path — a merely-persisted dup1 would silently re-execute against
+      // the post-append index (batch-1 docs matching themselves). The
+      // checkpoint severs the lineage, so batch 1's result is immutable
+      // before the layout mutates.
+      val dup1 = Dedup.incrementalNearDups(b1, s.read.parquet(idxDir), sh,
+          threshold = 0.5)
+        .localCheckpoint()
+      val surv1 = b1.join(dup1.select(col("crawl_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      Dedup.appendToLshIndex(idxDir, surv1, maxFiles = 2)
+      val b2 = Dedup.lshBandRows(sig.filter(col("doc_id") % 3 === 2))
+      val dup2 = Dedup.incrementalNearDups(b2, s.read.parquet(idxDir), sh,
+        threshold = 0.5)
+      val out = dup1.withColumn("batch", lit(1L))
+        .unionByName(dup2.withColumn("batch", lit(2L)))
+        .select(col("batch"), col("crawl_doc"), col("corpus_doc"), col("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
       out
     })
 
@@ -3256,6 +3307,51 @@ object SparkEntry {
          | AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
          |WHERE j.jaccard >= 0.5
          |ORDER BY n.crawl_doc, n.corpus_doc""".stripMargin,
+
+    // two-batch index lifecycle: dup1 = batch1 (id%3=1) vs corpus (id%3=0);
+    // survivors of batch 1 enter the index; dup2 = batch2 (id%3=2) vs
+    // corpus + batch-1 survivors — replayed set-algebraically here, while
+    // the engine runs it against the actually-appended-and-compacted layout
+    "llm_lsh_index_maint" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cand1 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+         |dup1 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand1 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5),
+         |surv1 AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % 3 = 1
+         |    AND doc_id NOT IN (SELECT crawl_doc FROM dup1)),
+         |cand2 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 2
+         |    AND (c.doc_id % 3 = 0 OR c.doc_id IN (SELECT doc_id FROM surv1))),
+         |dup2 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand2 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5)
+         |SELECT CAST(1 AS BIGINT) AS batch, crawl_doc, corpus_doc, jaccard FROM dup1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
+         |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin,
 
     "llm_lsh_calibration" -> {
       val cfg = Seq(2, 4, 8)

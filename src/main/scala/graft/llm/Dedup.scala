@@ -680,6 +680,47 @@ object Dedup {
     * are same-sized, so the plan here keeps the neutral keyed join.
     * Output: (crawl_doc, corpus_doc, jaccard).
     */
+  /** Maintain a persisted banded-LSH index ([[lshBandRows]] written as a
+    * parquet directory): APPEND a batch's band rows (the deduped survivors
+    * of the batch — duplicates must not enter the index, or every later
+    * batch re-matches them), then COMPACT when the append history has
+    * fragmented the layout past `maxFiles` part files — consolidated
+    * rewrite to a side directory, then an atomic-as-the-filesystem-allows
+    * swap. This is the index's own lifecycle next to the probe
+    * ([[incrementalNearDups]]): a dedup campaign's index takes one
+    * append per crawl batch forever, and an append-only layout degrades
+    * scans with O(batches) small files.
+    *
+    * The caller must MATERIALIZE any result computed against the
+    * pre-append index before calling this (plans are lazy; compaction
+    * deletes the files a lazy plan would read), and re-`read.parquet` the
+    * directory afterwards to see the appended rows — file listings are
+    * pinned at DataFrame creation.
+    */
+  def appendToLshIndex(indexDir: String, bands: DataFrame,
+                       maxFiles: Int = 64): Unit = {
+    bands.write.mode("append").parquet(indexDir)
+    val spark = bands.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nParts = fs.listStatus(path)
+      .count(_.getPath.getName.startsWith("part-"))
+    if (nParts > maxFiles) {
+      val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
+      spark.read.parquet(indexDir)
+        .coalesce(math.max(1, maxFiles / 2))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(path, true)
+      require(fs.rename(tmp, path), s"compaction swap failed for $indexDir")
+      log.info(s"compacted LSH index $indexDir: $nParts part files -> " +
+        s"${math.max(1, maxFiles / 2)}")
+    }
+    // the session's shared FileStatusCache pins path listings forever by
+    // default — without this, a reader created after the append/compact
+    // still resolves the PRE-mutation file set and dies on the deleted parts
+    spark.catalog.refreshByPath(indexDir)
+  }
+
   def incrementalNearDups(crawlBands: DataFrame, indexBands: DataFrame,
                           sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val cands = crawlBands.as("w")

@@ -151,6 +151,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fb.getLong(1) == 0L && fb.getLong(2) == 0L && fb.getLong(4) == 10L)
   }
 
+  test("LSH index append preserves content; compaction bounds part files and survives readers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx-spec").toString + "/idx"
+    val mk = (ids: Seq[Long]) => ids.flatMap(id => (0 until 4)
+      .map(b => (id, b, s"h$id-$b"))).toDF("doc_id", "band", "bh")
+    mk(Seq(1L, 2L)).repartition(3).write.parquet(dir)
+    // three appends at maxFiles=2: each triggers compaction
+    for (batch <- Seq(Seq(3L), Seq(4L), Seq(5L, 6L)))
+      Dedup.appendToLshIndex(dir, mk(batch).repartition(2), maxFiles = 2)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nParts = fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
+    assert(nParts <= 2, s"compaction left $nParts part files")
+    // content = union of every append, nothing lost or duplicated
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == (1L to 6L).flatMap(id => (0 until 4)
+      .map(b => (id, b, s"h$id-$b"))).toSet)
+    // a reader created after the last mutation sees the fresh listing
+    assert(spark.read.parquet(dir).where(col("doc_id") === 6L).count() == 4L)
+  }
+
   test("sign-LSH cosine near-dup is a no-false-positive subset of brute force") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann
