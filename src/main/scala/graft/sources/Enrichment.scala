@@ -93,6 +93,89 @@ final case class PtrSource(ptrDb: DataFrame) extends EnrichmentSource {
   def enrich(ips: DataFrame): DataFrame = Intel.ptrEnrich(ips, ptrDb)
 }
 
+/** LIVE blacklist fetcher — the reference's downloader pipeline
+  * (`NERDd/blacklists.py:120–188` `download_blacklist`/`get_blacklist`):
+  * fetch the list over `http(s)://` or `file://`, parse one IPv4 record
+  * per line ([[Feeds.parseBlacklistLines]], the same parser the fixture
+  * feeds go through), and serve the result as the cycle's set-list feed
+  * table. This is the one REFERENCE IMPLEMENTATION of a non-fixture
+  * [[EnrichmentSource]]: the transport lives inside the connector (the
+  * trait's contract), the fetched feed is feed-sized by nature, and
+  * `enrich` stays a broadcast membership join.
+  *
+  * GATED OFF by default: the fetch runs only when `enabled` — the default
+  * reads `GRAFT_LIVE_FEEDS=1`, so CI and zero-egress environments never
+  * open a connection and serve the `fallback` fixture unchanged. A fetch
+  * FAILURE also degrades to the fallback (the reference degrades to an
+  * empty list on ConnectionError, `blacklists.py:133–135`; for a batch
+  * engine the standing fixture — operationally, the previous successful
+  * download — is the equivalent safe state). The fetch itself is
+  * driver-side and bounded (`maxBytes`) — a feed table ships to executors
+  * as a broadcast either way, so there is nothing to distribute.
+  */
+final case class HttpBlacklistSource(
+    spark: org.apache.spark.sql.SparkSession,
+    url: String, blId: String, fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_FEEDS").contains("1"),
+    timeoutMs: Int = 10000,
+    maxBytes: Int = 64 << 20) extends EnrichmentSource {
+  val name = "blacklists"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The raw feed lines, or None when gated off / fetch failed. */
+  private[sources] def fetchLines(): Option[Seq[String]] =
+    if (!enabled) None
+    else try {
+      val uri = new java.net.URI(url)
+      val text = uri.getScheme match {
+        case "file" =>
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(uri)), java.nio.charset.StandardCharsets.UTF_8)
+        case "http" | "https" =>
+          val conn = uri.toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          try {
+            require(conn.getResponseCode == 200,
+              s"HTTP ${conn.getResponseCode} from $url")
+            val bytes = conn.getInputStream.readNBytes(maxBytes)
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          } finally conn.disconnect()
+        case other => sys.error(s"unsupported blacklist URL scheme: $other")
+      }
+      Some(text.split("\n", -1).toSeq)
+    } catch {
+      case e: Exception =>
+        log.warn(s"blacklist '$blId' fetch from $url failed " +
+          s"(${e.getMessage}); serving fallback feed")
+        None
+    }
+
+  /** The set-list feed: (ip, bl_id) — fetched+parsed when live, the
+    * fallback fixture otherwise.
+    */
+  lazy val setList: DataFrame = fetchLines() match {
+    case Some(lines) =>
+      import spark.implicits._
+      Feeds.parseBlacklistLines(lines.toDF("line"))
+        .withColumn("bl_id", org.apache.spark.sql.functions.lit(blId))
+    case None => fallback
+  }
+
+  def feeds: Seq[DataFrame] = Seq(setList)
+
+  /** Membership join: one (entity, bl_id) row per hit — the set half of
+    * [[Intel.blMembership]]'s shape.
+    */
+  def enrich(ips: DataFrame): DataFrame =
+    ips.join(org.apache.spark.sql.functions.broadcast(setList),
+        Seq("ip"))
+      .select(org.apache.spark.sql.functions.col("entity"),
+        org.apache.spark.sql.functions.col("bl_id"))
+}
+
 /** whois RIR delegation boundaries (`whois.py:166–177,220–237`): an as-of
   * join of each fact's ASN against the sorted delegation starts.
   * `boundaries`: (start, rir).

@@ -84,4 +84,62 @@ class EnrichmentSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("live HTTP blacklist connector: fetches and parses when enabled, gates to fallback otherwise") {
+    import spark.implicits._
+    import graft.sources.HttpBlacklistSource
+    import graft.functions.Funcs
+    // a LOCAL loopback server playing the blacklist host — the live fetch
+    // path runs for real (HTTP transport + reference line parsing) with
+    // zero egress; the body mixes comments, garbage, dupes, and valid IPs
+    val body =
+      """# spamlist v1
+        |10.0.0.1
+        |10.0.0.2 ; botnet
+        |//comment
+        |not-an-ip
+        |10.0.0.1
+        |300.400.500.600""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/bl.txt", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/bl.txt"
+      val fallback = Seq((999L, "fixture")).toDF("ip", "bl_id")
+      val live = HttpBlacklistSource(spark, url, "spamlist", fallback,
+        enabled = true)
+      val got = live.setList.orderBy($"ip").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // 10.0.0.1 deduped; comment/garbage lines yield nothing
+      assert(got.map(_._2).forall(_ == "spamlist"))
+      val expected1 = spark.range(1).select(
+        Funcs.ipstr2int(lit("10.0.0.1"))).head.getLong(0)
+      assert(got.map(_._1).contains(expected1))
+      assert(got.length >= 2)
+      // enrich is a broadcast membership join through the fetched feed
+      val ents = Seq((7L, expected1), (8L, 12345L)).toDF("entity", "ip")
+      val hits = live.enrich(ents).collect()
+      assert(hits.map(_.getLong(0)).toSeq == Seq(7L))
+      // gated off: no connection is opened, the fallback serves
+      val gated = HttpBlacklistSource(spark, "http://127.0.0.1:1/bl.txt",
+        "spamlist", fallback, enabled = false)
+      assert(gated.setList.collect().map(_.getLong(0)).toSeq == Seq(999L))
+      // fetch failure (dead port) degrades to the fallback, not an error
+      val dead = HttpBlacklistSource(spark, "http://127.0.0.1:1/bl.txt",
+        "spamlist", fallback, enabled = true, timeoutMs = 500)
+      assert(dead.setList.collect().map(_.getLong(0)).toSeq == Seq(999L))
+      // file:// scheme, as in the reference's local-file branch
+      val f = java.nio.file.Files.createTempFile("bl", ".txt")
+      java.nio.file.Files.writeString(f, "10.1.1.1\n#c\n")
+      val fileSrc = HttpBlacklistSource(spark, f.toUri.toString, "spamlist",
+        fallback, enabled = true)
+      assert(fileSrc.setList.count() == 1L)
+    } finally server.stop(0)
+  }
 }
