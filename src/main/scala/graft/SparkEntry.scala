@@ -1937,6 +1937,94 @@ object SparkEntry {
         .orderBy(col("entity"), col("last_activity"), col("n"))
     }),
 
+    // -- two-lane priority admission (task_queue.py:4–12,365–377): the
+    //    normal lane (even entities, one file per user_id%8 residue) is
+    //    rate-limited to one file per trigger, the priority lane (odd
+    //    entities) has no cap — so the whole priority backlog is serviced in
+    //    micro-batch 0 while the normal backlog drains one batch per file.
+    //    Output is the per-lane admission schedule (rows, entities, batch
+    //    span), which the oracle derives from the residue structure of the
+    //    data itself; the receipt is priority pinned to a single batch 0
+    //    while normal spans exactly one batch per non-empty residue file. --
+    "nerd_stream_priority" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val normalDir = scratchDir("graft-prio-norm")
+      val priorityDir = scratchDir("graft-prio-pri")
+      val normal = ev.filter(col("user_id") % 2 === 0)
+      Seq(0L, 2L, 4L, 6L).foreach { g =>
+        val part = normal.filter(pmod(col("user_id"), lit(8)) === g)
+        if (!part.isEmpty)
+          part.coalesce(1).write.mode("append").parquet(normalDir)
+      }
+      ev.filter(col("user_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(priorityDir)
+      val sink = scratchDir("graft-prio-sink")
+      val q = graft.streaming.StreamIngest.startTwoLane(s, normalDir,
+        priorityDir, ev.schema, scratchDir("graft-prio-ck"), sink,
+        normalMaxFiles = 1)
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("lane"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("entities"),
+          countDistinct(col("batch_id")).as("n_batches"),
+          min(col("batch_id")).as("first_batch"),
+          max(col("batch_id")).as("last_batch"))
+        .orderBy(col("lane"))
+    }),
+
+    // -- crash-replay recovery (update_manager.py:442–457,478–497): three
+    //    micro-batches fold onto a batch-id-keyed transactional store; the
+    //    foreachBatch is killed AFTER batch 1's commit but BEFORE its
+    //    checkpoint ack (the classic at-least-once replay window), the
+    //    supervisor restarts the query from the checkpoint, and the replayed
+    //    batch is a committed-id no-op — final state equals the
+    //    uninterrupted fold exactly once (restarts = 1, and exactly one
+    //    ledger entry per batch: commits = 3). The store is the production
+    //    merge-on-read shape with auto-compaction live (maxDeltas = 2), so
+    //    the replay ledger is also exercised ACROSS a compaction boundary. --
+    "nerd_stream_recovery" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val src = scratchDir("graft-recov-src")
+      Seq(0L, 1L, 2L).foreach { g =>
+        backdateExistingFiles(src)
+        ev.filter(col("event_id") % 3 === g)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
+        s, scratchDir("graft-recov-store"), numBuckets = 8, maxDeltas = 2)
+      val now = nowEpoch(s, dir)
+      val ck = scratchDir("graft-recov-ck")
+      val failMarker = java.nio.file.Paths.get(scratchDir("graft-recov-flag"), "failed_once")
+      val schema = ev.schema
+      val restarts = graft.streaming.StreamIngest.superviseRestarts(3) { () =>
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.streaming.StreamIngest.runBatchExactlyOnce(store, batch, now,
+              bid, maxAgeDays = 7)
+            if (bid == 1 && !java.nio.file.Files.exists(failMarker)) {
+              java.nio.file.Files.createFile(failMarker)
+              throw new RuntimeException("injected worker death after batch-1 commit")
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      store.read()
+        .map(st => EventTasks.projectFolded(st.eid, graft.ops.TaskCodec.parseRec(st.json)))
+        .toDF()
+        .withColumn("conns", round(col("conns"), 2))
+        .withColumn("restarts", lit(restarts.toLong))
+        .withColumn("commits", lit(store.committedBatchIds.size.toLong))
+        .orderBy(col("entity"))
+    }),
+
     // -- on-demand record creation (nerd_main.py:1473–1489): a web request
     //    is one `set _ttl.web now+3h` task folded onto the snapshot; unknown
     //    entities materialize as fresh records, known ones just gain the
@@ -4972,6 +5060,51 @@ object SparkEntry {
         |  SELECT entity, CAST(-1 AS BIGINT), evict_last FROM ev)
         |SELECT entity, n, last_activity FROM outp
         |ORDER BY entity, last_activity, n""".stripMargin,
+
+    // two-lane admission schedule, derived from the residue structure the
+    // fixture splits files by: the normal lane (even entities) spans one
+    // batch per non-empty user_id%8 residue file starting at batch 0; the
+    // priority lane (odd entities) is admitted in full in batch 0
+    "nerd_stream_priority" ->
+      """WITH norm AS (SELECT user_id FROM events WHERE user_id % 2 = 0),
+        |pri AS (SELECT user_id FROM events WHERE user_id % 2 = 1),
+        |ng AS (SELECT count(DISTINCT user_id % 8) AS nb FROM norm)
+        |SELECT 'normal' AS lane, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS entities,
+        |  ng.nb AS n_batches, CAST(0 AS BIGINT) AS first_batch,
+        |  ng.nb - 1 AS last_batch
+        |FROM norm, ng GROUP BY ng.nb
+        |UNION ALL
+        |SELECT 'priority', count(*), count(DISTINCT user_id),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM pri
+        |ORDER BY lane""".stripMargin,
+
+    // crash-replay recovery: final state is the plain uninterrupted fold
+    // (the whole point — the injected death and replay must be invisible),
+    // plus the supervision receipts: exactly one restart, exactly one
+    // commit per micro-batch
+    "nerd_stream_recovery" ->
+      """WITH mx AS (
+        |  SELECT CAST(floor(epoch(CAST(max(CAST(ts AS DATE)) + 1 AS TIMESTAMP))) AS BIGINT)
+        |    AS now
+        |  FROM events),
+        |v AS (
+        |  SELECT * FROM events, mx
+        |  WHERE CAST(floor(epoch(ts)) AS BIGINT) > mx.now - 604800
+        |    AND CAST(floor(epoch(ts)) AS BIGINT) <= mx.now + 300)
+        |SELECT user_id AS entity,
+        |  count(*) AS total,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(DISTINCT CAST(ts AS DATE) || '|' || event_type) AS n_buckets,
+        |  round(sum(value), 2) AS conns,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_activity,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1209600 AS ttl_warden,
+        |  CAST(1 AS BIGINT) AS restarts,
+        |  CAST(3 AS BIGINT) AS commits
+        |FROM v
+        |GROUP BY user_id
+        |ORDER BY entity""".stripMargin,
 
     // request set = 5 lowest known entities + 10 past the id space; a known
     // entity keeps its event totals (created=0), an unknown one materializes

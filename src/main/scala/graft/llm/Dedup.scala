@@ -605,8 +605,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    jaccardOverCandidates(sh, signatureGate(sig, cands, threshold,
-      prefilterMargin, k), threshold)
+    // Materialize the survivor list before the exact join: the gate's
+    // multi-join subtree carries no usable size statistics, and feeding it
+    // lazily into `jaccardOverCandidates` made Catalyst abandon the
+    // broadcast of the (tiny) candidate side and sort the full shingle
+    // table instead — a measured 3× regression at sf0.1. `localCheckpoint`
+    // is eager but bounded (survivors ⊆ banded candidates, two ids per
+    // row), and gives the planner real stats: small survivor sets broadcast
+    // again, large ones at corpus scale correctly fall back to a shuffled
+    // join.
+    val survivors = signatureGate(sig, cands, threshold, prefilterMargin, k)
+      .localCheckpoint()
+    jaccardOverCandidates(sh, survivors, threshold)
   }
 
   /** Signature-estimate PREFILTER for banded-LSH verification: before the

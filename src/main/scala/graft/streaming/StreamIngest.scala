@@ -135,31 +135,52 @@ object StreamIngest {
         .map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
         .map(_.drop(1).toLong)
+        .filter(v => fs.exists(manifestPath(v))) // manifest = commit record
         .sorted
     }
 
     private def manifestPath(v: Long) =
       new org.apache.hadoop.fs.Path(s"$root/v$v/_buckets.json")
 
-    private def readManifest(v: Long): Seq[Int] = {
+    /** The manifest doubles as the COMMIT RECORD: `versions` only lists
+      * directories whose manifest exists, so a version that crashed between
+      * the parquet write and the manifest write is invisible to readers and
+      * healed by the retry's overwrite. Two formats are read: the legacy
+      * bare bucket array, and the object form
+      * `{"buckets":[...],"batches":[...]}` whose `batches` carries the
+      * micro-batch ids this version (or, after compaction, its absorbed
+      * ancestors) committed — the idempotent-replay ledger.
+      */
+    private def readManifest(v: Long): (Seq[Int], Seq[Long]) = {
       val in = fs.open(manifestPath(v))
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       import scala.jdk.CollectionConverters._
-      node.elements().asScala.map(_.asInt()).toSeq
+      if (node.isArray) (node.elements().asScala.map(_.asInt()).toSeq, Seq.empty)
+      else (node.get("buckets").elements().asScala.map(_.asInt()).toSeq,
+        Option(node.get("batches")).toSeq
+          .flatMap(_.elements().asScala.map(_.asLong()).toSeq))
     }
 
-    private def writeManifest(v: Long, buckets: Seq[Int]): Unit = {
+    private def writeManifest(v: Long, buckets: Seq[Int],
+                              batches: Seq[Long] = Seq.empty): Unit = {
       val out = fs.create(manifestPath(v), true)
-      try out.write(buckets.sorted.mkString("[", ",", "]").getBytes("UTF-8"))
+      val json = s"""{"buckets":${buckets.sorted.mkString("[", ",", "]")},""" +
+        s""""batches":${batches.sorted.mkString("[", ",", "]")}}"""
+      try out.write(json.getBytes("UTF-8"))
       finally out.close()
     }
 
     /** bucket → newest version owning it (later versions shadow earlier). */
     private def owners: Map[Int, Long] =
       versions.foldLeft(Map.empty[Int, Long]) { (acc, v) =>
-        acc ++ readManifest(v).map(_ -> v)
+        acc ++ readManifest(v)._1.map(_ -> v)
       }
+
+    /** Micro-batch ids committed into this store (carried forward through
+      * compaction) — the replay-dedup ledger of [[applyBatchIdempotent]]. */
+    def committedBatchIds: Set[Long] =
+      versions.flatMap(v => readManifest(v)._2).toSet
 
     private val stateSchema =
       org.apache.spark.sql.Encoders.product[EntityState].schema
@@ -188,7 +209,26 @@ object StreamIngest {
 
     override def read(): Dataset[EntityState] = readOwned(_ => true)
 
-    override def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit = {
+    override def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long): Unit =
+      applyInternal(tasks, nowEpoch, Seq.empty)
+
+    /** Exactly-once variant for streaming crash-replay (the MOR sibling of
+      * [[TransactionalSnapshotStore.applyBatch]]): a `batchId` already in
+      * the committed ledger returns without touching storage, so the replay
+      * of a batch that committed before the streaming checkpoint recorded
+      * it cannot double-fold. The ledger rides the per-version manifest
+      * (the store's existing commit point — a version is invisible until
+      * its manifest lands) and survives compaction, which carries absorbed
+      * ids forward. A batch whose task set is EMPTY records no id (there is
+      * no version to record it on); its replay is a no-op by vacuity.
+      */
+    def applyBatchIdempotent(tasks: Dataset[UpdateTask], nowEpoch: Long,
+                             batchId: Long): Unit =
+      if (!committedBatchIds.contains(batchId))
+        applyInternal(tasks, nowEpoch, Seq(batchId))
+
+    private def applyInternal(tasks: Dataset[UpdateTask], nowEpoch: Long,
+                              batchIds: Seq[Long]): Unit = {
       // The task set is read twice (bucket discovery + the fold): pin it for
       // the batch so a streaming source isn't re-scanned.
       tasks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -207,7 +247,7 @@ object StreamIngest {
           .repartition(col("bucket"))
           .sortWithinPartitions("bucket", "eid")
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
-        writeManifest(next, touched.toSeq)
+        writeManifest(next, touched.toSeq, batchIds)
         if (maxDeltas > 0 && versionCount > maxDeltas) compact()
       } finally tasks.unpersist()
     }
@@ -219,12 +259,15 @@ object StreamIngest {
       val olds = versions
       if (olds.isEmpty) return
       val next = olds.last + 1
+      // absorbed batch ids ride along so the replay ledger survives the
+      // deltas' deletion
+      val absorbed = olds.flatMap(v => readManifest(v)._2).distinct
       read()
         .withColumn("bucket", bucketCol(col("etype"), col("eid")))
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "eid")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
-      writeManifest(next, (0 until numBuckets).toSeq)
+      writeManifest(next, (0 until numBuckets).toSeq, absorbed)
       olds.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
     }
 
@@ -358,6 +401,137 @@ object StreamIngest {
         ids.iterator.map(id =>
           (id, canonical, if (id == canonical) 1L else 0L))
     }
+  }
+
+  /** Exactly-once snapshot store keyed by micro-batch id — the missing half
+    * of the crash-replay story. The plain [[SnapshotStore]] is append-only
+    * versioned, so a query that dies AFTER `applyBatch` committed but BEFORE
+    * the streaming checkpoint recorded the batch would re-fold that batch on
+    * restart and double every counter. Here the version id IS the batch id
+    * (`b<batchId>`, committed iff the parquet job's `_SUCCESS` marker
+    * exists), so replay of an already-committed batch is a metadata-only
+    * no-op and a crash mid-write is invisible (uncommitted dirs are ignored
+    * by `read()` and overwritten by the retry). This is the reference's
+    * ack-after-processing redelivery contract (`update_manager.py:442–457`)
+    * restated as idempotent-by-batch-id sink commits — the standard Spark
+    * transactional-foreachBatch discipline.
+    */
+  final class TransactionalSnapshotStore(spark: SparkSession, root: String) {
+    import spark.implicits._
+    private def fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def committedBatches: Seq[Long] = {
+      val path = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit))
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")))
+        .map(_.drop(1).toLong)
+        .sorted
+    }
+    def read(): Dataset[EntityState] = committedBatches.lastOption match {
+      case Some(b) => spark.read.parquet(s"$root/b$b").as[EntityState]
+      case None    => spark.emptyDataset[EntityState]
+    }
+    /** Number of committed batch versions (replay-dedup receipt: a replayed
+      * batch must NOT mint a new version). */
+    def commitCount: Int = committedBatches.size
+    /** Fold one micro-batch onto the snapshot, exactly once per `batchId`:
+      * a replayed id returns without touching storage. */
+    def applyBatch(tasks: Dataset[UpdateTask], nowEpoch: Long, batchId: Long): Unit = {
+      if (committedBatches.contains(batchId)) return // replay after commit
+      EntityFold.applyToSnapshot(read(), tasks, nowEpoch)
+        .repartitionByRange(col("eid"))
+        .sortWithinPartitions("eid")
+        .write.mode("overwrite").parquet(s"$root/b$batchId")
+    }
+  }
+
+  /** One micro-batch through the transactional store: validate → derive
+    * tasks → fold, committed under the batch id (see
+    * [[TransactionalSnapshotStore.applyBatch]]).
+    */
+  def runBatchExactlyOnce(store: TransactionalSnapshotStore, batch: DataFrame,
+                          nowEpoch: Long, batchId: Long, maxAgeDays: Int = 7): Unit =
+    store.applyBatch(deriveBatchTasks(batch, nowEpoch, maxAgeDays), nowEpoch, batchId)
+
+  /** Same, against the merge-on-read store (the production shape: O(touched
+    * buckets) writes + the manifest-ledger replay dedup). */
+  def runBatchExactlyOnce(store: MergeOnReadSnapshotStore, batch: DataFrame,
+                          nowEpoch: Long, batchId: Long, maxAgeDays: Int): Unit =
+    store.applyBatchIdempotent(deriveBatchTasks(batch, nowEpoch, maxAgeDays),
+      nowEpoch, batchId)
+
+  private def deriveBatchTasks(batch: DataFrame, nowEpoch: Long,
+                               maxAgeDays: Int): Dataset[UpdateTask] = {
+    import batch.sparkSession.implicits._
+    EventTasks.preAggregated(validate(batch, nowEpoch, maxAgeDays))
+      .map(t => UpdateTask(t.etype, t.eid, t.seq, t.src, TaskCodec.render(t.ops)))
+  }
+
+  /** Two-lane source admission — the reference's bounded normal queue +
+    * unbounded priority queue, priority consumed first
+    * (`task_queue.py:4–12,365–377`; internal tasks are priority,
+    * `update_manager.py:349–361`). Spark-first restatement: per-source
+    * trigger admission on a union of two file sources. The normal lane is
+    * rate-limited (`maxFilesPerTrigger`), so a backlog drains across many
+    * micro-batches; the priority lane has NO admission cap, so everything
+    * waiting on it lands in the first micro-batch — the whole priority
+    * queue is serviced while the normal backlog is still queued, which is
+    * exactly the drain-priority-first contract. Each row lands in the sink
+    * tagged with its lane and micro-batch id, so the admission schedule
+    * itself is an auditable output (and, because the fold downstream is
+    * order-insensitive by design, the FINAL folded state is invariant to
+    * the admission split — the property that makes bounded admission safe
+    * at 100-TB backlog scale).
+    */
+  def startTwoLane(spark: SparkSession, normalDir: String, priorityDir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   checkpointDir: String, sinkDir: String,
+                   normalMaxFiles: Int = 1): StreamingQuery = {
+    val normal = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", normalMaxFiles.toString)
+      .parquet(normalDir)
+      .withColumn("lane", lit("normal"))
+    val priority = spark.readStream.schema(schema)
+      .parquet(priorityDir)
+      .withColumn("lane", lit("priority"))
+    priority.unionByName(normal)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Query-level restart supervisor (`update_manager.py:478–497`: the thread
+    * watchdog that restarts dead workers, ≤ 20 restarts). Spark retries
+    * TASKS for free; what it does not do by itself is resurrect a DRIVER
+    * query whose micro-batch exhausted its task retries. This supervisor
+    * rebuilds the query from its checkpoint after a failure, up to
+    * `maxRestarts` times — combined with [[TransactionalSnapshotStore]] the
+    * restarted query replays the failed batch exactly once. Returns the
+    * number of restarts consumed; rethrows once the budget is spent.
+    */
+  def superviseRestarts(maxRestarts: Int)(mkQuery: () => StreamingQuery): Int = {
+    var restarts = 0
+    var done = false
+    while (!done) {
+      val q = mkQuery()
+      try { q.awaitTermination(); done = true }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (restarts >= maxRestarts) throw e
+          restarts += 1
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"query failed (restart $restarts/$maxRestarts): ${e.getMessage}")
+      }
+    }
+    restarts
   }
 
   /** Batch-level watchdog (`NERDd/core/scheduler.py` + the reference's
