@@ -1119,6 +1119,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // -- IVF index MAINTENANCE: the corpus (vec_id % 5 != 4) is written as
+    //    the partitioned layout keyed by its fixture clusters, the remaining
+    //    20% arrives later as a crawl batch appended THROUGH the frozen
+    //    coarse quantizer (nearest stored centroid, broadcast argmax, new
+    //    files only in the touched cluster partitions), and the probe then
+    //    runs against the MERGED layout — index growth without a rebuild,
+    //    the ANN sibling of the persisted-LSH index lifecycle. --
+    "llm_ann_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-ivf-append")
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+        clusterCol = "label", dir = idx)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4), idx)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKPruned(q, idx, k = 5, nprobe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // JSONL training-shard export ROUND-TRIP: deterministic md5 shard
     // assignment, partitionBy(shard) text write, re-read + JSON parse — the
     // curation-to-trainer handoff proven end-to-end, not just written
@@ -4312,6 +4333,47 @@ object SparkEntry {
          |scored AS (
          |  SELECT p.qid, p.probe_cluster, ej.vec_id, ${COS("p.qe", "ej.emb")} AS cos
          |  FROM ej JOIN probe p ON ej.kc = p.probe_cluster AND ej.vec_id != p.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // frozen-quantizer append: centroids come from the 80% corpus only; the
+    // 20% batch is assigned to its nearest stored centroid; the probe then
+    // searches the merged corpus under those same centroids
+    "llm_ann_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE vec_id % 5 != 4),
+         |batch AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM corpus),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |asg0 AS (
+         |  SELECT b.vec_id, b.emb, c.cluster, ${COS("b.emb", "c.centroid")} AS ccos
+         |  FROM batch b, cents c),
+         |asg AS (
+         |  SELECT vec_id, emb, cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS crank
+         |        FROM asg0)
+         |  WHERE crank = 1),
+         |merged AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS cluster, emb FROM corpus
+         |  UNION ALL SELECT vec_id, CAST(cluster AS BIGINT), emb FROM asg),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, m.vec_id, ${COS("p.qe", "m.emb")} AS cos
+         |  FROM merged m JOIN probe p ON m.cluster = p.probe_cluster AND m.vec_id != p.qid),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)

@@ -121,6 +121,35 @@ object Ann {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Append a batch of new vectors into an EXISTING IVF layout without a
+    * rebuild — the index-maintenance step that keeps an ANN index usable
+    * while a corpus grows (the ANN sibling of the persisted-LSH index
+    * lifecycle in [[graft.llm.Dedup]]). Each new vector is assigned to its
+    * nearest STORED centroid (the |clusters|-row table is broadcast; one
+    * map-side argmax, no shuffle of the corpus) and the rows land as new
+    * files inside the touched clusters' partition directories only —
+    * append cost is O(|batch|), never O(|corpus|), and every untouched
+    * partition's files stay byte-identical (pinned in `LlmOpsSpec`).
+    *
+    * The coarse quantizer is deliberately FROZEN: assignment against the
+    * trained centroids is the standard IVF add path (re-training moves
+    * centroids and would orphan already-placed rows); quantizer refresh is
+    * a scheduled REBUILD ([[writeIvfIndex]] again), exactly as the MOR
+    * store's compaction is a scheduled rewrite behind bounded deltas.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val e = asDouble(newVectors, "embedding")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+  }
+
   /** IVF probe AGAINST the partitioned layout: route each query to its
     * `nprobe` nearest stored centroids, then scan ONLY the routed clusters'
     * partitions of the corpus. The routing step is an explicit driver-side

@@ -605,18 +605,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // Materialize the survivor list before the exact join: the gate's
-    // multi-join subtree carries no usable size statistics, and feeding it
-    // lazily into `jaccardOverCandidates` made Catalyst abandon the
-    // broadcast of the (tiny) candidate side and sort the full shingle
-    // table instead — a measured 3× regression at sf0.1. `localCheckpoint`
-    // is eager but bounded (survivors ⊆ banded candidates, two ids per
-    // row), and gives the planner real stats: small survivor sets broadcast
-    // again, large ones at corpus scale correctly fall back to a shuffled
-    // join.
-    val survivors = signatureGate(sig, cands, threshold, prefilterMargin, k)
-      .localCheckpoint()
-    jaccardOverCandidates(sh, survivors, threshold)
+    // The gated survivor list feeds the exact join LAZILY — deliberately no
+    // localCheckpoint/persist. Measured A/B at both regimes (same host,
+    // minutes apart): an eager localCheckpoint of the survivors trims
+    // ~0.3 s at sf0.1 (the materialized stats let AQE broadcast the small
+    // survivor set) but DOUBLES the 100× cost (63.7 s lazy vs 125.5 s
+    // checkpointed) — at corpus scale survivors are tens of millions of
+    // rows and the checkpoint is a pure extra materialization barrier in
+    // front of a join AQE already plans correctly from runtime stats. Keep
+    // the single-query pipeline; AQE's runtime re-planning is the
+    // size-adaptive broadcast decision here, at every scale.
+    jaccardOverCandidates(sh,
+      signatureGate(sig, cands, threshold, prefilterMargin, k), threshold)
   }
 
   /** Signature-estimate PREFILTER for banded-LSH verification: before the

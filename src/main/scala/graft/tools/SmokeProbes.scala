@@ -56,11 +56,15 @@ object SmokeProbes {
         val src = scala.io.Source.fromFile(manifest, "UTF-8")
         try src.mkString finally src.close()
       }
-      // parse the manifest (comma counting would report 1 for an empty [])
+      // parse the manifest (comma counting would report 1 for an empty []);
+      // handles both the legacy bare-array format and the object format
+      // whose `buckets` field carries the owned set (`batches` is the
+      // replay ledger, not ownership)
       val touched = {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mtxt)
         import scala.jdk.CollectionConverters._
-        node.elements().asScala.size
+        if (node.isArray) node.elements().asScala.size
+        else node.get("buckets").elements().asScala.size
       }
       jLong(Seq("batch" -> b.toLong, "touched_buckets" -> touched.toLong,
         "bytes_written" -> dirBytes(vDir),

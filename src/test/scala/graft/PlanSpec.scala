@@ -283,6 +283,43 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF append: new vectors land only in their assigned cluster partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    graft.llm.Ann.writeIvfIndex(corpus, clusterCol = "label", dir = dir)
+    def files(): Map[String, Set[String]] =
+      Option(new java.io.File(s"$dir/corpus").listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().map(f => f.getName + ":" + f.length()).toSet)
+        .toMap
+    val before = files()
+    graft.llm.Ann.appendToIvfIndex(batch, dir)
+    val after = files()
+    // every pre-existing file survives byte-identical — append, not rewrite
+    before.foreach { case (cl, fs) =>
+      assert(fs.subsetOf(after.getOrElse(cl, Set.empty)),
+        s"partition $cl lost or rewrote files")
+    }
+    // the appended rows are all present and the merged corpus is complete
+    val merged = spark.read.parquet(s"$dir/corpus")
+    assert(merged.count() == emb.count())
+    assert(merged.select("vec_id").except(emb.select("vec_id")).isEmpty)
+    // at least one partition gained a file, and only partitions the batch
+    // was assigned to did
+    val grew = after.keySet.filter(cl =>
+      after(cl).size > before.getOrElse(cl, Set.empty).size)
+    assert(grew.nonEmpty)
+    val assignedClusters = merged.join(batch.select("vec_id"), Seq("vec_id"))
+      .select("cluster").distinct().collect().map("cluster=" + _.get(0)).toSet
+    assert(grew.subsetOf(assignedClusters),
+      s"partitions $grew grew but batch was assigned to $assignedClusters")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("BPE encode plan is vocab-size-independent (broadcast rank map, not plan nodes)") {
     val docs = graft.core.Tables.documents(spark, sf)
     def planOf(merges: Seq[(String, String)]): String =
