@@ -62,12 +62,24 @@ object BpeBroadcasts {
     * to a dead broadcast from its predecessor.
     */
   def registerCached(spark: org.apache.spark.sql.SparkSession,
-                     merges: Seq[(String, String)]): Int =
+                     merges: Seq[(String, String)]): Int = {
+    val app = spark.sparkContext.applicationId
+    // One active SparkContext per JVM: any entry keyed under a DIFFERENT
+    // applicationId belongs to a stopped context, whose broadcast blocks
+    // died with it — drop those registrations (no destroy(): the context
+    // that owned them is gone) so a session-restarting JVM doesn't
+    // accumulate dead handles and `registeredCount` stays an honest
+    // live-registration count.
+    byContent.entrySet().removeIf(
+      (e: java.util.Map.Entry[(String, Seq[(String, String)]), Integer]) =>
+        if (e.getKey._1 != app) { tables.remove(e.getValue.intValue()); true }
+        else false)
     byContent.computeIfAbsent(
-      (spark.sparkContext.applicationId, merges),
+      (app, merges),
       _ => Integer.valueOf(
         register(spark.sparkContext.broadcast(BpeRanks.fromPairs(merges))))
     ).intValue()
+  }
 
   /** Drop `id` and DESTROY its broadcast (frees the executor-side blocks).
     * Any still-running plan holding the broadcast handle keeps its own

@@ -246,8 +246,10 @@ object Dedup {
     * background, i.e. the candidate set is ~linear in true duplicates.
     */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5): DataFrame =
-    minhashLshFromShingles(shingles(docs, n), k, rowsPerBand, threshold)
+                 threshold: Double = 0.5,
+                 prefilterMargin: Double = 0.25): DataFrame =
+    minhashLshFromShingles(shingles(docs, n), k, rowsPerBand, threshold,
+      prefilterMargin)
 
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise hits into DEDUP GROUPS (a cluster keeps one canonical
@@ -584,9 +586,10 @@ object Dedup {
   }
 
   def minhashLshFromShingles(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4,
-                             threshold: Double = 0.5): DataFrame =
+                             threshold: Double = 0.5,
+                             prefilterMargin: Double = 0.25): DataFrame =
     minhashLshFromSignatures(minhashSignaturesWide(sh, k), sh, k, rowsPerBand,
-      threshold)
+      threshold, prefilterMargin)
 
   /** The banded candidate join over an ALREADY-materialized signature table
     * — in a real dedup campaign the k-column signatures are stored once and
@@ -630,6 +633,19 @@ object Dedup {
     * the estimator is DETERMINISTIC (md5-derived hashes), so a fixture's
     * result is reproducibly identical with and without the gate (pinned in
     * `LlmOpsSpec`).
+    *
+    * QUANTIFIED recall cost, stated honestly: for a true pair sitting
+    * EXACTLY at the threshold, P(estimate < threshold − 0.25) ≈ 2·10⁻⁵ at
+    * k = 64 (binomial tail); pairs at threshold + 0.1 or higher are
+    * effectively never dropped (< 10⁻⁸). A corpus with 10⁶ true pairs
+    * hugging the threshold therefore loses ~20 of them from the
+    * exact-verified output — the price of not shingle-joining the
+    * moderate-overlap candidate mass. Callers needing the gate OFF
+    * (bit-exact parity with ungated verification, e.g. an audit) pass
+    * `prefilterMargin >= threshold`: the bar goes non-positive and the
+    * gate short-circuits to a pass-through — the parameter is threaded
+    * through every public entry point ([[minhashLsh]],
+    * [[minhashLshFromShingles]], [[minhashLshFromSignatures]]).
     *
     * Why it matters at scale: band collisions admit moderate-overlap pairs
     * (s ≈ 0.2–0.4) whose full shingle intersection is the expensive part of
@@ -720,8 +736,18 @@ object Dedup {
       spark.read.parquet(indexDir)
         .coalesce(math.max(1, maxFiles / 2))
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(path, true)
-      require(fs.rename(tmp, path), s"compaction swap failed for $indexDir")
+      // rename-aside → rename-in → delete-aside, NOT delete-then-rename: a
+      // crash between the two renames leaves the previous index intact at
+      // `.old` (manual rename recovers), and at no point is the published
+      // path a dangling hole a concurrent reader would 404 on. The one
+      // remaining non-atomic instant (between the two renames) loses
+      // nothing — both full copies exist on disk.
+      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+      fs.delete(old, true) // clear any leftover from a prior crashed swap
+      require(fs.rename(path, old), s"compaction aside-rename failed for $indexDir")
+      require(fs.rename(tmp, path), s"compaction swap failed for $indexDir " +
+        s"(previous index preserved at $old)")
+      fs.delete(old, true)
       log.info(s"compacted LSH index $indexDir: $nParts part files -> " +
         s"${math.max(1, maxFiles / 2)}")
     }

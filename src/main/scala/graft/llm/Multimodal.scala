@@ -211,19 +211,28 @@ object Multimodal {
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { case (id, bytes) =>
+        // NonFatal, not just IOException: ImageIO's format parsers throw
+        // IllegalArgumentException / NegativeArraySizeException on malformed
+        // headers, and the degrade-don't-fail contract must hold for those
+        // too — a corrupt payload must never kill the batch
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
+          // normalize band 0 to 8 bits: a 16-bit grayscale sample would
+          // otherwise index past the 4-bin histogram (and skew the sum);
+          // the clamp is belt-and-braces for exotic sample models
+          val bits = raster.getSampleModel.getSampleSize(0)
+          val shift = math.max(0, bits - 8)
           var sum = 0L
           val hist = new Array[Long](4)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val px = raster.getSample(x, y, 0)
+              val px = math.min(255, raster.getSample(x, y, 0) >>> shift)
               sum += px
               hist(px / 64) += 1L
               x += 1

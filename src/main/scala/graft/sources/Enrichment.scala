@@ -123,16 +123,33 @@ final case class HttpBlacklistSource(
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** The raw feed lines, or None when gated off / fetch failed. */
-  private[sources] def fetchLines(): Option[Seq[String]] =
-    if (!enabled) None
-    else try {
-      val uri = new java.net.URI(url)
-      val text = uri.getScheme match {
+  /** The raw feed lines, or None when gated off / fetch failed.
+    *
+    * Error taxonomy matters here: a MISCONFIGURATION (malformed URI,
+    * unsupported scheme) is validated OUTSIDE the degrade path and throws —
+    * it will never succeed on retry, and silently serving the fallback
+    * forever would hide the typo behind a warn log (the reference degrades
+    * only on ConnectionError, `blacklists.py:133–135`). Only genuinely
+    * TRANSIENT fetch failures (network, HTTP status, timeout) degrade to
+    * the fallback feed.
+    */
+  private[sources] def fetchLines(): Option[Seq[String]] = {
+    if (!enabled) return None
+    // config validation: throws on a bad URL/scheme regardless of `enabled`
+    // timing — a permanent error must surface, not degrade
+    val uri = new java.net.URI(url)
+    val scheme = uri.getScheme match {
+      case s @ ("file" | "http" | "https") => s
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported blacklist URL scheme '$other' in $url")
+    }
+    try {
+      val text = scheme match {
         case "file" =>
           new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(uri)), java.nio.charset.StandardCharsets.UTF_8)
-        case "http" | "https" =>
+        case _ =>
           val conn = uri.toURL.openConnection()
             .asInstanceOf[java.net.HttpURLConnection]
           conn.setConnectTimeout(timeoutMs)
@@ -140,18 +157,33 @@ final case class HttpBlacklistSource(
           try {
             require(conn.getResponseCode == 200,
               s"HTTP ${conn.getResponseCode} from $url")
-            val bytes = conn.getInputStream.readNBytes(maxBytes)
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            // read maxBytes + 1 so truncation is DETECTED: a feed cut
+            // mid-line can leave a prefix that still parses as a valid but
+            // WRONG address ('203.0.113.250' cut to '203.0.113.2'), so an
+            // over-limit body drops its final partial line and warns
+            val bytes = conn.getInputStream.readNBytes(maxBytes + 1)
+            if (bytes.length > maxBytes) {
+              val cut = new String(bytes, 0, maxBytes,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val safe = cut.lastIndexOf('\n')
+              log.warn(s"blacklist '$blId' feed exceeded $maxBytes bytes; " +
+                "truncated at the last complete line (partial tail dropped)")
+              if (safe >= 0) cut.substring(0, safe) else ""
+            } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           } finally conn.disconnect()
-        case other => sys.error(s"unsupported blacklist URL scheme: $other")
       }
       Some(text.split("\n", -1).toSeq)
     } catch {
-      case e: Exception =>
+      case e: java.io.IOException =>
+        log.warn(s"blacklist '$blId' fetch from $url failed " +
+          s"(${e.getMessage}); serving fallback feed")
+        None
+      case e: IllegalArgumentException => // require(HTTP status) failures
         log.warn(s"blacklist '$blId' fetch from $url failed " +
           s"(${e.getMessage}); serving fallback feed")
         None
     }
+  }
 
   /** The set-list feed: (ip, bl_id) — fetched+parsed when live, the
     * fallback fixture otherwise.

@@ -151,16 +151,30 @@ object StreamIngest {
       * micro-batch ids this version (or, after compaction, its absorbed
       * ancestors) committed — the idempotent-replay ledger.
       */
-    private def readManifest(v: Long): (Seq[Int], Seq[Long]) = {
-      val in = fs.open(manifestPath(v))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      import scala.jdk.CollectionConverters._
-      if (node.isArray) (node.elements().asScala.map(_.asInt()).toSeq, Seq.empty)
-      else (node.get("buckets").elements().asScala.map(_.asInt()).toSeq,
-        Option(node.get("batches")).toSeq
-          .flatMap(_.elements().asScala.map(_.asLong()).toSeq))
-    }
+    /** Per-instance parse cache: a manifest is immutable once written (it IS
+      * the commit record), so each version's file is opened and parsed at
+      * most once per store instance — one micro-batch otherwise re-reads
+      * every delta's manifest several times (ledger check, owner
+      * resolution, compaction sweep), which on an object store is a pile of
+      * sequential metadata round-trips. Version numbers are never reused
+      * (`next` is strictly increasing, compaction continues past the
+      * deleted range), so entries can't go stale; `compact()` still drops
+      * the absorbed ids for hygiene.
+      */
+    private val manifestCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Seq[Int], Seq[Long])]()
+
+    private def readManifest(v: Long): (Seq[Int], Seq[Long]) =
+      manifestCache.computeIfAbsent(v, _ => {
+        val in = fs.open(manifestPath(v))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        import scala.jdk.CollectionConverters._
+        if (node.isArray) (node.elements().asScala.map(_.asInt()).toSeq, Seq.empty)
+        else (node.get("buckets").elements().asScala.map(_.asInt()).toSeq,
+          Option(node.get("batches")).toSeq
+            .flatMap(_.elements().asScala.map(_.asLong()).toSeq))
+      })
 
     private def writeManifest(v: Long, buckets: Seq[Int],
                               batches: Seq[Long] = Seq.empty): Unit = {
@@ -229,6 +243,9 @@ object StreamIngest {
 
     private def applyInternal(tasks: Dataset[UpdateTask], nowEpoch: Long,
                               batchIds: Seq[Long]): Unit = {
+      // One directory listing per batch (the store is single-writer by
+      // contract, so the listing can't change under us mid-batch).
+      val vs = versions
       // The task set is read twice (bucket discovery + the fold): pin it for
       // the batch so a streaming source isn't re-scanned.
       tasks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -238,7 +255,7 @@ object StreamIngest {
           .distinct().as[Int].collect().toSet
         if (touched.isEmpty) return
         val folded = EntityFold.applyToSnapshot(readOwned(touched), tasks, nowEpoch)
-        val next = versions.lastOption.getOrElse(-1L) + 1
+        val next = vs.lastOption.getOrElse(-1L) + 1
         // One file per bucket, eid-sorted inside: parquet min/max zone maps
         // keep pruning subnet/range scans, same as the full-rewrite store's
         // layout.
@@ -248,7 +265,7 @@ object StreamIngest {
           .sortWithinPartitions("bucket", "eid")
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
         writeManifest(next, touched.toSeq, batchIds)
-        if (maxDeltas > 0 && versionCount > maxDeltas) compact()
+        if (maxDeltas > 0 && vs.size + 1 > maxDeltas) compact()
       } finally tasks.unpersist()
     }
 
@@ -268,7 +285,10 @@ object StreamIngest {
         .sortWithinPartitions("bucket", "eid")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/v$next")
       writeManifest(next, (0 until numBuckets).toSeq, absorbed)
-      olds.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+      olds.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
+        manifestCache.remove(v)
+      }
     }
 
     /** Delta-version count since the last compaction (read-amp telemetry). */

@@ -140,6 +140,17 @@ class EnrichmentSpec extends AnyFunSuite {
       val fileSrc = HttpBlacklistSource(spark, f.toUri.toString, "spamlist",
         fallback, enabled = true)
       assert(fileSrc.setList.count() == 1L)
+      // a MISCONFIGURATION (unsupported scheme) must throw, not silently
+      // serve the fallback forever — only transient failures degrade
+      val typo = HttpBlacklistSource(spark, "htps://host/bl.txt", "spamlist",
+        fallback, enabled = true)
+      intercept[IllegalArgumentException](typo.setList.count())
+      // an over-limit body drops its final PARTIAL line (a cut
+      // '10.0.0.250' would otherwise parse as the wrong address '10.0.0.2')
+      val big = HttpBlacklistSource(spark, url, "spamlist", fallback,
+        enabled = true, maxBytes = body.indexOf("10.0.0.2 ;") + 6)
+      val bigIps = big.setList.collect().map(_.getLong(0)).toSeq
+      assert(bigIps == Seq(expected1), s"partial tail must be dropped: $bigIps")
     } finally server.stop(0)
   }
 }
