@@ -1459,6 +1459,60 @@ object SparkEntry {
       lshMaintPairs(s, dir)
         .orderBy(col("batch"), col("crawl_doc"), col("corpus_doc"))),
 
+    // -- the SAME index lifecycle driven by Structured Streaming: crawl
+    //    documents arrive as a two-batch file stream (doc_id%3==1, then
+    //    %3==2); each micro-batch computes band rows FROM ITS OWN TEXT,
+    //    probes the persisted index, emits exact-verified dup pairs to the
+    //    sink, and appends its survivors (compacted) before the next
+    //    trigger — a standing crawl keeps the dedup index current with no
+    //    batch scheduler. Batch 2's matches against batch-1 survivors
+    //    prove the in-stream append took effect; oracle = the identical
+    //    set-algebraic replay the batch lifecycle row uses. --
+    "llm_stream_near_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shingleTable(s, dir)
+      val idxDir = scratchDir("graft-slsh") + "/index"
+      Dedup.lshBandRows(signatureTable(s, dir).filter(col("doc_id") % 3 === 0))
+        .write.mode("overwrite").parquet(idxDir)
+      val src = scratchDir("graft-slsh-src")
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      backdateExistingFiles(src)
+      docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      val sink = scratchDir("graft-slsh-sink")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .option("checkpointLocation", scratchDir("graft-slsh-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bands = Dedup.lshBandRows(
+            Dedup.minhashSignaturesWide(Dedup.shingles(batch, 3), 64))
+          // checkpoint before the append mutates the layout (the
+          // appendToLshIndex contract — same as the batch lifecycle)
+          val dups = Dedup.incrementalNearDups(bands,
+              s.read.parquet(idxDir), sh, threshold = 0.5)
+            .localCheckpoint()
+          dups.withColumn("batch", lit(bid + 1))
+            .write.mode("append").parquet(sink)
+          val surv = bands.join(
+            dups.select(col("crawl_doc").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          Dedup.appendToLshIndex(idxDir, surv, maxFiles = 2)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("batch"), col("crawl_doc"), col("corpus_doc"), col("jaccard"))
+        .orderBy(col("batch"), col("crawl_doc"), col("corpus_doc"))
+    }),
+
     // BPE encode under a fixed merge table: tokens-per-word fertility —
     // one narrow codegen projection, no shuffle (llm/Bpe.scala)
     "llm_bpe_encode" -> ((s, dir) =>
@@ -1469,6 +1523,32 @@ object SparkEntry {
     "llm_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Terms)
         .orderBy(col("score").desc, col("doc_id"))),
+
+    // -- HYBRID retrieval (the standard RAG pattern): the BM25 keyword
+    //    top-15 and the embedding-cosine top-15 (query = vector 0, the
+    //    tables share one id space) fused by reciprocal-rank fusion
+    //    (Cormack et al. 2009: score = Σ_lists 1/(60 + rank)). Both lists
+    //    are k-row heads of TakeOrderedAndProject heaps, so the fusion
+    //    join is driver-trivial at any corpus size — the full-corpus work
+    //    stays the two independent retrievals, each already scale-shaped.
+    //    A rank of 0 in the output means "absent from that list". --
+    "llm_hybrid_retrieval" -> ((s, dir) => {
+      val lexWin = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Terms, k = 15)
+        .select(col("doc_id"), row_number().over(lexWin).as("lex_rank"))
+      val sem = Ann.bruteTopK(Tables.embeddings(s, dir), queryMaxId = 1, k = 15)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank").cast("long"), lit(0L)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
 
     // HyperLogLog distinct tokens per (lang, source) audited against exact:
     // fixed 2^p-register state vs the distinct shuffle (llm/Sketch.scala)
@@ -3462,6 +3542,51 @@ object SparkEntry {
          |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
          |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin,
 
+    // the streaming run of the same two-batch lifecycle produces the
+    // identical pair set: the replay below is shared verbatim with
+    // llm_lsh_index_maint (same %3 splits, same threshold, same
+    // survivors-enter-the-index rule)
+    "llm_stream_near_dedup" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cand1 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+         |dup1 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand1 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5),
+         |surv1 AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % 3 = 1
+         |    AND doc_id NOT IN (SELECT crawl_doc FROM dup1)),
+         |cand2 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 2
+         |    AND (c.doc_id % 3 = 0 OR c.doc_id IN (SELECT doc_id FROM surv1))),
+         |dup2 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand2 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5)
+         |SELECT CAST(1 AS BIGINT) AS batch, crawl_doc, corpus_doc, jaccard FROM dup1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
+         |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin,
+
     "llm_lsh_calibration" -> {
       val cfg = Seq(2, 4, 8)
       val blocks = cfg.map { r =>
@@ -4090,6 +4215,61 @@ object SparkEntry {
          |SELECT doc_id, n_terms,
          |  CAST(round(CAST(score_dec AS DECIMAL(28,10)), 4) AS DOUBLE) AS score
          |FROM ranked WHERE rk <= 15 ORDER BY score DESC, doc_id""".stripMargin,
+
+    // hybrid fusion: the same BM25 CTE ranks the keyword list, the cosine
+    // list ranks every vector against vector 0 (self excluded), and RRF
+    // (1/(60+rank), double arithmetic on both engines) fuses them; rank 0
+    // marks a document absent from that list
+    "llm_hybrid_retrieval" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+         |  FROM d),
+         |hits AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((tf.tf * (1.2 + 1.0)) /
+         |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+         |      AS DECIMAL(18,9)) AS term_score
+         |  FROM tf JOIN df USING (term), stats),
+         |agg AS (SELECT doc_id, sum(term_score) AS score_dec FROM scored GROUP BY 1),
+         |lex AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score_dec DESC, doc_id) AS lex_rank
+         |    FROM agg)
+         |  WHERE lex_rank <= 15),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |sem0 AS (
+         |  SELECT e.vec_id, ${COS("e.emb", "q.qe")} AS cos
+         |  FROM e, q WHERE e.vec_id != 0),
+         |sem AS (
+         |  SELECT vec_id AS doc_id, sem_rank FROM (
+         |    SELECT vec_id,
+         |      row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+         |    FROM sem0)
+         |  WHERE sem_rank <= 15),
+         |ids AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM sem),
+         |fused AS (
+         |  SELECT i.doc_id,
+         |    CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         |    CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+         |    round(
+         |      coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+         |      coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0), 6) AS rrf
+         |  FROM ids i
+         |  LEFT JOIN lex l ON l.doc_id = i.doc_id
+         |  LEFT JOIN sem s ON s.doc_id = i.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // register formation mirrored bit-for-bit: top-60-bit md5 hash, bucket =
     // top 6 bits, rank via binary-string length; 2^-reg terms are exact
