@@ -1469,32 +1469,29 @@ object SparkEntry {
     //    prove the in-stream append took effect; oracle = the identical
     //    set-algebraic replay the batch lifecycle row uses. --
     "llm_stream_near_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
       val sh = shingleTable(s, dir)
       val idxDir = scratchDir("graft-slsh") + "/index"
       Dedup.lshBandRows(signatureTable(s, dir).filter(col("doc_id") % 3 === 0))
         .write.mode("overwrite").parquet(idxDir)
-      val src = scratchDir("graft-slsh-src")
-      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
-        .coalesce(1).write.mode("append").parquet(src)
-      backdateExistingFiles(src)
-      docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
-        .coalesce(1).write.mode("append").parquet(src)
+      // the %3-split source is read-only fixture setup — built once per
+      // (app, dir) like the sibling stream fixtures; the index, sink, and
+      // checkpoint stay per-invocation (they are the mutable state under
+      // test)
+      val src = slshSourceDir(s, dir)
       val sink = scratchDir("graft-slsh-sink")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      val q = s.readStream.schema(schema)
+      val q = s.readStream.schema(slshSourceSchema(s, dir))
         .option("maxFilesPerTrigger", "1").parquet(src)
         .writeStream
         .option("checkpointLocation", scratchDir("graft-slsh-ck"))
         .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // ONE materialization of the batch's band rows (16 rows/doc,
+          // bounded): both the probe and the survivor append consume it —
+          // left lazy, the shingle+minhash shuffles would run twice per
+          // trigger. Checkpointing also satisfies the appendToLshIndex
+          // contract (results pinned before the layout mutates).
           val bands = Dedup.lshBandRows(
-            Dedup.minhashSignaturesWide(Dedup.shingles(batch, 3), 64))
-          // checkpoint before the append mutates the layout (the
-          // appendToLshIndex contract — same as the batch lifecycle)
+              Dedup.minhashSignaturesWide(Dedup.shingles(batch, 3), 64))
+            .localCheckpoint()
           val dups = Dedup.incrementalNearDups(bands,
               s.read.parquet(idxDir), sh, threshold = 0.5)
             .localCheckpoint()
@@ -1504,6 +1501,7 @@ object SparkEntry {
             dups.select(col("crawl_doc").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           Dedup.appendToLshIndex(idxDir, surv, maxFiles = 2)
+          Dedup.freeLocalCheckpoint(bands)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -2222,6 +2220,31 @@ object SparkEntry {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .foreach(f => f.setLastModified(f.lastModified() - 60000L))
 
+  /** Reader schema for the two-batch crawl stream fixture below — derived
+    * from the documents table itself so it can never drift from the files
+    * the fixture writes.
+    */
+  private def slshSourceSchema(s: SparkSession, dir: String) =
+    Tables.documents(s, dir).select("doc_id", "text").schema
+
+  /** Two-batch crawl stream fixture for the streaming index-lifecycle query
+    * (doc_id % 3 == 1 arrives a micro-batch before % 3 == 2) — read-only
+    * fixture SETUP, cached per (app, dir) like the sibling stream sources;
+    * each invocation still runs its own index, sink, and checkpoint.
+    */
+  private val slshSrcCache = new ConcurrentHashMap[String, String]()
+  private def slshSourceDir(s: SparkSession, dir: String): String =
+    slshSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val src = scratchDir("graft-slsh-src")
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      backdateExistingFiles(src)
+      docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      src
+    })
+
   /** Same two-file fixture over the documents table (odd doc ids arrive a
     * micro-batch before even ones) for the streaming dedup query.
     */
@@ -2519,6 +2542,37 @@ object SparkEntry {
       |  SELECT d.doc_id, least(coalesce(cl.mn, d.doc_id), d.doc_id) AS cluster
       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin
 
+  /** Shared BM25 scoring chain (k1 = 1.2, b = 0.75, the idf formula, and
+    * the DECIMAL(18,9) per-term quantization), ending in
+    * `agg(doc_id, score_dec, n_terms)` — ONE definition bound into both the
+    * `llm_bm25` oracle and the hybrid-retrieval oracle so the constants can
+    * never drift between them (the Spark side likewise shares the single
+    * `Retrieval.bm25TopK`).
+    */
+  private lazy val BM25_CTE =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM d),
+       |hits AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
+       |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tf.tf * (1.2 + 1.0)) /
+       |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+       |      AS DECIMAL(18,9)) AS term_score
+       |  FROM tf JOIN df USING (term), stats),
+       |agg AS (
+       |  SELECT doc_id, sum(term_score) AS score_dec,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY 1)""".stripMargin
+
   private val SHINGLES =
     """sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -2534,6 +2588,55 @@ object SparkEntry {
       |  FROM inter
       |  JOIN sizes s1 ON s1.doc_id = d1
       |  JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
+
+  /** Two-batch persisted-LSH lifecycle replay (corpus = doc_id%3==0, batch
+    * 1 = %3==1 whose survivors enter the index, batch 2 = %3==2 probing the
+    * updated index) — ONE definition bound to BOTH `llm_lsh_index_maint`
+    * (the batch lifecycle) and `llm_stream_near_dedup` (the same lifecycle
+    * driven by Structured Streaming): the two rows must verify against the
+    * same replay by construction, and a shared constant makes it impossible
+    * for an edit to desynchronize them.
+    */
+  private lazy val LSH_LIFECYCLE_REPLAY_SQL: String =
+    s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cand1 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+         |dup1 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand1 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5),
+         |surv1 AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % 3 = 1
+         |    AND doc_id NOT IN (SELECT crawl_doc FROM dup1)),
+         |cand2 AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 3 = 2
+         |    AND (c.doc_id % 3 = 0 OR c.doc_id IN (SELECT doc_id FROM surv1))),
+         |dup2 AS (
+         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |  FROM cand2 n JOIN jac j
+         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |  WHERE j.jaccard >= 0.5)
+         |SELECT CAST(1 AS BIGINT) AS batch, crawl_doc, corpus_doc, jaccard FROM dup1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
+         |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin
 
   /** DuckDB cosine over double-cast embeddings — same formula as `Ann.cosine`
     * (round-6 keeps float-order noise below the compare precision).
@@ -3501,91 +3604,13 @@ object SparkEntry {
     // survivors of batch 1 enter the index; dup2 = batch2 (id%3=2) vs
     // corpus + batch-1 survivors — replayed set-algebraically here, while
     // the engine runs it against the actually-appended-and-compacted layout
-    "llm_lsh_index_maint" ->
-      s"""WITH $SHINGLES,
-         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
-         |sig AS (SELECT doc_id, i,
-         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
-         |        FROM base, idx GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
-         |  FROM sig GROUP BY 1, 2),
-         |cand1 AS (
-         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
-         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
-         |  WHERE w.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
-         |dup1 AS (
-         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
-         |  FROM cand1 n JOIN jac j
-         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
-         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
-         |  WHERE j.jaccard >= 0.5),
-         |surv1 AS (
-         |  SELECT DISTINCT doc_id FROM documents
-         |  WHERE doc_id % 3 = 1
-         |    AND doc_id NOT IN (SELECT crawl_doc FROM dup1)),
-         |cand2 AS (
-         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
-         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
-         |  WHERE w.doc_id % 3 = 2
-         |    AND (c.doc_id % 3 = 0 OR c.doc_id IN (SELECT doc_id FROM surv1))),
-         |dup2 AS (
-         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
-         |  FROM cand2 n JOIN jac j
-         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
-         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
-         |  WHERE j.jaccard >= 0.5)
-         |SELECT CAST(1 AS BIGINT) AS batch, crawl_doc, corpus_doc, jaccard FROM dup1
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
-         |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin,
+    "llm_lsh_index_maint" -> LSH_LIFECYCLE_REPLAY_SQL,
 
     // the streaming run of the same two-batch lifecycle produces the
     // identical pair set: the replay below is shared verbatim with
     // llm_lsh_index_maint (same %3 splits, same threshold, same
     // survivors-enter-the-index rule)
-    "llm_stream_near_dedup" ->
-      s"""WITH $SHINGLES,
-         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
-         |sig AS (SELECT doc_id, i,
-         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
-         |        FROM base, idx GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
-         |  FROM sig GROUP BY 1, 2),
-         |cand1 AS (
-         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
-         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
-         |  WHERE w.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
-         |dup1 AS (
-         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
-         |  FROM cand1 n JOIN jac j
-         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
-         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
-         |  WHERE j.jaccard >= 0.5),
-         |surv1 AS (
-         |  SELECT DISTINCT doc_id FROM documents
-         |  WHERE doc_id % 3 = 1
-         |    AND doc_id NOT IN (SELECT crawl_doc FROM dup1)),
-         |cand2 AS (
-         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
-         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
-         |  WHERE w.doc_id % 3 = 2
-         |    AND (c.doc_id % 3 = 0 OR c.doc_id IN (SELECT doc_id FROM surv1))),
-         |dup2 AS (
-         |  SELECT n.crawl_doc, n.corpus_doc, j.jaccard
-         |  FROM cand2 n JOIN jac j
-         |    ON j.d1 = least(n.crawl_doc, n.corpus_doc)
-         |   AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
-         |  WHERE j.jaccard >= 0.5)
-         |SELECT CAST(1 AS BIGINT) AS batch, crawl_doc, corpus_doc, jaccard FROM dup1
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), crawl_doc, corpus_doc, jaccard FROM dup2
-         |ORDER BY batch, crawl_doc, corpus_doc""".stripMargin,
+    "llm_stream_near_dedup" -> LSH_LIFECYCLE_REPLAY_SQL,
 
     "llm_lsh_calibration" -> {
       val cfg = Seq(2, 4, 8)
@@ -4187,28 +4212,7 @@ object SparkEntry {
     // per-term BM25 scores quantized to DECIMAL(18,9) before the per-doc sum
     // (exact addition in any order), ranking on the exact decimal total
     "llm_bm25" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
-         |  FROM d),
-         |hits AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
-         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |  GROUP BY 1, 2, 3),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    CAST(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-         |      ((tf.tf * (1.2 + 1.0)) /
-         |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
-         |      AS DECIMAL(18,9)) AS term_score
-         |  FROM tf JOIN df USING (term), stats),
-         |agg AS (
-         |  SELECT doc_id, sum(term_score) AS score_dec,
-         |    CAST(count(*) AS BIGINT) AS n_terms
-         |  FROM scored GROUP BY 1),
+      s"""WITH $BM25_CTE,
          |ranked AS (
          |  SELECT *, row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rk
          |  FROM agg)
@@ -4221,31 +4225,21 @@ object SparkEntry {
     // (1/(60+rank), double arithmetic on both engines) fuses them; rank 0
     // marks a document absent from that list
     "llm_hybrid_retrieval" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
-         |  FROM d),
-         |hits AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
-         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |  GROUP BY 1, 2, 3),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    CAST(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-         |      ((tf.tf * (1.2 + 1.0)) /
-         |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
-         |      AS DECIMAL(18,9)) AS term_score
-         |  FROM tf JOIN df USING (term), stats),
-         |agg AS (SELECT doc_id, sum(term_score) AS score_dec FROM scored GROUP BY 1),
+      s"""WITH $BM25_CTE,
          |lex AS (
-         |  SELECT doc_id, lex_rank FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |  FROM (
+         |    -- top-15 CUT on the exact decimal (what bm25TopK's limit uses),
+         |    -- then rank WITHIN the list on the published rounded score +
+         |    -- doc_id (what the Spark side's window over bm25TopK's output
+         |    -- uses) -- ranking on score_dec here would break ties the
+         |    -- rounding collapses differently than the engine does
          |    SELECT doc_id,
-         |      row_number() OVER (ORDER BY score_dec DESC, doc_id) AS lex_rank
+         |      CAST(round(CAST(score_dec AS DECIMAL(28,10)), 4) AS DOUBLE) AS score,
+         |      row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rk
          |    FROM agg)
-         |  WHERE lex_rank <= 15),
+         |  WHERE rk <= 15),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
          |sem0 AS (

@@ -284,7 +284,7 @@ object Dedup {
     * [[components]] the free sits immediately before the `e = next`
     * reassignment for exactly this reason — keep it there.
     */
-  private[llm] def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
       case _ => ()
