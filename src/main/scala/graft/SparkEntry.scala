@@ -2046,18 +2046,8 @@ object SparkEntry {
     //    data itself; the receipt is priority pinned to a single batch 0
     //    while normal spans exactly one batch per non-empty residue file. --
     "nerd_stream_priority" -> ((s, dir) => {
-      import s.implicits._
       val ev = events(s, dir)
-      val normalDir = scratchDir("graft-prio-norm")
-      val priorityDir = scratchDir("graft-prio-pri")
-      val normal = ev.filter(col("user_id") % 2 === 0)
-      Seq(0L, 2L, 4L, 6L).foreach { g =>
-        val part = normal.filter(pmod(col("user_id"), lit(8)) === g)
-        if (!part.isEmpty)
-          part.coalesce(1).write.mode("append").parquet(normalDir)
-      }
-      ev.filter(col("user_id") % 2 === 1)
-        .coalesce(1).write.mode("append").parquet(priorityDir)
+      val (normalDir, priorityDir) = prioSourceDirs(s, dir)
       val sink = scratchDir("graft-prio-sink")
       val q = graft.streaming.StreamIngest.startTwoLane(s, normalDir,
         priorityDir, ev.schema, scratchDir("graft-prio-ck"), sink,
@@ -2087,12 +2077,7 @@ object SparkEntry {
     "nerd_stream_recovery" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
-      val src = scratchDir("graft-recov-src")
-      Seq(0L, 1L, 2L).foreach { g =>
-        backdateExistingFiles(src)
-        ev.filter(col("event_id") % 3 === g)
-          .coalesce(1).write.mode("append").parquet(src)
-      }
+      val src = recovSourceDir(s, dir)
       val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
         s, scratchDir("graft-recov-store"), numBuckets = 8, maxDeltas = 2)
       val now = nowEpoch(s, dir)
@@ -2242,6 +2227,46 @@ object SparkEntry {
       backdateExistingFiles(src)
       docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(src)
+      src
+    })
+
+  /** Two-lane admission fixture dirs (normal = even entities, one file per
+    * user_id%8 residue; priority = odd entities) — read-only fixture SETUP,
+    * cached per (app, dir); each invocation still runs its own stream,
+    * checkpoint, and sink.
+    */
+  private val prioSrcCache = new ConcurrentHashMap[String, (String, String)]()
+  private def prioSourceDirs(s: SparkSession, dir: String): (String, String) =
+    prioSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val ev = events(s, dir)
+      val normalDir = scratchDir("graft-prio-norm")
+      val priorityDir = scratchDir("graft-prio-pri")
+      val normal = ev.filter(col("user_id") % 2 === 0)
+      Seq(0L, 2L, 4L, 6L).foreach { g =>
+        val part = normal.filter(pmod(col("user_id"), lit(8)) === g)
+        if (!part.isEmpty)
+          part.coalesce(1).write.mode("append").parquet(normalDir)
+      }
+      ev.filter(col("user_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(priorityDir)
+      (normalDir, priorityDir)
+    })
+
+  /** Three-batch event stream fixture for the crash-recovery query
+    * (event_id % 3 == 0, 1, 2 in admission order) — read-only fixture
+    * SETUP, cached per (app, dir); the store, checkpoint, and failure
+    * marker stay per-invocation (they are the recovery state under test).
+    */
+  private val recovSrcCache = new ConcurrentHashMap[String, String]()
+  private def recovSourceDir(s: SparkSession, dir: String): String =
+    recovSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val ev = events(s, dir)
+      val src = scratchDir("graft-recov-src")
+      Seq(0L, 1L, 2L).foreach { g =>
+        backdateExistingFiles(src)
+        ev.filter(col("event_id") % 3 === g)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
       src
     })
 
