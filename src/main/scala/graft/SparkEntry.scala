@@ -1216,6 +1216,32 @@ object SparkEntry {
         .orderBy(col("eval_doc"), col("train_doc"))
     }),
 
+    // the SCALE-CAPABLE leakage audit — the variant a production campaign
+    // actually runs on the full corpus: same boundary-straddling report,
+    // but the pair source is the banded-LSH candidate join (16 band rows
+    // per doc, never the pair space) with exact-Jaccard verification, NOT
+    // the uncapped all-pairs truth the row above is pinned to. The
+    // signature prefilter is switched OFF (margin = threshold ⇒
+    // pass-through) — an audit protecting the train/eval boundary takes no
+    // probabilistic gate; the one approximation left is the banding
+    // S-curve itself, whose in-regime recall is exactly what
+    // `llm_lsh_calibration_sampled` measures before r is committed. The
+    // full-truth row stays as the oracle-SF exactness baseline.
+    "llm_split_leakage_lsh" -> ((s, dir) => {
+      val sTrain = Sample.splitCol(col("d1"), valFrac = 0.1, testFrac = 0.1)
+      val sEval = Sample.splitCol(col("d2"), valFrac = 0.1, testFrac = 0.1)
+      Dedup.minhashLshFromSignatures(signatureTable(s, dir), shingleTable(s, dir),
+          prefilterMargin = 0.5)
+        .withColumn("s1", sTrain).withColumn("s2", sEval)
+        .filter((col("s1") === "train") =!= (col("s2") === "train"))
+        .select(
+          when(col("s1") === "train", col("d2")).otherwise(col("d1")).as("eval_doc"),
+          when(col("s1") === "train", col("s2")).otherwise(col("s1")).as("eval_split"),
+          when(col("s1") === "train", col("d1")).otherwise(col("d2")).as("train_doc"),
+          col("jaccard"))
+        .orderBy(col("eval_doc"), col("train_doc"))
+    }),
+
     // vocabulary-coverage audit: top-50 corpus vocabulary (ties lexical),
     // per-doc OOV rate — TakeOrderedAndProject vocab, broadcast onto one
     // exploded corpus pass
@@ -1493,7 +1519,7 @@ object SparkEntry {
               Dedup.minhashSignaturesWide(Dedup.shingles(batch, 3), 64))
             .localCheckpoint()
           val dups = Dedup.incrementalNearDups(bands,
-              s.read.parquet(idxDir), sh, threshold = 0.5)
+              Dedup.readLshIndex(s, idxDir), sh, threshold = 0.5)
             .localCheckpoint()
           dups.withColumn("batch", lit(bid + 1))
             .write.mode("append").parquet(sink)
@@ -1501,7 +1527,10 @@ object SparkEntry {
             dups.select(col("crawl_doc").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           Dedup.appendToLshIndex(idxDir, surv, maxFiles = 2)
+          // free BOTH per-trigger checkpoints — a standing crawl otherwise
+          // leaks one cached RDD per micro-batch for the session lifetime
           Dedup.freeLocalCheckpoint(bands)
+          Dedup.freeLocalCheckpoint(dups)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -2262,10 +2291,21 @@ object SparkEntry {
     recovSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
       val ev = events(s, dir)
       val src = scratchDir("graft-recov-src")
+      val now = nowEpoch(s, dir)
       Seq(0L, 1L, 2L).foreach { g =>
         backdateExistingFiles(src)
-        ev.filter(col("event_id") % 3 === g)
-          .coalesce(1).write.mode("append").parquet(src)
+        val slice = ev.filter(col("event_id") % 3 === g)
+        // the recovery oracle pins commits = 3 (one ledger entry per
+        // batch), but an empty-task batch records no ledger entry by
+        // design — so the pin silently depends on every slice holding at
+        // least one event inside the 7-day validate window. Assert that
+        // HERE: a fixture or clock change fails fixture-build with an
+        // explicit message instead of a confusing commits mismatch.
+        require(slice.filter(col("ts").cast("long") > now - 604800L &&
+            col("ts").cast("long") <= now + 300L).limit(1).count() > 0,
+          s"recovery fixture slice event_id%3==$g has no events inside the " +
+            "validate window; the oracle's commits=3 pin would break")
+        slice.coalesce(1).write.mode("append").parquet(src)
       }
       src
     })
@@ -2441,14 +2481,14 @@ object SparkEntry {
       // the post-append index (batch-1 docs matching themselves). The
       // checkpoint severs the lineage, so batch 1's result is immutable
       // before the layout mutates.
-      val dup1 = Dedup.incrementalNearDups(b1, s.read.parquet(idxDir), sh,
+      val dup1 = Dedup.incrementalNearDups(b1, Dedup.readLshIndex(s, idxDir), sh,
           threshold = 0.5)
         .localCheckpoint()
       val surv1 = b1.join(dup1.select(col("crawl_doc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       Dedup.appendToLshIndex(idxDir, surv1, maxFiles = 2)
       val b2 = Dedup.lshBandRows(sig.filter(col("doc_id") % 3 === 2))
-      val dup2 = Dedup.incrementalNearDups(b2, s.read.parquet(idxDir), sh,
+      val dup2 = Dedup.incrementalNearDups(b2, Dedup.readLshIndex(s, idxDir), sh,
         threshold = 0.5)
       val out = dup1.withColumn("batch", lit(1L))
         .unionByName(dup2.withColumn("batch", lit(2L)))
@@ -4626,6 +4666,49 @@ object SparkEntry {
          |      CAST('0x' || substring(md5('split|' || d2), 1, 8) AS BIGINT)
          |        / CAST(4294967296 AS DOUBLE) AS u2
          |    FROM jac WHERE jaccard >= 0.5))
+         |SELECT CASE WHEN s1 = 'train' THEN d2 ELSE d1 END AS eval_doc,
+         |       CASE WHEN s1 = 'train' THEN s2 ELSE s1 END AS eval_split,
+         |       CASE WHEN s1 = 'train' THEN d1 ELSE d2 END AS train_doc,
+         |       jaccard
+         |FROM sp WHERE (s1 = 'train') != (s2 = 'train')
+         |ORDER BY eval_doc, train_doc""".stripMargin,
+
+    // scale-capable leakage audit: the pair source is the banded-LSH
+    // candidate set (same CTE chain as llm_minhash_lsh, ungated) with
+    // exact verification, then the identical split tagging as above
+    "llm_split_leakage_lsh" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |lp AS (
+         |  SELECT j.d1, j.d2, j.jaccard
+         |  FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+         |  WHERE j.jaccard >= 0.5),
+         |sp AS (
+         |  SELECT d1, d2, jaccard,
+         |    CASE WHEN u1 < CAST(0.1 AS DOUBLE) THEN 'test'
+         |         WHEN u1 < CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+         |         ELSE 'train' END AS s1,
+         |    CASE WHEN u2 < CAST(0.1 AS DOUBLE) THEN 'test'
+         |         WHEN u2 < CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+         |         ELSE 'train' END AS s2
+         |  FROM (
+         |    SELECT d1, d2, jaccard,
+         |      CAST('0x' || substring(md5('split|' || d1), 1, 8) AS BIGINT)
+         |        / CAST(4294967296 AS DOUBLE) AS u1,
+         |      CAST('0x' || substring(md5('split|' || d2), 1, 8) AS BIGINT)
+         |        / CAST(4294967296 AS DOUBLE) AS u2
+         |    FROM lp))
          |SELECT CASE WHEN s1 = 'train' THEN d2 ELSE d1 END AS eval_doc,
          |       CASE WHEN s1 = 'train' THEN s2 ELSE s1 END AS eval_split,
          |       CASE WHEN s1 = 'train' THEN d1 ELSE d2 END AS train_doc,

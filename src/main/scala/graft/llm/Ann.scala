@@ -129,7 +129,9 @@ object Ann {
     * map-side argmax, no shuffle of the corpus) and the rows land as new
     * files inside the touched clusters' partition directories only —
     * append cost is O(|batch|), never O(|corpus|), and every untouched
-    * partition's files stay byte-identical (pinned in `LlmOpsSpec`).
+    * partition's files stay byte-identical (pinned in `PlanSpec`,
+    * "IVF append: new vectors land only in their assigned cluster
+    * partitions").
     *
     * The coarse quantizer is deliberately FROZEN: assignment against the
     * trained centroids is the standard IVF add path (re-training moves

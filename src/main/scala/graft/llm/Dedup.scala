@@ -737,11 +737,13 @@ object Dedup {
         .coalesce(math.max(1, maxFiles / 2))
         .write.mode("overwrite").parquet(tmp.toString)
       // rename-aside → rename-in → delete-aside, NOT delete-then-rename: a
-      // crash between the two renames leaves the previous index intact at
-      // `.old` (manual rename recovers), and at no point is the published
-      // path a dangling hole a concurrent reader would 404 on. The one
-      // remaining non-atomic instant (between the two renames) loses
-      // nothing — both full copies exist on disk.
+      // crash at any point loses NO data (both full copies exist on disk
+      // until the final delete-aside). Stated honestly: between the two
+      // renames the published path briefly does not exist — a reader
+      // listing it in that window (or after a crash inside it) misses; that
+      // is what [[readLshIndex]]'s `.old` fallback covers, turning both the
+      // window and the crashed-swap state into a self-healing read instead
+      // of a 404.
       val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
       fs.delete(old, true) // clear any leftover from a prior crashed swap
       require(fs.rename(path, old), s"compaction aside-rename failed for $indexDir")
@@ -755,6 +757,30 @@ object Dedup {
     // default — without this, a reader created after the append/compact
     // still resolves the PRE-mutation file set and dies on the deleted parts
     spark.catalog.refreshByPath(indexDir)
+  }
+
+  /** Read a persisted banded-LSH index directory, SELF-HEALING a crashed
+    * [[appendToLshIndex]] compaction swap: if the published path is missing
+    * but the `.old` aside from an interrupted rename-aside → rename-in
+    * sequence exists, the aside is renamed back into place before reading —
+    * so a crash inside the swap window degrades to "the compaction didn't
+    * happen" instead of an unreadable index needing manual recovery.
+    */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+      if (fs.exists(old)) {
+        require(fs.rename(old, path),
+          s"LSH index self-heal rename failed: $old -> $path")
+        log.warn(s"self-healed crashed compaction swap for $indexDir " +
+          "(restored the pre-compaction index from the .old aside)")
+        spark.catalog.refreshByPath(indexDir)
+      }
+    }
+    spark.read.parquet(indexDir)
   }
 
   def incrementalNearDups(crawlBands: DataFrame, indexBands: DataFrame,

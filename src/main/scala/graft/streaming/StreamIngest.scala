@@ -541,10 +541,15 @@ object StreamIngest {
     var restarts = 0
     var done = false
     while (!done) {
-      val q = mkQuery()
-      try { q.awaitTermination(); done = true }
+      // mkQuery()/start() sit INSIDE the try: a restart attempt that dies
+      // while rebuilding the query (transient checkpoint-dir IO, a source
+      // listing hiccup) consumes restart budget like a post-start death —
+      // otherwise a start-time failure would escape the supervisor entirely.
+      // NonFatal (not just StreamingQueryException) for the same reason;
+      // fatal JVM errors still propagate immediately.
+      try { mkQuery().awaitTermination(); done = true }
       catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        case scala.util.control.NonFatal(e) =>
           if (restarts >= maxRestarts) throw e
           restarts += 1
           org.apache.log4j.Logger.getLogger(getClass)
@@ -567,9 +572,13 @@ object StreamIngest {
     var done = false
     while (!done) {
       attempt += 1
+      // NonFatal only: retrying after a fatal JVM error (OutOfMemoryError,
+      // StackOverflowError) would re-run the batch on a corrupted heap —
+      // those must propagate and kill the query so the SUPERVISOR restarts
+      // a fresh JVM-side query from the checkpoint instead
       try { runBatch(store, batch, nowEpoch, maxAgeDays); done = true }
       catch {
-        case e: Throwable if attempt < maxAttempts =>
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
           org.apache.log4j.Logger.getLogger(getClass)
             .warn(s"batch attempt $attempt failed, retrying: ${e.getMessage}")
       }
