@@ -1387,6 +1387,14 @@ object SparkEntry {
       Multimodal.decodeImage(Multimodal.withImagePayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // REAL audio decode: genuine RIFF/WAV 16-bit PCM payloads
+    // (javax.sound.sampled) parsed back to samples, features from the
+    // decoded amplitudes — the oracle knows the expected samples because
+    // the PCM stream is a pure per-byte function of text
+    "llm_decode_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.withAudioPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // every-3rd 32-byte frame sampled from the payload; head-frame digest
     "llm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -4970,6 +4978,35 @@ object SparkEntry {
         |  coalesce(agg.b3, 0) AS b3
         |FROM g LEFT JOIN agg USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin,
+
+    // the WAV sample stream is sample_i = (byte_i · 2654435761) mod 2¹⁶ −
+    // 2¹⁵ (fixture text is ASCII, so unicode(char) == byte); zero_cross
+    // counts sign flips between consecutive samples via a lag window
+    "llm_decode_audio" ->
+      """WITH b AS (
+        |  SELECT doc_id, i,
+        |    (unicode(substring(text, i, 1)) * 2654435761) % 65536 - 32768 AS smp
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |z AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS zc FROM (
+        |    SELECT doc_id, smp,
+        |           lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |    FROM b)
+        |  WHERE prev IS NOT NULL AND ((prev < 0) != (smp < 0))
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(abs(smp)) AS BIGINT) AS amp_sum,
+        |         CAST(max(abs(smp)) AS BIGINT) AS peak
+        |  FROM b GROUP BY 1)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS decoded,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  coalesce(agg.n_samples, 0) AS n_samples,
+        |  coalesce(agg.amp_sum, 0) AS amp_sum,
+        |  coalesce(agg.peak, 0) AS peak,
+        |  coalesce(z.zc, 0) AS zero_cross
+        |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN z USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // fixture text is ASCII, so char positions == byte positions and
     // md5(substring(text)) hashes the same bytes the Spark stub slices

@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   * (`javax.imageio`, JVM-builtin — no native libs needed) and
   * [[decodeImage]] decodes them and features the actual pixels, falling
   * back to byte-level pseudo-features only for undecodable payloads.
-  * AUDIO/VIDEO decode remains STUBBED (no codec libs in this container):
-  * `decodeStub`/`frameSampleStub` derive deterministic pseudo-features from
-  * the raw bytes, with the schema, binary payload handling, partition-batch
-  * shape, and feature vector contract real and tested.
+  * AUDIO decode is REAL too: [[withAudioPayload]] writes genuine RIFF/WAV
+  * 16-bit PCM files (`javax.sound.sampled`, also JVM-builtin) and
+  * [[decodeAudio]] parses the container and features the actual decoded
+  * samples, with the same degrade-don't-fail fallback.
+  * VIDEO decode remains STUBBED (the JVM ships no video codecs and this
+  * container has no native ones): `frameSampleStub` derives deterministic
+  * pseudo-features from the raw bytes, with the schema, binary payload
+  * handling, partition-batch shape, and feature vector contract real and
+  * tested.
   */
 object Multimodal {
 
@@ -255,6 +260,134 @@ object Multimodal {
       }
     }.toDF("doc_id", "decoded", "width", "height", "px_sum",
       "b0", "b1", "b2", "b3")
+  }
+
+  /** Attach a REAL WAV payload to each document: one 16-bit signed PCM
+    * mono sample per text byte (sample = `(byte·2654435761) mod 2¹⁶ −
+    * 2¹⁵` — the Knuth-hash spread makes amplitude sign and the zero-cross
+    * count non-degenerate, unlike a direct byte→amplitude map where ASCII
+    * would pin every sample negative), 8 kHz, wrapped in an actual RIFF/WAV
+    * container by `javax.sound.sampled.AudioSystem` — which ships with the
+    * JVM, so like the PNG path this needs no native libs. The sample being
+    * a pure per-byte function of the text is what lets the DuckDB oracle
+    * state the expected decode output without a WAV parser of its own.
+    */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = docs
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      rows.map { case (id, bytes) =>
+        val n = bytes.length
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((bytes(i) & 0xff).toLong * 2654435761L) % 65536L - 32768L).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray, n.toLong)
+      }
+    }.toDF("doc_id", "media", "n_samples")
+      .withColumn("media_meta", struct(
+        lit("wav").as("format"), col("n_samples"),
+        lit(8000).as("sample_rate")))
+      .drop("n_samples")
+  }
+
+  /** REAL audio decode behind the same partition-batched binary-in /
+    * features-out contract as [[decodeImage]]:
+    * `javax.sound.sampled.AudioSystem` parses the container (WAV/AIFF/AU —
+    * whatever the JVM's providers handle), and the features come from the
+    * ACTUAL decoded 16-bit PCM samples of channel 0 — sample count and
+    * rate, the summed absolute amplitude, the peak, and the zero-crossing
+    * count (the classic cheap speech/music discriminator). `decoded = 1`
+    * marks a successful decode; an unparsable or non-16-bit-PCM payload
+    * falls back to byte-level pseudo-features (`decoded = 0`,
+    * `sample_rate`/`zero_cross` 0), so a corrupt file degrades instead of
+    * failing the batch — the contract every decoder here honors.
+    */
+  def decodeAudio(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = withMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        // NonFatal for the same reason as decodeImage: container parsers
+        // throw more than UnsupportedAudioFileException on malformed
+        // headers, and none of it may kill the batch
+        val pcm: Array[Byte] = {
+          var data: Array[Byte] = null
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              if (f.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  f.getSampleSizeInBits == 16)
+                data = ais.readAllBytes()
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => }
+          data
+        }
+        if (pcm != null) {
+          // re-probe the header cheaply for rate/channels/endianness (the
+          // stream above was consumed); AudioFileFormat reads only the
+          // header, not the payload
+          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ff.getFormat
+          val ch = f.getChannels
+          val big = f.isBigEndian
+          val nSamples = pcm.length / (2 * ch)
+          var ampSum = 0L
+          var peak = 0L
+          var zeroCross = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < nSamples) {
+            val o = i * 2 * ch // channel 0 of frame i
+            val v =
+              if (big) ((pcm(o) << 8) | (pcm(o + 1) & 0xff)).toShort.toInt
+              else ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort.toInt
+            val a = math.abs(v.toLong)
+            ampSum += a
+            if (a > peak) peak = a
+            val neg = v < 0
+            if (i > 0 && neg != prevNeg) zeroCross += 1L
+            prevNeg = neg
+            i += 1
+          }
+          (id, 1L, f.getSampleRate.toLong, nSamples.toLong, ampSum, peak,
+            zeroCross)
+        } else {
+          var sum = 0L
+          var peak = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = (bytes(i) & 0xff).toLong
+            sum += b
+            if (b > peak) peak = b
+            i += 1
+          }
+          (id, 0L, 0L, bytes.length.toLong, sum, peak, 0L)
+        }
+      }
+    }.toDF("doc_id", "decoded", "sample_rate", "n_samples", "amp_sum",
+      "peak", "zero_cross")
   }
 
   /** The multimodal pipeline end-to-end: payload → batch decode → flat

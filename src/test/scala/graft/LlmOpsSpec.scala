@@ -151,6 +151,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fb.getLong(1) == 0L && fb.getLong(2) == 0L && fb.getLong(4) == 10L)
   }
 
+  test("audio payload is a genuine WAV; decode features the actual samples; corrupt bytes fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val docs = Seq((1L, "hello spark world"), (2L, "ab")).toDF("doc_id", "text")
+    val media = Multimodal.withAudioPayload(docs)
+    assert(media.select(col("media_meta.format")).distinct().head().getString(0) == "wav")
+    for (r <- media.select(col("doc_id"), col("media")).collect()) {
+      val bytes = r.getAs[Array[Byte]](1)
+      // RIFF container magic + WAVE form type
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      assert(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      // and the JVM audio stack genuinely parses it
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleSizeInBits == 16)
+      ais.close()
+    }
+    // decoded features equal the per-byte sample function (PCM is lossless)
+    val feats = Multimodal.decodeAudio(media).orderBy(col("doc_id")).collect()
+    val t1 = "hello spark world".getBytes("UTF-8")
+    val smp = t1.map(b => ((b & 0xff).toLong * 2654435761L) % 65536L - 32768L)
+    val r1 = feats(0)
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 8000L &&
+      r1.getLong(3) == t1.length.toLong)
+    assert(r1.getLong(4) == smp.map(math.abs).sum)
+    assert(r1.getLong(5) == smp.map(math.abs).max)
+    assert(r1.getLong(6) ==
+      smp.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // a corrupt payload takes the fallback path instead of failing the batch
+    val bad = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
+    val fa = Multimodal.decodeAudio(bad).head()
+    assert(fa.getLong(1) == 0L && fa.getLong(2) == 0L && fa.getLong(4) == 10L)
+  }
+
   test("LSH index append preserves content; compaction bounds part files and survives readers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
