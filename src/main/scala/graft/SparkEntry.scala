@@ -1784,13 +1784,16 @@ object SparkEntry {
     }),
 
     // -- DNS PTR enrichment (dns.py:27-77): !NEW/!every1w hostname resolve;
-    //    NXDOMAIN removes any stored hostname --
+    //    NXDOMAIN removes any stored hostname. Runs through the LIVE
+    //    connector's seam: gated off here (zero egress), it serves the
+    //    fixture db through the identical join; with GRAFT_LIVE_DNS=1 the
+    //    same call resolves executor-side against a real resolver --
     "nerd_dns_ptr" -> ((s, dir) => {
       val ips = entityIps(s, dir)
       val ptrDb = ips.filter(col("entity") % 2 === 0)
         .select(col("ip"), concat(lit("h"), col("entity"), lit(".isp"),
           col("entity") % 5, lit(".example.net")).as("hostname"))
-      graft.sources.PtrSource(ptrDb).enrich(ips).orderBy(col("entity"))
+      graft.sources.LiveDnsPtrSource(ptrDb).enrich(ips).orderBy(col("entity"))
     }),
 
     // -- ASN-level rank enrichment (bgp_rank.py / eml_asn_rank.py) --

@@ -208,6 +208,119 @@ final case class HttpBlacklistSource(
         org.apache.spark.sql.functions.col("bl_id"))
 }
 
+/** LIVE DNS PTR resolver — the second live [[EnrichmentSource]]
+  * (reference `NERDd/modules/dns.py:27–77`: resolve the PTR record for
+  * each entity ip; NXDOMAIN removes any stored hostname). Resolution runs
+  * EXECUTOR-side over the budget-bounded ip batch: each partition opens
+  * ONE JNDI DNS context (`jdk.naming.dns`, JVM-builtin — no native
+  * resolver libs) and streams its rows through it, so lookup parallelism
+  * scales with partitions and context setup amortizes per partition, not
+  * per row — the same partition-batched discipline as the multimodal
+  * decoders. The daily budget takes the deterministic
+  * `orderBy(entity).limit(budget)` cut [[Intel.dnsblLookups]] uses;
+  * beyond-budget ips pass through with no-op semantics (hostname "",
+  * nxdomain 0 — "not queried" must not look like "NXDOMAIN", which is a
+  * REMOVAL signal).
+  *
+  * GATED OFF by default (`GRAFT_LIVE_DNS=1`), serving the `fallback`
+  * fixture through [[Intel.ptrEnrich]] unchanged — the same gate shape as
+  * [[HttpBlacklistSource]]. Failure taxonomy likewise mirrors it:
+  * NXDOMAIN (`NameNotFoundException`) is a real answer and emits the
+  * removal flag; a TRANSIENT failure (timeout, server unreachable) emits
+  * the no-op row — the reference only deletes a stored hostname on a
+  * definitive NXDOMAIN, never on a lookup error.
+  */
+final case class LiveDnsPtrSource(
+    fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_DNS").contains("1"),
+    budget: Int = 1000,
+    timeoutMs: Int = 3000,
+    dnsUrl: String = "dns:") extends EnrichmentSource {
+  val name = "dns_ptr"
+
+  def feeds: Seq[DataFrame] = Seq(fallback)
+
+  def enrich(ips: DataFrame): DataFrame =
+    if (!enabled) Intel.ptrEnrich(ips, fallback)
+    else {
+      import org.apache.spark.sql.functions._
+      val resolved = resolvePtr(ips)
+      // beyond-budget ips re-attach with the no-op row; the resolved set is
+      // ≤ budget rows, so the re-attach join broadcasts it
+      ips.join(broadcast(resolved.drop("ip")), Seq("entity"), "left")
+        .select(col("entity"), col("ip"),
+          coalesce(col("hostname"), lit("")).as("hostname"),
+          coalesce(col("nxdomain"), lit(0L)).as("nxdomain"))
+    }
+
+  /** Live-resolve the budget cut of the batch: (entity, ip, hostname,
+    * nxdomain). Executor-side; one DNS context per partition.
+    */
+  private[sources] def resolvePtr(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = ips.sparkSession
+    import spark.implicits._
+    val (tms, url) = (timeoutMs, dnsUrl) // avoid serializing `this`
+    ips.orderBy(col("entity")).limit(budget)
+      .select(col("entity"), col("ip")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        // the `dns://host:port/name` URL-IN-NAME form, resolved through a
+        // plain InitialDirContext, NOT an explicit
+        // INITIAL_CONTEXT_FACTORY=com.sun.jndi.dns.DnsContextFactory: the
+        // jdk.naming.dns module exports only its URL-context package to
+        // java.naming, so naming the factory class works from the main
+        // thread's classloader but dies with IllegalAccessException under
+        // an executor task thread's context classloader — the URL form is
+        // the supported path and works from any thread
+        val env = new java.util.Hashtable[String, String]()
+        env.put("com.sun.jndi.dns.timeout.initial", tms.toString)
+        env.put("com.sun.jndi.dns.timeout.retries", "1")
+        // a context that fails to CONSTRUCT (no resolver reachable) is
+        // transient for every row in the partition: all no-op, never throw
+        val ctx =
+          try new javax.naming.directory.InitialDirContext(env)
+          catch { case scala.util.control.NonFatal(_) => null }
+        val it = rows.map { case (entity, ip) =>
+          if (ctx == null) (entity, ip, "", 0L)
+          else
+            try {
+              val attrs = ctx.getAttributes(
+                url + "/" + LiveDnsPtrSource.reverseName(ip), Array("PTR"))
+              Option(attrs.get("PTR")).filter(_.size > 0) match {
+                case Some(a) =>
+                  (entity, ip, a.get(0).toString.stripSuffix("."), 0L)
+                // a definitive empty answer: no PTR record == NXDOMAIN
+                // for the stored-hostname lifecycle
+                case None => (entity, ip, "", 1L)
+              }
+            } catch {
+              case _: javax.naming.NameNotFoundException =>
+                (entity, ip, "", 1L) // NXDOMAIN: the removal signal
+              case scala.util.control.NonFatal(_) =>
+                (entity, ip, "", 0L) // transient: keep stored state
+            }
+        }
+        it // context has no close() requirement beyond GC; JNDI DirContext
+           // close is advisory — still, be tidy when the iterator drains
+      }.toDF("entity", "ip", "hostname", "nxdomain")
+  }
+}
+
+object LiveDnsPtrSource {
+  /** `a.b.c.d` → `d.c.b.a.in-addr.arpa.` — the PTR query name (RFC 1035
+    * §3.5). Pure and JVM-side so the executor loop and tests share it; the
+    * Column-side twin is `reverseLabels(int2ipstr(ip))` in
+    * [[Intel.dnsblZoneLookups]].
+    */
+  def reverseName(ip: Long): String = {
+    val b = new StringBuilder(32)
+    b.append(ip & 255).append('.').append((ip >> 8) & 255).append('.')
+      .append((ip >> 16) & 255).append('.').append((ip >> 24) & 255)
+      .append(".in-addr.arpa.")
+    b.toString
+  }
+}
+
 /** whois RIR delegation boundaries (`whois.py:166–177,220–237`): an as-of
   * join of each fact's ASN against the sorted delegation starts.
   * `boundaries`: (start, rir).

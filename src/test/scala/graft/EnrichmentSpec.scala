@@ -153,4 +153,88 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(bigIps == Seq(expected1), s"partial tail must be dropped: $bigIps")
     } finally server.stop(0)
   }
+
+  test("live DNS PTR connector: resolves via a loopback DNS server; NXDOMAIN removes, timeout no-ops, gate serves fixture") {
+    import spark.implicits._
+    import graft.sources.LiveDnsPtrSource
+    // pure reversed-name formation (RFC 1035 §3.5)
+    assert(LiveDnsPtrSource.reverseName(0x01020304L) == "4.3.2.1.in-addr.arpa.")
+    // a LOCAL loopback UDP DNS server playing the resolver — the live
+    // lookup path (JNDI transport + wire parse) runs for real, zero egress
+    val ip1 = 0x0A000001L; val ip2 = 0x0A000002L; val ip3 = 0x0A000003L
+    val answers = Map( // qname -> Some(ptr) | None = NXDOMAIN; absent = drop
+      LiveDnsPtrSource.reverseName(ip1) -> Some("host1.example.net."),
+      LiveDnsPtrSource.reverseName(ip2) -> None)
+    val sock = new java.net.DatagramSocket(0,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val serverThread = new Thread(() => {
+      val buf = new Array[Byte](512)
+      try while (!sock.isClosed) {
+        val pkt = new java.net.DatagramPacket(buf, buf.length)
+        sock.receive(pkt)
+        val q = pkt.getData
+        // parse QNAME from offset 12
+        var i = 12
+        val sb = new StringBuilder
+        while (q(i) != 0) {
+          val l = q(i) & 0xff
+          sb.append(new String(q, i + 1, l, "ASCII")).append('.')
+          i += l + 1
+        }
+        val qname = sb.toString
+        val qend = i + 5 // zero + qtype(2) + qclass(2)
+        if (answers.contains(qname)) { // unknown names: DROP (timeout path)
+          val out = new java.io.ByteArrayOutputStream(128)
+          out.write(q, 0, 2) // echo ID
+          answers(qname) match {
+            case Some(host) =>
+              out.write(Array[Byte](0x81.toByte, 0x80.toByte,
+                0, 1, 0, 1, 0, 0, 0, 0))          // NOERROR, 1 answer
+              out.write(q, 12, qend - 12)          // question echo
+              out.write(Array[Byte](0xC0.toByte, 0x0C, // name ptr to qname
+                0, 12, 0, 1, 0, 0, 0, 60))         // PTR, IN, TTL 60
+              val rd = new java.io.ByteArrayOutputStream(64)
+              host.stripSuffix(".").split('.').foreach { lab =>
+                rd.write(lab.length); rd.write(lab.getBytes("ASCII"))
+              }
+              rd.write(0)
+              out.write((rd.size() >> 8) & 0xff); out.write(rd.size() & 0xff)
+              rd.writeTo(out)
+            case None =>
+              out.write(Array[Byte](0x81.toByte, 0x83.toByte, // NXDOMAIN
+                0, 1, 0, 0, 0, 0, 0, 0))
+              out.write(q, 12, qend - 12)
+          }
+          val rb = out.toByteArray
+          sock.send(new java.net.DatagramPacket(rb, rb.length,
+            pkt.getAddress, pkt.getPort))
+        }
+      } catch { case _: java.net.SocketException => () } // closed: exit
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+    try {
+      val fallback = Seq((ip1, "fixture.example.org")).toDF("ip", "hostname")
+      // 4 entities, budget 3: ip1 resolves, ip2 NXDOMAINs, ip3 times out
+      // (no-op), entity 40 is beyond budget (not queried -> no-op)
+      val ents = Seq((10L, ip1), (20L, ip2), (30L, ip3), (40L, ip1))
+        .toDF("entity", "ip")
+      val live = LiveDnsPtrSource(fallback, enabled = true, budget = 3,
+        timeoutMs = 400,
+        dnsUrl = s"dns://127.0.0.1:${sock.getLocalPort}")
+      val got = live.enrich(ents).orderBy($"entity").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(got(0) == ((10L, "host1.example.net", 0L)), got.mkString(","))
+      assert(got(1) == ((20L, "", 1L)))   // NXDOMAIN: removal signal
+      assert(got(2) == ((30L, "", 0L)))   // transient timeout: no-op
+      assert(got(3) == ((40L, "", 0L)))   // beyond budget: no-op
+      // gated off: identical to the fixture join, no socket is touched
+      val gated = LiveDnsPtrSource(fallback, enabled = false)
+      val g = gated.enrich(Seq((10L, ip1), (20L, ip2)).toDF("entity", "ip"))
+        .orderBy($"entity").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(g(0) == ((10L, "fixture.example.org", 0L)))
+      assert(g(1) == ((20L, "", 1L))) // not in fixture db: NXDOMAIN analog
+    } finally sock.close()
+  }
 }
