@@ -1126,12 +1126,21 @@ object SparkEntry {
     //    files only in the touched cluster partitions), and the probe then
     //    runs against the MERGED layout — index growth without a rebuild,
     //    the ANN sibling of the persisted-LSH index lifecycle. --
+    // full IVF index LIFECYCLE, probed at the end: build → two O(batch)
+    // appends against the frozen quantizer → partition-local compaction of
+    // the fragmented clusters → pruned probe over the compacted layout.
+    // The oracle is content-defined, so it also certifies compaction
+    // rewrote without losing or duplicating a vector.
     "llm_ann_ivf_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = scratchDir("graft-ivf-append")
       Ann.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
         clusterCol = "label", dir = idx)
-      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4), idx)
+      Ann.appendToIvfIndex(
+        emb.filter(col("vec_id") % 5 === 4 && col("vec_id") % 10 === 4), idx)
+      Ann.appendToIvfIndex(
+        emb.filter(col("vec_id") % 5 === 4 && col("vec_id") % 10 === 9), idx)
+      Ann.compactIvfIndex(s, idx, maxFilesPerCluster = 2)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Ann.ivfTopKPruned(q, idx, k = 5, nprobe = 1)

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Sequential-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
@@ -150,6 +152,70 @@ object Ann {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
     assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+  }
+
+  /** Bounded PARTITION-LOCAL compaction of an IVF layout: each
+    * [[appendToIvfIndex]] adds new part files inside its touched cluster
+    * directories, so a standing ingest fragments the layout O(batches) —
+    * this rewrites ONLY the cluster partitions whose part-file count
+    * exceeds `maxFilesPerCluster`, leaving every other partition's files
+    * untouched (byte-identical, same contract the append pins). Cost is
+    * proportional to the over-fragmented clusters' bytes, never the index.
+    *
+    * Swap discipline matches the LSH index compaction (rename-aside →
+    * rename-in → delete-aside; both full copies exist until the final
+    * delete), with the aside/tmp directories placed OUTSIDE `corpus/` —
+    * a `cluster=5.old` directory inside it would be parsed as a partition
+    * value by directory discovery. A crashed swap self-heals on the next
+    * call: a missing partition with a surviving aside is renamed back
+    * before compaction proceeds. Returns the number of partitions
+    * compacted; callers re-`read` the layout after (listings are pinned at
+    * DataFrame creation — same rule as [[graft.llm.Dedup.appendToLshIndex]]).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, maxFilesPerCluster: Int = 16): Int = {
+    val corpus = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal any crashed swap first: aside present, partition missing
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".old-cluster="))
+      .foreach { aside =>
+        val part = new org.apache.hadoop.fs.Path(corpus,
+          aside.getName.stripPrefix(".old-"))
+        if (!fs.exists(part)) {
+          require(fs.rename(aside, part),
+            s"IVF self-heal rename failed: $aside -> $part")
+          log.warn(s"self-healed crashed IVF compaction swap for $part")
+        } else fs.delete(aside, true) // swap completed; stale aside
+      }
+    var n = 0
+    fs.listStatus(corpus).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("cluster="))
+      .foreach { part =>
+        val files = fs.listStatus(part)
+          .count(_.getPath.getName.startsWith("part-"))
+        if (files > maxFilesPerCluster) {
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s".compact-${part.getName}")
+          // rows inside a partition dir carry no `cluster` column (the
+          // value lives in the dir name) — rewrite preserves that shape
+          spark.read.parquet(part.toString).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val old = new org.apache.hadoop.fs.Path(root, s".old-${part.getName}")
+          fs.delete(old, true)
+          require(fs.rename(part, old), s"IVF compaction aside-rename failed for $part")
+          require(fs.rename(tmp, part), s"IVF compaction swap failed for $part " +
+            s"(previous partition preserved at $old)")
+          fs.delete(old, true)
+          n += 1
+        }
+      }
+    if (n > 0) {
+      log.info(s"compacted $n IVF cluster partitions in $indexDir")
+      spark.catalog.refreshByPath(s"$indexDir/corpus")
+    }
+    n
   }
 
   /** IVF probe AGAINST the partitioned layout: route each query to its

@@ -1,0 +1,167 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Long-run LIFECYCLE SOAK — the receipt that the three mutable disk
+  * layouts (merge-on-read snapshot store, persisted banded-LSH index,
+  * partitioned IVF index) keep file counts, on-disk size, and per-trigger
+  * latency BOUNDED over many more maintenance cycles than any single
+  * correctness row drives (default 50 vs the suite's 2–4). A standing
+  * 100-TB ingest runs these lifecycles all day; what this tool guards
+  * against is the failure mode a 3-batch test cannot see — per-batch cost
+  * or file count creeping up with batch INDEX (compaction not engaging,
+  * ledger growth leaking into the fold, append fragmenting a layout).
+  *
+  * Output: one JSON object with the full per-batch series (wall ms, part
+  * files, bytes) per lifecycle plus first-K/last-K latency means — "is the
+  * tail no slower than the head" is the bounded-cost check, subject to the
+  * documented co-tenant variance band.
+  *
+  * Usage: `runMain graft.tools.Soak <sfDir> <outJson> [nBatches]`
+  */
+object Soak {
+
+  private def dirStats(dir: String): (Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) = {
+      if (!f.exists()) (0L, 0L)
+      else if (f.isDirectory) {
+        val cs = Option(f.listFiles()).getOrElse(Array.empty).map(walk)
+        (cs.map(_._1).sum, cs.map(_._2).sum)
+      } else if (f.getName.startsWith("part-")) (1L, f.length())
+      else (0L, f.length())
+    }
+    walk(new java.io.File(dir))
+  }
+
+  private def jArr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  private final case class Series(ms: Seq[Long], files: Seq[Long],
+                                  bytes: Seq[Long]) {
+    def json(extra: String = ""): String = {
+      val k = math.min(10, ms.length / 2)
+      val head = if (k == 0) 0L else ms.take(k).sum / k
+      val tail = if (k == 0) 0L else ms.takeRight(k).sum / k
+      s"""{"ms":${jArr(ms)},"part_files":${jArr(files)},""" +
+        s""""bytes":${jArr(bytes)},"lat_first${k}_ms":$head,""" +
+        s""""lat_last${k}_ms":$tail$extra}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val n = if (args.length > 2) args(2).toInt else 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
+
+    // ---- 1. streaming merge-on-read store: n single-file micro-batches
+    //         through a real Structured Streaming query, auto-compaction
+    //         live (maxDeltas = 4), batch-id ledger on every version ----
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val now = events.agg(max(col("ts").cast("date"))).head().getDate(0)
+      .toLocalDate.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toEpochSecond
+    val src = s"$tmp/mor-src"
+    (0 until n).foreach { g =>
+      events.filter(col("event_id") % n === g)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val store = new graft.streaming.StreamIngest.MergeOnReadSnapshotStore(
+      spark, s"$tmp/mor-store", numBuckets = 8, maxDeltas = 4)
+    val morMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val morFiles = scala.collection.mutable.ArrayBuffer[Long]()
+    val morBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/mor-ck")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamIngest.runBatchExactlyOnce(store, batch, now,
+          bid, maxAgeDays = 7)
+        morMs += (System.nanoTime() - t0) / 1000000L
+        val (f, b) = dirStats(s"$tmp/mor-store")
+        morFiles += f
+        morBytes += b
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val morCommits = store.committedBatchIds.size
+    val morRows = store.read().count()
+    val mor = Series(morMs.toSeq, morFiles.toSeq, morBytes.toSeq)
+
+    // ---- 2. persisted banded-LSH index: n survivor appends with
+    //         compaction bounded at maxFiles = 8 ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sig = graft.llm.Dedup
+      .minhashSignaturesWide(graft.llm.Dedup.shingles(docs, 3), 64)
+      .localCheckpoint()
+    val lshDir = s"$tmp/lsh-index"
+    graft.llm.Dedup.lshBandRows(sig.filter(col("doc_id") % (n + 1) === 0))
+      .write.parquet(lshDir)
+    val lshMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val lshFiles = scala.collection.mutable.ArrayBuffer[Long]()
+    val lshBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    (1 to n).foreach { i =>
+      val bands = graft.llm.Dedup.lshBandRows(
+        sig.filter(col("doc_id") % (n + 1) === i))
+      val t0 = System.nanoTime()
+      graft.llm.Dedup.appendToLshIndex(lshDir, bands, maxFiles = 8)
+      lshMs += (System.nanoTime() - t0) / 1000000L
+      val (f, b) = dirStats(lshDir)
+      lshFiles += f
+      lshBytes += b
+    }
+    val lshRows = graft.llm.Dedup.readLshIndex(spark, lshDir).count()
+    val lsh = Series(lshMs.toSeq, lshFiles.toSeq, lshBytes.toSeq)
+    graft.llm.Dedup.freeLocalCheckpoint(sig)
+
+    // ---- 3. partitioned IVF index: n assign-to-frozen-centroid appends
+    //         with partition-local compaction bounded at 8 files/cluster ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivfDir = s"$tmp/ivf-index"
+    graft.llm.Ann.writeIvfIndex(emb.filter(col("vec_id") % (n + 1) === 0),
+      clusterCol = "label", dir = ivfDir)
+    val ivfMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val ivfFiles = scala.collection.mutable.ArrayBuffer[Long]()
+    val ivfBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    var ivfCompactions = 0
+    (1 to n).foreach { i =>
+      val batch = emb.filter(col("vec_id") % (n + 1) === i)
+      val t0 = System.nanoTime()
+      graft.llm.Ann.appendToIvfIndex(batch, ivfDir)
+      ivfCompactions +=
+        graft.llm.Ann.compactIvfIndex(spark, ivfDir, maxFilesPerCluster = 8)
+      ivfMs += (System.nanoTime() - t0) / 1000000L
+      val (f, b) = dirStats(s"$ivfDir/corpus")
+      ivfFiles += f
+      ivfBytes += b
+    }
+    val ivfRows = spark.read.parquet(s"$ivfDir/corpus").count()
+    val ivf = Series(ivfMs.toSeq, ivfFiles.toSeq, ivfBytes.toSeq)
+
+    val json =
+      s"""{"n_batches":$n,"sf_dir":"$sfDir",""" +
+        s""""mor":${mor.json(s""","commits":$morCommits,"entities":$morRows""")},""" +
+        s""""lsh":${lsh.json(s""","rows":$lshRows""")},""" +
+        s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions""")}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

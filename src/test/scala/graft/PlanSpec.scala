@@ -320,6 +320,50 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF compaction: only over-fragmented partitions rewrite, content survives, crashed swap self-heals") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    graft.llm.Ann.writeIvfIndex(emb.filter(col("vec_id") % 6 === 0),
+      clusterCol = "label", dir = dir)
+    // fragment the layout with 5 appends
+    (1 to 5).foreach(i =>
+      graft.llm.Ann.appendToIvfIndex(emb.filter(col("vec_id") % 6 === i), dir))
+    val total = spark.read.parquet(s"$dir/corpus").count()
+    def files(): Map[String, Set[String]] =
+      Option(new java.io.File(s"$dir/corpus").listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .map(f => f.getName + ":" + f.length()).toSet)
+        .toMap
+    val before = files()
+    assert(before.values.exists(_.size > 3), "fixture failed to fragment")
+    val n = graft.llm.Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 3)
+    assert(n > 0)
+    val after = files()
+    // bounded: every partition is now at most 3 part files (compacted to 1)
+    assert(after.values.forall(_.size <= 3), after.toString)
+    // partitions that were under the bound keep their files byte-identical
+    before.filter(_._2.size <= 3).foreach { case (cl, fs) =>
+      assert(after(cl) == fs, s"under-bound partition $cl was touched")
+    }
+    // no rows lost, no stray aside/tmp dirs left behind
+    assert(spark.read.parquet(s"$dir/corpus").count() == total)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith(".old-") || f.getName.startsWith(".compact-")))
+    // crash-window self-heal: simulate a death between the two renames —
+    // partition missing, aside present — and compact again
+    val victim = after.keys.head
+    val part = new java.io.File(s"$dir/corpus/$victim")
+    val aside = new java.io.File(s"$dir/.old-$victim")
+    assert(part.renameTo(aside))
+    graft.llm.Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 3)
+    assert(part.exists() && !aside.exists(), "crashed swap did not self-heal")
+    assert(spark.read.parquet(s"$dir/corpus").count() == total)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("BPE encode plan is vocab-size-independent (broadcast rank map, not plan nodes)") {
     val docs = graft.core.Tables.documents(spark, sf)
     def planOf(merges: Seq[(String, String)]): String =
