@@ -233,16 +233,50 @@ object Multimodal {
           val shift = math.max(0, bits - 8)
           var sum = 0L
           val hist = new Array[Long](4)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val px = math.min(255, raster.getSample(x, y, 0) >>> shift)
-              sum += px
-              hist(px / 64) += 1L
-              x += 1
-            }
-            y += 1
+          // per-pixel cost is the whole operator at corpus scale (decode is
+          // linear CPU), so the sample loop avoids the per-call sample-model
+          // arithmetic of raster.getSample: the common 8-bit single-band
+          // interleaved layout (every grayscale PNG ImageIO produces) reads
+          // the backing byte array directly; anything else takes a bulk
+          // per-ROW getSamples (still one virtual call per row, not per
+          // pixel). Both paths compute identical features — the oracle rows
+          // and LlmOpsSpec pin that.
+          raster.getSampleModel match {
+            case p: java.awt.image.PixelInterleavedSampleModel
+                if p.getNumBands == 1 && bits == 8 && p.getPixelStride == 1 &&
+                  raster.getSampleModelTranslateX == 0 &&
+                  raster.getSampleModelTranslateY == 0 &&
+                  raster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] =>
+              val db = raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte]
+              val data = db.getData
+              val stride = p.getScanlineStride
+              val base = db.getOffset + p.getOffset(0, 0)
+              var y = 0
+              while (y < h) {
+                var i = base + y * stride
+                val end = i + w
+                while (i < end) {
+                  val px = data(i) & 0xff
+                  sum += px
+                  hist(px >> 6) += 1L
+                  i += 1
+                }
+                y += 1
+              }
+            case _ =>
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                raster.getSamples(0, y, w, 1, 0, row)
+                var x = 0
+                while (x < w) {
+                  val px = math.min(255, row(x) >>> shift)
+                  sum += px
+                  hist(px >> 6) += 1L
+                  x += 1
+                }
+                y += 1
+              }
           }
           (id, 1L, w.toLong, h.toLong, sum, hist(0), hist(1), hist(2), hist(3))
         } else {
