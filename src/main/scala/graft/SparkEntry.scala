@@ -1805,6 +1805,44 @@ object SparkEntry {
       graft.sources.LiveDnsPtrSource(ptrDb).enrich(ips).orderBy(col("entity"))
     }),
 
+    // -- whois CROSS-ENTITY record creation (whois.py:245-247,349-374):
+    //    each resolved ip's answer folds into (a) FK stamps on the ip
+    //    record and (b) materialized asn/ipblock records with _ref_cnt
+    //    counters — record creation through the same op algebra as every
+    //    other write. Runs through the LIVE port-43 connector's seam,
+    //    gated off here (parsed-record fixture serves); the output is the
+    //    created asn + ipblock record set --
+    "nerd_whois_cross" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.LiveWhoisSource
+      import graft.functions.Funcs
+      val ips = entityIps(s, dir)
+      val block = (col("ip") - (col("ip") % 256)).cast("long")
+      val fixture = ips.filter(col("entity") % 3 =!= 0)
+        .select(col("ip"),
+          (col("entity") % 50 + 64000).cast("long").as("asn"),
+          concat(Funcs.int2ipstr(block), lit(" - "),
+            Funcs.int2ipstr(block + 255)).as("inetnum"),
+          concat(lit("NET-"), ((block / 256).cast("long") % 7)).as("netname"))
+      val resolved = LiveWhoisSource(fixture).enrich(ips)
+      val tasks = LiveWhoisSource.crossEntityTasks(resolved)
+      val now = nowEpoch(s, dir)
+      val asnRecs = graft.fold.EntityFold.applyTypedTasks(
+          tasks.filter(_.etype == "asn"), now)(
+          (eid, rec) => (eid, rec("_ref_cnt").asInstanceOf[Long]))
+        .toDF("eid", "ref_cnt")
+        .withColumn("etype", lit("asn")).withColumn("name", lit(""))
+      val blockRecs = graft.fold.EntityFold.applyTypedTasks(
+          tasks.filter(_.etype == "ipblock"), now)(
+          (eid, rec) => (eid, rec("_ref_cnt").asInstanceOf[Long],
+            rec("name").asInstanceOf[String]))
+        .toDF("eid", "ref_cnt", "name")
+        .withColumn("etype", lit("ipblock"))
+      asnRecs.unionByName(blockRecs)
+        .select(col("etype"), col("eid"), col("ref_cnt"), col("name"))
+        .orderBy(col("etype"), col("eid"))
+    }),
+
     // -- ASN-level rank enrichment (bgp_rank.py / eml_asn_rank.py) --
     "nerd_bgp_rank" -> ((s, dir) => {
       import graft.sources.Intel
@@ -5242,6 +5280,23 @@ object SparkEntry {
          |  CAST(CASE WHEN db.hostname IS NULL THEN 1 ELSE 0 END AS BIGINT) AS nxdomain
          |FROM ips i LEFT JOIN db ON i.ip = db.ip
          |ORDER BY i.entity""".stripMargin,
+
+    // whois cross-entity creation: found answers (entity % 3 != 0) group
+    // into asn records (one per distinct asn, ref_cnt = referencing ips)
+    // and ipblock records (one per /24 block, name from the block)
+    "nerd_whois_cross" ->
+      s"""WITH $IPS_CTE,
+         |f AS (SELECT entity, ip, entity % 50 + 64000 AS asn,
+         |        ip - (ip % 256) AS block
+         |      FROM ips WHERE entity % 3 != 0)
+         |SELECT 'asn' AS etype, asn AS eid,
+         |  CAST(count(*) AS BIGINT) AS ref_cnt, '' AS name
+         |FROM f GROUP BY asn
+         |UNION ALL
+         |SELECT 'ipblock', block, CAST(count(*) AS BIGINT),
+         |  'NET-' || CAST((block // 256) % 7 AS VARCHAR)
+         |FROM f GROUP BY block
+         |ORDER BY etype, eid""".stripMargin,
 
     "nerd_bgp_rank" ->
       s"""WITH $IPS_CTE,

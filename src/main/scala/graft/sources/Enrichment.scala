@@ -321,6 +321,181 @@ object LiveDnsPtrSource {
   }
 }
 
+/** LIVE whois connector — the reference's highest-value enrichment flow
+  * (`NERDd/modules/whois.py:77–549`): a `!NEW` ip queries RIR whois over
+  * TCP port 43 (RFC 3912 — one query per connection, by protocol), the
+  * record is parsed for the fields the reference extracts (origin ASN,
+  * inetnum/NetRange block, netname), and the result drives CROSS-ENTITY
+  * record creation: the ip record gains its `asn`/`ipblock` foreign keys
+  * and the referenced `asn`/`ipblock` records materialize with
+  * ref-counters ([[LiveWhoisSource.crossEntityTasks]] — `whois.py:245–247,
+  * 349–355,374` restated as [[graft.fold.EntityFold]] task folds, so
+  * record creation and `_ref_cnt` increments ride the SAME op algebra as
+  * every other write in the engine).
+  *
+  * Resolution runs EXECUTOR-side over the deterministic budget cut (the
+  * [[LiveDnsPtrSource]] discipline): whois is one short TCP exchange per
+  * query, so per-row connections are the protocol, and partition
+  * parallelism is the throughput lever. GATED OFF by default
+  * (`GRAFT_LIVE_WHOIS=1`), serving the `fallback` parsed-record fixture
+  * (`(ip, asn, inetnum, netname)`) through the same join; failure
+  * taxonomy: a definitive no-match RESPONSE is an answer (found = 0, the
+  * reference's record-less path), a transient failure (timeout, refused)
+  * yields the not-queried no-op row — never a spurious removal.
+  */
+final case class LiveWhoisSource(
+    fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_WHOIS").contains("1"),
+    budget: Int = 500,
+    host: String = "whois.ripe.net", port: Int = 43,
+    timeoutMs: Int = 5000) extends EnrichmentSource {
+  val name = "whois"
+
+  def feeds: Seq[DataFrame] = Seq(fallback)
+
+  def enrich(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!enabled)
+      ips.join(broadcast(fallback), Seq("ip"), "left")
+        .select(col("entity"), col("ip"), col("asn"), col("inetnum"),
+          col("netname"),
+          when(col("netname").isNull, 0L).otherwise(1L).as("found"))
+    else {
+      val resolved = resolveWhois(ips)
+      ips.join(broadcast(resolved.drop("ip")), Seq("entity"), "left")
+        .select(col("entity"), col("ip"), col("asn"), col("inetnum"),
+          col("netname"), coalesce(col("found"), lit(0L)).as("found"))
+    }
+  }
+
+  /** Live-resolve the budget cut: (entity, ip, asn, inetnum, netname,
+    * found). Executor-side; one TCP exchange per row (RFC 3912).
+    */
+  private[sources] def resolveWhois(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = ips.sparkSession
+    import spark.implicits._
+    val (h, p, tms) = (host, port, timeoutMs)
+    ips.orderBy(col("entity")).limit(budget)
+      .select(col("entity"), col("ip")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (entity, ip) =>
+          val text =
+            try {
+              val sock = new java.net.Socket()
+              try {
+                sock.connect(new java.net.InetSocketAddress(h, p), tms)
+                sock.setSoTimeout(tms)
+                val outw = sock.getOutputStream
+                outw.write((LiveWhoisSource.queryName(ip) + "\r\n")
+                  .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+                outw.flush()
+                new String(sock.getInputStream.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              } finally sock.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (text == null) (entity, ip, None: Option[Long], None: Option[String],
+            None: Option[String], 0L) // transient: indistinguishable from
+                                      // not-queried, deliberately
+          else {
+            val (asn, inetnum, netname) = LiveWhoisSource.parseRecord(text)
+            (entity, ip, asn, inetnum, netname,
+              if (asn.isDefined || inetnum.isDefined || netname.isDefined) 1L
+              else 0L)
+          }
+        }
+      }.toDF("entity", "ip", "asn", "inetnum", "netname", "found")
+  }
+}
+
+object LiveWhoisSource {
+  /** Dotted-quad query name for an int ip. */
+  def queryName(ip: Long): String =
+    s"${(ip >> 24) & 255}.${(ip >> 16) & 255}.${(ip >> 8) & 255}.${ip & 255}"
+
+  /** Parse the RIR `key: value` record for the three fields the reference
+    * extracts (`whois.py:306–374`): origin ASN (`origin`/`OriginAS`,
+    * "AS"-prefix stripped), the address block (`inetnum`/`NetRange`), and
+    * `netname`. Comment lines (`%`, `#`) are skipped — a no-match response
+    * is all comments and parses to (None, None, None). First occurrence
+    * wins, as the reference takes the first record of a multi-record
+    * answer.
+    */
+  def parseRecord(text: String): (Option[Long], Option[String], Option[String]) = {
+    var asn: Option[Long] = None
+    var inetnum: Option[String] = None
+    var netname: Option[String] = None
+    text.linesIterator.foreach { line =>
+      val t = line.trim
+      if (t.nonEmpty && t.charAt(0) != '%' && t.charAt(0) != '#') {
+        val i = t.indexOf(':')
+        if (i > 0) {
+          val key = t.substring(0, i).trim.toLowerCase
+          val v = t.substring(i + 1).trim
+          if (v.nonEmpty) key match {
+            case "origin" | "originas" if asn.isEmpty =>
+              asn = scala.util.Try(
+                v.toUpperCase.stripPrefix("AS").trim.toLong).toOption
+            case "inetnum" | "netrange" if inetnum.isEmpty =>
+              inetnum = Some(v)
+            case "netname" if netname.isEmpty => netname = Some(v)
+            case _ => ()
+          }
+        }
+      }
+    }
+    (asn, inetnum, netname)
+  }
+
+  /** Start-of-block ip for an `inetnum`/`NetRange` value
+    * (`"10.0.0.0 - 10.0.255.255"`): the ipblock entity id.
+    */
+  def blockStart(inetnum: String): Option[Long] = {
+    val s = inetnum.split('-').head.trim
+    val parts = s.split('.')
+    if (parts.length != 4) None
+    else scala.util.Try(
+      parts.map(_.trim.toLong).reduceLeft((a, b) => (a << 8) | b)).toOption
+  }
+
+  /** The CROSS-ENTITY record-creation flow (`whois.py:245–247,349–355,374`):
+    * from each found whois answer, emit the fold tasks that (a) stamp the
+    * `asn`/`ipblock` foreign keys onto the ip record and (b) materialize
+    * the referenced `asn` and `ipblock` records with a `_ref_cnt`
+    * increment and their names — record creation IS the fold of these
+    * tasks, exactly as the reference's `g.um.update` calls enqueue tasks
+    * for the other entities rather than writing them directly.
+    */
+  def crossEntityTasks(resolved: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.fold.TypedTask] = {
+    import graft.fold.EntityFold
+    import graft.ops.UpdateAlgebra._
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    implicit val enc = EntityFold.typedTaskEncoder
+    resolved
+      .filter(org.apache.spark.sql.functions.col("found") === 1L)
+      .select("entity", "ip", "asn", "inetnum", "netname")
+      .as[(Long, Long, Option[Long], Option[String], Option[String])]
+      .flatMap { case (entity, _, asn, inetnum, netname) =>
+        val block = inetnum.flatMap(blockStart)
+        val ipOps = asn.map(a => SetVal("asn", a)).toSeq ++
+          block.map(b => SetVal("ipblock", b)).toSeq
+        val ipTask =
+          if (ipOps.isEmpty) Nil
+          else Seq(graft.fold.TypedTask("ip", entity, entity, "whois", ipOps))
+        val asnTask = asn.map(a =>
+          graft.fold.TypedTask("asn", a, entity, "whois",
+            Seq(AddNum("_ref_cnt", 1L)))).toSeq
+        val blockTask = block.map(b =>
+          graft.fold.TypedTask("ipblock", b, entity, "whois",
+            AddNum("_ref_cnt", 1L) +:
+              netname.map(n => SetVal("name", n)).toSeq)).toSeq
+        ipTask ++ asnTask ++ blockTask
+      }
+  }
+}
+
 /** whois RIR delegation boundaries (`whois.py:166–177,220–237`): an as-of
   * join of each fact's ASN against the sorted delegation starts.
   * `boundaries`: (start, rir).

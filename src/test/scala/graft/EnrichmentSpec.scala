@@ -237,4 +237,94 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(g(1) == ((20L, "", 1L))) // not in fixture db: NXDOMAIN analog
     } finally sock.close()
   }
+
+  test("live whois connector: port-43 resolve via loopback, record parse, cross-entity record creation fold") {
+    import spark.implicits._
+    import graft.sources.LiveWhoisSource
+    // pure parse: RIPE-style record with comments, AS prefix, first-wins
+    val (a, i, nm) = LiveWhoisSource.parseRecord(
+      """% This is the RIPE Database query service.
+        |inetnum:        10.1.0.0 - 10.1.255.255
+        |netname:        TEST-NET-A
+        |origin:         AS64500
+        |origin:         AS64999
+        |# trailing comment""".stripMargin)
+    assert(a.contains(64500L) && i.contains("10.1.0.0 - 10.1.255.255") &&
+      nm.contains("TEST-NET-A"))
+    assert(LiveWhoisSource.parseRecord("%ERROR:101: no entries found\n") ==
+      ((None, None, None)))
+    assert(LiveWhoisSource.blockStart("10.1.0.0 - 10.1.255.255")
+      .contains((10L << 24) | (1L << 16)))
+    assert(LiveWhoisSource.queryName((10L << 24) | (1L << 16) | 7L) == "10.1.0.7")
+    // loopback RFC 3912 server: one query line per connection, answer by ip
+    val ip1 = (10L << 24) | (1L << 16) | 5L  // full record
+    val ip2 = (10L << 24) | (2L << 16) | 5L  // definitive no-match
+    val ip3 = (10L << 24) | (3L << 16) | 5L  // connection reset: transient
+    val server = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val serverThread = new Thread(() => {
+      try while (!server.isClosed) {
+        val c = server.accept()
+        try {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(c.getInputStream, "US-ASCII"))
+          val q = r.readLine()
+          val resp =
+            if (q == LiveWhoisSource.queryName(ip1))
+              Some("""% query reply
+                     |inetnum:        10.1.0.0 - 10.1.255.255
+                     |netname:        TEST-NET-A
+                     |origin:         AS64500
+                     |""".stripMargin)
+            else if (q == LiveWhoisSource.queryName(ip2))
+              Some("%ERROR:101: no entries found\n")
+            else None // slam the connection: transient failure
+          resp.foreach(t => c.getOutputStream.write(t.getBytes("UTF-8")))
+        } finally c.close()
+      } catch { case _: java.net.SocketException => () }
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+    try {
+      val fallback = Seq((ip1, 64501L, "10.9.0.0 - 10.9.0.255", "FIXTURE-NET"))
+        .toDF("ip", "asn", "inetnum", "netname")
+      val ents = Seq((1L, ip1), (2L, ip2), (3L, ip3), (4L, ip1))
+        .toDF("entity", "ip")
+      val live = LiveWhoisSource(fallback, enabled = true, budget = 3,
+        host = "127.0.0.1", port = server.getLocalPort, timeoutMs = 1500)
+      val got = live.enrich(ents).orderBy($"entity").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(4)), r.getLong(5)))
+      assert(got(0) == ((1L, Some(64500L), Some("TEST-NET-A"), 1L)), got.mkString(","))
+      assert(got(1) == ((2L, None, None, 0L)))  // definitive no-match
+      assert(got(2) == ((3L, None, None, 0L)))  // transient
+      assert(got(3) == ((4L, None, None, 0L)))  // beyond budget
+      // cross-entity record creation: the found answer materializes the
+      // asn and ipblock records through the SAME fold algebra, ref-counted
+      val resolved = live.enrich(Seq((1L, ip1), (4L, ip1)).toDF("entity", "ip"))
+      val tasks = LiveWhoisSource.crossEntityTasks(resolved)
+      import graft.fold.EntityFold
+      val asnRec = EntityFold.applyTypedTasks(
+        tasks.filter(_.etype == "asn"), now = 1700000000L)(
+        (eid, rec) => (eid, rec("_ref_cnt").asInstanceOf[Long])).head()
+      assert(asnRec == ((64500L, 2L))) // two ips reference AS64500
+      val blockRec = EntityFold.applyTypedTasks(
+        tasks.filter(_.etype == "ipblock"), now = 1700000000L)(
+        (eid, rec) => (eid, rec("_ref_cnt").asInstanceOf[Long],
+          rec("name").asInstanceOf[String])).head()
+      assert(blockRec == (((10L << 24) | (1L << 16), 2L, "TEST-NET-A")))
+      val ipFk = EntityFold.applyTypedTasks(
+        tasks.filter(_.etype == "ip"), now = 1700000000L)(
+        (eid, rec) => (eid, rec("asn").asInstanceOf[Long],
+          rec("ipblock").asInstanceOf[Long])).collect().sortBy(_._1)
+      assert(ipFk.toSeq == Seq((1L, 64500L, (10L << 24) | (1L << 16)),
+        (4L, 64500L, (10L << 24) | (1L << 16))))
+      // gated off: the fixture parsed-record table serves through the join
+      val gated = LiveWhoisSource(fallback, enabled = false)
+      val g = gated.enrich(Seq((1L, ip1), (2L, ip2)).toDF("entity", "ip"))
+        .orderBy($"entity").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), r.getLong(5)))
+      assert(g(0) == ((1L, Some(64501L), 1L)))
+      assert(g(1) == ((2L, None, 0L)))
+    } finally server.close()
+  }
 }
