@@ -1404,6 +1404,13 @@ object SparkEntry {
       Multimodal.decodeAudio(Multimodal.withAudioPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // REAL video demux + frame decode: genuine RIFF/AVI containers
+    // (PNG-coded 8x8 frames, Motion-PNG fourcc) walked chunk-by-chunk,
+    // every 3rd frame decoded, features from the sampled frames' pixels
+    "llm_decode_video" -> ((s, dir) =>
+      Multimodal.decodeVideo(Multimodal.withVideoPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // every-3rd 32-byte frame sampled from the payload; head-frame digest
     "llm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -5056,6 +5063,35 @@ object SparkEntry {
         |  coalesce(agg.peak, 0) AS peak,
         |  coalesce(z.zc, 0) AS zero_cross
         |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN z USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // AVI frames are PNG-lossless 64-byte text tiles (zero-padded last
+    // frame), every 3rd frame sampled: pixels of sampled frames == the
+    // corresponding text bytes, pads land in histogram bin 0
+    "llm_decode_video" ->
+      """WITH d AS (SELECT doc_id, length(text) AS n,
+        |             CAST((length(text) + 63) // 64 AS BIGINT) AS f
+        |           FROM documents),
+        |b AS (SELECT doc_id, unicode(substring(text, i, 1)) AS byte,
+        |        (i - 1) // 64 AS frame
+        |      FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |sb AS (SELECT doc_id, byte FROM b WHERE frame % 3 = 0),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(byte) AS BIGINT) AS px_sum,
+        |          CAST(sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |          CAST(sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |          CAST(sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |          CAST(sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |        FROM sb GROUP BY 1)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS decoded, d.f AS n_frames,
+        |  CAST(CASE WHEN d.f = 0 THEN 0 ELSE (d.f - 1) // 3 + 1 END AS BIGINT)
+        |    AS n_sampled,
+        |  coalesce(agg.px_sum, 0) AS px_sum,
+        |  coalesce(agg.c0, 0) + CASE WHEN d.f > 0 AND (d.f - 1) % 3 = 0
+        |    THEN d.f * 64 - d.n ELSE 0 END AS b0,
+        |  coalesce(agg.b1, 0) AS b1, coalesce(agg.b2, 0) AS b2,
+        |  coalesce(agg.b3, 0) AS b3
+        |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // fixture text is ASCII, so char positions == byte positions and

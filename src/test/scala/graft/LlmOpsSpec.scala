@@ -186,6 +186,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fa.getLong(1) == 0L && fa.getLong(2) == 0L && fa.getLong(4) == 10L)
   }
 
+  test("video payload is a genuine AVI; demux walks the container; sampled-frame decode features the pixels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    // 200 chars -> 4 frames of 64 (last padded), frames 0 and 3 sampled
+    val text = ("the quick brown fox jumps over the lazy dog " * 5).take(200)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.withVideoPayload(docs)
+    val bytes = media.select(col("media")).head().getAs[Array[Byte]](0)
+    // RIFF container magic + AVI form type + an idx1 index is present
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    assert(new String(bytes, "ISO-8859-1").contains("idx1"))
+    // the demuxer walks the chunk list and recovers PNG frame payloads
+    val frames = Multimodal.demuxAvi(bytes)
+    assert(frames.length == 4)
+    frames.foreach { f =>
+      assert((f(0) & 0xff) == 0x89 && f(1) == 'P' && f(2) == 'N' && f(3) == 'G')
+      assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null)
+    }
+    // features == byte stats of the sampled frames' source slices (frames
+    // 0 and 3; frame 3 carries 200-192=8 real bytes + 56 pad zeros)
+    val t = text.getBytes("UTF-8")
+    val sampled = t.slice(0, 64) ++ t.slice(192, 200)
+    val r = Multimodal.decodeVideo(media).head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == sampled.map(b => (b & 0xff).toLong).sum)
+    assert(r.getLong(5) == sampled.count(b => (b & 0xff) < 64) + 56L)
+    assert(r.getLong(6) == sampled.count(b => (b & 0xff) >= 64 && (b & 0xff) < 128))
+    // a corrupt container takes the byte-level fallback, not a crash
+    val bad = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
+    val fb = Multimodal.decodeVideo(bad).head()
+    assert(fb.getLong(1) == 0L && fb.getLong(2) == 0L && fb.getLong(4) == 10L)
+    // a corrupt FRAME inside a valid container is skipped, not fatal:
+    // splice garbage over one sampled frame's payload
+    val f0 = frames(0)
+    val garbled = bytes.clone()
+    val idx = {
+      // locate frame 0's payload inside the container and garble it
+      val s = new String(bytes, "ISO-8859-1")
+      s.indexOf(new String(f0, "ISO-8859-1"))
+    }
+    java.util.Arrays.fill(garbled, idx, idx + f0.length, 0x5A.toByte)
+    val g = Multimodal.decodeVideo(
+      Seq((2L, garbled)).toDF("doc_id", "media")).head()
+    assert(g.getLong(1) == 1L && g.getLong(2) == 4L && g.getLong(3) == 1L,
+      s"corrupt frame must drop from n_sampled: $g")
+  }
+
   test("LSH index append preserves content; compaction bounds part files and survives readers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
