@@ -70,7 +70,7 @@ object Soak {
     // ---- 1. streaming merge-on-read store: n single-file micro-batches
     //         through a real Structured Streaming query, auto-compaction
     //         live (maxDeltas = 4), batch-id ledger on every version ----
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.core.Tables.events(spark, sfDir)
     val now = events.agg(max(col("ts").cast("date"))).head().getDate(0)
       .toLocalDate.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
       .toEpochSecond
@@ -155,8 +155,67 @@ object Soak {
     val ivfRows = spark.read.parquet(s"$ivfDir/corpus").count()
     val ivf = Series(ivfMs.toSeq, ivfFiles.toSeq, ivfBytes.toSeq)
 
+    // ---- 4. keyed streaming state under event-time TTL: n TIME-ORDERED
+    //         micro-batches through flatMapGroupsWithState; the state row
+    //         count must PLATEAU (expiry keeping pace with arrivals), and
+    //         per-batch duration must not trend with batch index ----
+    val span = events.agg(
+      (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("s"))
+      .head().getLong(0)
+    val ttlSecs = math.max(1L, span / 5)
+    val ttlSrc = s"$tmp/ttl-src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ttlSrc))
+    // salt the entity id by time slice so keys CHURN: every trigger
+    // introduces a fresh key cohort and cohorts stop being touched once
+    // their slice passes — state must climb to a plateau (~n/5 live
+    // cohorts at ttl = span/5) and then hold, with expiry tombstones
+    // flowing for the rest of the run. Without churn every key stays
+    // alive and a 50-trigger soak would never exercise eviction.
+    val evOrd = events.withColumn("_slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+      .withColumn("user_id", col("user_id") + col("_slice") * lit(100000L))
+      .localCheckpoint()
+    (1 to n).foreach { g =>
+      val staging = s"$tmp/ttl-stage-$g"
+      evOrd.filter(col("_slice") === g).drop("_slice")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(ttlSrc, f"slice-$g%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // pin admission order: the file source orders by mtime (ties by path)
+      dst.setLastModified(1700000000000L + g * 1000L)
+    }
+    val ttlStream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(ttlSrc)
+    val ttlOut = graft.streaming.StreamIngest
+      .statefulCountsWithTtl(ttlStream, ttlSecs)
+    val qs = ttlOut.writeStream.format("memory").queryName("soak_ttl")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ttl-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qs.awaitTermination()
+    val prog = qs.recentProgress.filter(_.numInputRows > 0)
+    val ttlMs = prog.map(_.batchDuration).toSeq
+    val ttlState = prog.map(p =>
+      if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else 0L).toSeq
+    val tombstones = spark.table("soak_ttl")
+      .filter(col("_2") === -1L).count()
+    val ttlJson = {
+      val k = math.min(10, ttlMs.length / 2)
+      val headMean = if (k == 0) 0L else ttlMs.take(k).sum / k
+      val tailMean = if (k == 0) 0L else ttlMs.takeRight(k).sum / k
+      s"""{"ms":${jArr(ttlMs)},"state_rows":${jArr(ttlState)},""" +
+        s""""lat_first${k}_ms":$headMean,"lat_last${k}_ms":$tailMean,""" +
+        s""""max_state_rows":${if (ttlState.isEmpty) 0L else ttlState.max},""" +
+        s""""final_state_rows":${ttlState.lastOption.getOrElse(0L)},""" +
+        s""""ttl_secs":$ttlSecs,"tombstones":$tombstones}"""
+    }
+
     val json =
       s"""{"n_batches":$n,"sf_dir":"$sfDir",""" +
+        s""""ttl_state":$ttlJson,""" +
         s""""mor":${mor.json(s""","commits":$morCommits,"entities":$morRows""")},""" +
         s""""lsh":${lsh.json(s""","rows":$lshRows""")},""" +
         s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions""")}}"""
