@@ -1783,7 +1783,10 @@ object SparkEntry {
         .select(col("ip"),
           concat_ws(",", lit(22), (col("entity") % 1000) + 1024).as("ports"),
           lit("iot,camera").as("tags"))
-      graft.sources.ShodanSource(scanDb).enrich(ips).orderBy(col("entity"))
+      // through the LIVE InternetDB connector's seam: gated off here, the
+      // fixture scan-db serves via the identical join; GRAFT_LIVE_SHODAN=1
+      // queries the real endpoint executor-side
+      graft.sources.LiveShodanSource(scanDb).enrich(ips).orderBy(col("entity"))
     }),
 
     // -- passive DNS + domain blacklists (passive_dns.py:34-144) --

@@ -321,6 +321,120 @@ object LiveDnsPtrSource {
   }
 }
 
+/** LIVE Shodan InternetDB connector (`NERDd/modules/shodan.py:30–118`):
+  * one HTTP GET per ip against the InternetDB endpoint
+  * (`https://internetdb.shodan.io/<ip>` — the unauthenticated bulk-scan
+  * api the reference module queries), parsed for the fields the reference
+  * stores (`ports[]`, `tags[]`). The reference's three-way answer
+  * taxonomy is preserved exactly: 200 upserts ports/tags, **404 is the
+  * REMOVAL path** (`shodan.py`'s miss clears stored scan data — a
+  * definitive "not scanned" answer, `removed = 1`), and a transport
+  * failure is a NO-OP (neither upsert nor removal — a timeout must never
+  * clear state). Runs EXECUTOR-side under the deterministic budget cut
+  * like the DNS/whois connectors; gated off by default
+  * (`GRAFT_LIVE_SHODAN=1`), serving the `fallback` scan-db fixture
+  * through [[Intel.shodanEnrich]] unchanged.
+  */
+final case class LiveShodanSource(
+    fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_SHODAN").contains("1"),
+    budget: Int = 500,
+    baseUrl: String = "https://internetdb.shodan.io",
+    timeoutMs: Int = 5000) extends EnrichmentSource {
+  val name = "shodan"
+
+  def feeds: Seq[DataFrame] = Seq(fallback)
+
+  def enrich(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!enabled) Intel.shodanEnrich(ips, fallback)
+    else {
+      val resolved = resolveScan(ips)
+      // beyond-budget ips re-attach as no-op rows (not removal — same
+      // not-queried-vs-definitive-miss distinction as the PTR connector)
+      ips.join(broadcast(resolved.drop("ip")), Seq("entity"), "left")
+        .select(col("entity"), col("ip"),
+          coalesce(col("ports"), lit("")).as("ports"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("tags"), lit("")).as("tags"),
+          coalesce(col("removed"), lit(0L)).as("removed"))
+    }
+  }
+
+  /** Live-query the budget cut: (entity, ip, ports, n_open, tags,
+    * removed). Executor-side, one GET per row; per-partition connections
+    * amortize nothing here (HTTP keep-alive is handled by the JVM's
+    * connection cache per host, which IS per-executor).
+    */
+  private[sources] def resolveScan(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = ips.sparkSession
+    import spark.implicits._
+    val (base, tms) = (baseUrl, timeoutMs)
+    ips.orderBy(col("entity")).limit(budget)
+      .select(col("entity"), col("ip")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (entity, ip) =>
+          val r: (Int, String) =
+            try {
+              val conn = java.net.URI
+                .create(s"$base/${LiveWhoisSource.queryName(ip)}")
+                .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+              conn.setConnectTimeout(tms)
+              conn.setReadTimeout(tms)
+              try {
+                val code = conn.getResponseCode
+                val body =
+                  if (code == 200)
+                    new String(conn.getInputStream.readNBytes(1 << 20),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                  else ""
+                (code, body)
+              } finally conn.disconnect()
+            } catch { case scala.util.control.NonFatal(_) => (-1, "") }
+          r match {
+            case (200, body) =>
+              val ports = LiveShodanSource.jsonNumArray(body, "ports")
+              val tags = LiveShodanSource.jsonStrArray(body, "tags")
+              (entity, ip, ports.mkString(","), ports.length.toLong,
+                tags.mkString(","), 0L)
+            case (404, _) => (entity, ip, "", 0L, "", 1L) // definitive miss
+            case _        => (entity, ip, "", 0L, "", 0L) // transient no-op
+          }
+        }
+      }.toDF("entity", "ip", "ports", "n_open", "tags", "removed")
+  }
+}
+
+object LiveShodanSource {
+  /** Extract a JSON number array field (`"ports": [22, 80]`) without a
+    * JSON library dependency — InternetDB's response is a single flat
+    * object, and only the two array fields the reference stores are read.
+    * Returns elements in document order; absent/empty field → empty.
+    */
+  private[graft] def jsonNumArray(json: String, field: String): Seq[Long] =
+    jsonArrayBody(json, field).toSeq.flatMap(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(s.toLong).toOption))
+
+  /** Extract a JSON string array field (`"tags": ["vpn"]`). */
+  private[graft] def jsonStrArray(json: String, field: String): Seq[String] =
+    jsonArrayBody(json, field).toSeq.flatMap(_.split(',').toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+
+  private def jsonArrayBody(json: String, field: String): Option[String] = {
+    val key = "\"" + field + "\""
+    val k = json.indexOf(key)
+    if (k < 0) None
+    else {
+      val open = json.indexOf('[', k + key.length)
+      val close = if (open < 0) -1 else json.indexOf(']', open)
+      if (open < 0 || close < 0) None
+      else Some(json.substring(open + 1, close))
+    }
+  }
+}
+
 /** LIVE whois connector — the reference's highest-value enrichment flow
   * (`NERDd/modules/whois.py:77–549`): a `!NEW` ip queries RIR whois over
   * TCP port 43 (RFC 3912 — one query per connection, by protocol), the

@@ -327,4 +327,53 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(g(1) == ((2L, None, 0L)))
     } finally server.close()
   }
+
+  test("live Shodan InternetDB connector: 200 upserts, 404 removes, transport failure no-ops, gate serves fixture") {
+    import spark.implicits._
+    import graft.sources.LiveShodanSource
+    // pure JSON field extraction (flat InternetDB object, no json lib)
+    val body = """{"cpes":[],"hostnames":["x.example.net"],"ip":"10.0.0.1","ports":[22,8080],"tags":["iot","vpn"],"vulns":[]}"""
+    assert(LiveShodanSource.jsonNumArray(body, "ports") == Seq(22L, 8080L))
+    assert(LiveShodanSource.jsonStrArray(body, "tags") == Seq("iot", "vpn"))
+    assert(LiveShodanSource.jsonNumArray("""{"ports":[]}""", "ports").isEmpty)
+    assert(LiveShodanSource.jsonNumArray("""{}""", "ports").isEmpty)
+    val ip1 = (10L << 24) | 1L // 200 with scan data
+    val ip2 = (10L << 24) | 2L // 404: definitive miss -> removal
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (ex.getRequestURI.getPath == "/10.0.0.1") {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      } else ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val fallback = Seq((ip1, "1,2", "fixture")).toDF("ip", "ports", "tags")
+      val ents = Seq((1L, ip1), (2L, ip2), (3L, ip1)).toDF("entity", "ip")
+      val live = LiveShodanSource(fallback, enabled = true, budget = 2,
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}",
+        timeoutMs = 1500)
+      val got = live.enrich(ents).orderBy($"entity").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))
+      assert(got(0) == ((1L, "22,8080", 2L, "iot,vpn", 0L)), got.mkString(","))
+      assert(got(1) == ((2L, "", 0L, "", 1L)))  // 404: removal path
+      assert(got(2) == ((3L, "", 0L, "", 0L)))  // beyond budget: no-op
+      // transport failure (dead port): no-op, NOT removal
+      val dead = LiveShodanSource(fallback, enabled = true, budget = 2,
+        baseUrl = "http://127.0.0.1:1", timeoutMs = 300)
+      val d = dead.enrich(Seq((1L, ip1)).toDF("entity", "ip")).head()
+      assert(d.getLong(5) == 0L && d.getString(2) == "")
+      // gated off: identical to the Intel fixture join
+      val gated = LiveShodanSource(fallback, enabled = false)
+      val g = gated.enrich(Seq((1L, ip1), (2L, ip2)).toDF("entity", "ip"))
+        .orderBy($"entity").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(5)))
+      assert(g(0) == ((1L, "1,2", 0L)))
+      assert(g(1) == ((2L, "", 1L))) // not in scan db: the 404 analog
+    } finally server.stop(0)
+  }
 }
