@@ -321,6 +321,60 @@ object LiveDnsPtrSource {
   }
 }
 
+/** LIVE ASN-rank feed fetcher (`NERDd/modules/bgp_rank.py:16–83` — the
+  * CIRCL BGP Ranking feed — and `eml_asn_rank.py`'s rank CSV): download
+  * the whole rank table once per cycle as CSV (`asn,rank` rows; `#`
+  * comments and malformed lines skipped, "AS" prefixes tolerated) and
+  * serve it as the cycle's broadcast feed — a FEED-shaped live source
+  * like [[HttpBlacklistSource]] (one bounded driver-side fetch, feed-sized
+  * by nature), in contrast to the per-entity query connectors
+  * (PTR/whois/Shodan). Gated off by default (`GRAFT_LIVE_ASN_RANKS=1`);
+  * fetch failure degrades to the `fallback` fixture (the previous
+  * successful download, operationally), misconfiguration throws — the
+  * same error taxonomy as the blacklist fetcher.
+  */
+final case class HttpAsnRankSource(
+    spark: org.apache.spark.sql.SparkSession,
+    url: String, rankCol: String, fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_ASN_RANKS").contains("1"),
+    timeoutMs: Int = 10000,
+    maxBytes: Int = 64 << 20) extends EnrichmentSource {
+  val name = "bgp_rank"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The rank feed: (asn, `rankCol`) — fetched+parsed when live, the
+    * fallback fixture otherwise. Fetch transport is shared with
+    * [[HttpBlacklistSource]] (same schemes, truncation detection, and
+    * degrade rules).
+    */
+  lazy val ranks: DataFrame =
+    HttpBlacklistSource(spark, url, name, fallback, enabled, timeoutMs,
+        maxBytes).fetchLines() match {
+      case Some(lines) =>
+        import spark.implicits._
+        val parsed = lines.iterator
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            val cols = l.split(',')
+            if (cols.length < 2) None
+            else for {
+              asn <- scala.util.Try(
+                cols(0).trim.toUpperCase.stripPrefix("AS").toLong).toOption
+              rank <- scala.util.Try(cols(1).trim.toDouble).toOption
+            } yield (asn, rank)
+          }.toSeq
+        log.info(s"asn rank feed: ${parsed.size} rows from $url")
+        parsed.toDF("asn", rankCol)
+      case None => fallback
+    }
+
+  def feeds: Seq[DataFrame] = Seq(ranks)
+
+  def enrich(ipsWithAsn: DataFrame): DataFrame =
+    Intel.asnRanks(ipsWithAsn, ranks)
+}
+
 /** LIVE Shodan InternetDB connector (`NERDd/modules/shodan.py:30–118`):
   * one HTTP GET per ip against the InternetDB endpoint
   * (`https://internetdb.shodan.io/<ip>` — the unauthenticated bulk-scan

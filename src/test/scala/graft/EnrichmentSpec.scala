@@ -376,4 +376,46 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(g(1) == ((2L, "", 1L))) // not in scan db: the 404 analog
     } finally server.stop(0)
   }
+
+  test("live ASN-rank feed fetcher: CSV parse when enabled, fetch failure and gate serve fixture") {
+    import spark.implicits._
+    import graft.sources.HttpAsnRankSource
+    val csv =
+      """# CIRCL BGP Ranking export
+        |64500,1.00023
+        |AS64501, 0.5
+        |not-a-row
+        |64502,abc
+        |64503,0.25,extra-col-ok""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ranks.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/ranks.csv"
+      val fallback = Seq((999L, 9.9)).toDF("asn", "bgprank")
+      val live = HttpAsnRankSource(spark, url, "bgprank", fallback, enabled = true)
+      val got = live.ranks.orderBy($"asn").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // comment/garbage/non-numeric-rank rows dropped, AS prefix stripped
+      assert(got.toSeq == Seq((64500L, 1.00023), (64501L, 0.5), (64503L, 0.25)))
+      // enrich joins the fetched feed broadcast onto the ASN rollup
+      val ents = Seq((1L, 64500L), (2L, 64500L), (3L, 777L)).toDF("entity", "asn")
+      val e = live.enrich(ents).orderBy($"asn").collect()
+      assert(e.length == 2 && e(1).getLong(1) == 2L && e(1).getDouble(2) == 1.00023)
+      assert(e(0).isNullAt(2)) // unranked asn: left-join miss
+      // dead port degrades to the fixture; gate never opens a connection
+      val dead = HttpAsnRankSource(spark, "http://127.0.0.1:1/r.csv",
+        "bgprank", fallback, enabled = true, timeoutMs = 300)
+      assert(dead.ranks.collect().map(_.getLong(0)).toSeq == Seq(999L))
+      val gated = HttpAsnRankSource(spark, url, "bgprank", fallback,
+        enabled = false)
+      assert(gated.ranks.collect().map(_.getLong(0)).toSeq == Seq(999L))
+    } finally server.stop(0)
+  }
 }
