@@ -321,6 +321,152 @@ object LiveDnsPtrSource {
   }
 }
 
+/** LIVE Redis blacklist connector (`NERDd/modules/redis_bl.py:47–56` +
+  * the writer `scripts/blacklists2redis.py`): the reference caches
+  * blacklists in Redis as ip SETS and prefix-interval SORTED SETS
+  * (begin/end entries, score = int ip) and queries them per entity; the
+  * engine-side restatement reads each structure WHOLE once per cycle —
+  * `SMEMBERS` per set key, `ZRANGE 0 -1 WITHSCORES` per interval key —
+  * over a minimal RESP2 client (plain sockets, no driver dependency) and
+  * serves them as the cycle's broadcast feed tables, so `enrich` stays
+  * [[Intel.redisBlHits]]'s membership + range joins unchanged. Feeds are
+  * feed-sized by nature (they ARE blacklists), so the whole-structure
+  * read is the right scale shape: one bounded driver-side fetch instead
+  * of per-entity round trips from every executor.
+  *
+  * Interval encoding: zset members pair as `<token>:B` (begin) /
+  * `<token>:E` (end) with score = int ip; intervals reconstruct by score
+  * order. Gated off by default (`GRAFT_LIVE_REDIS=1`); connection failure
+  * degrades to the fallback fixtures, per the standing connector
+  * taxonomy.
+  */
+final case class LiveRedisBlSource(
+    spark: org.apache.spark.sql.SparkSession,
+    host: String, port: Int,
+    setKeys: Seq[(String, String)],    // (redis set key, bl_id)
+    prefixKeys: Seq[(String, String)], // (redis zset key, bl_id)
+    fallbackSets: DataFrame, fallbackPrefixes: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_REDIS").contains("1"),
+    timeoutMs: Int = 5000) extends EnrichmentSource {
+  val name = "redis_bl"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** (setLists, prefixLists) — fetched when live, fixtures otherwise. */
+  lazy val lists: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    if (!enabled) (fallbackSets, fallbackPrefixes)
+    else
+      try {
+        val sock = new java.net.Socket()
+        try {
+          sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+          sock.setSoTimeout(timeoutMs)
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream))
+          val out = sock.getOutputStream
+          val sets = setKeys.flatMap { case (key, blId) =>
+            LiveRedisBlSource.command(in, out, Seq("SMEMBERS", key)) match {
+              case ms: Seq[_] => ms.collect { case s: String =>
+                scala.util.Try(s.trim.toLong).toOption }.flatten
+                .map(ip => (ip, blId))
+              case _ => Nil
+            }
+          }
+          val prefixes = prefixKeys.flatMap { case (key, blId) =>
+            LiveRedisBlSource.command(in, out,
+              Seq("ZRANGE", key, "0", "-1", "WITHSCORES")) match {
+              case ms: Seq[_] =>
+                val entries = ms.grouped(2).collect {
+                  case Seq(m: String, s: String) => (m, s.toDouble.toLong)
+                }.toSeq.sortBy(e => (e._2, e._1))
+                // reconstruct intervals: each :B opens at its score, the
+                // next :E closes it (score order; writer emits pairs)
+                val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+                var open: Option[Long] = None
+                entries.foreach { case (m, score) =>
+                  if (m.endsWith(":B")) open = Some(score)
+                  else if (m.endsWith(":E")) open.foreach { b =>
+                    acc += ((b, score, blId)); open = None
+                  }
+                }
+                acc.toSeq
+              case _ => Nil
+            }
+          }
+          log.info(s"redis bl feed: ${sets.size} set rows, " +
+            s"${prefixes.size} intervals from $host:$port")
+          (sets.toDF("ip", "bl_id"), prefixes.toDF("first", "last", "bl_id"))
+        } finally sock.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"redis bl fetch from $host:$port failed " +
+            s"(${e.getMessage}); serving fallback feeds")
+          (fallbackSets, fallbackPrefixes)
+      }
+  }
+
+  def feeds: Seq[DataFrame] = Seq(lists._1, lists._2)
+
+  def enrich(ips: DataFrame): DataFrame =
+    Intel.redisBlHits(ips, lists._1, lists._2)
+}
+
+object LiveRedisBlSource {
+  /** One RESP2 round trip: send `args` as an array of bulk strings, parse
+    * the reply (simple string / integer / bulk / array; `-ERR` throws —
+    * a protocol error is a failed fetch, handled by the caller's degrade
+    * path). This is the complete client the connector needs; recursion
+    * depth equals reply nesting (flat for SMEMBERS/ZRANGE).
+    */
+  private[graft] def command(in: java.io.DataInputStream,
+                             out: java.io.OutputStream,
+                             args: Seq[String]): Any = {
+    val sb = new StringBuilder
+    sb.append('*').append(args.length).append("\r\n")
+    args.foreach { a =>
+      sb.append('$').append(a.getBytes("UTF-8").length).append("\r\n")
+        .append(a).append("\r\n")
+    }
+    out.write(sb.toString.getBytes("UTF-8"))
+    out.flush()
+    parseReply(in)
+  }
+
+  private def readLine(in: java.io.DataInputStream): String = {
+    val b = new java.io.ByteArrayOutputStream(32)
+    var c = in.read()
+    while (c != '\r' && c >= 0) { b.write(c); c = in.read() }
+    if (c == '\r') in.read() // consume \n
+    new String(b.toByteArray, "UTF-8")
+  }
+
+  private def parseReply(in: java.io.DataInputStream): Any = {
+    val t = in.read()
+    if (t < 0) throw new java.io.EOFException("redis reply truncated")
+    val line = readLine(in)
+    t.toChar match {
+      case '+' => line
+      case '-' => throw new java.io.IOException(s"redis error: $line")
+      case ':' => line.toLong
+      case '$' =>
+        val n = line.toInt
+        if (n < 0) null
+        else {
+          val b = new Array[Byte](n)
+          in.readFully(b)
+          in.read(); in.read() // trailing \r\n
+          new String(b, "UTF-8")
+        }
+      case '*' =>
+        val n = line.toInt
+        if (n < 0) null else Seq.fill(n)(parseReply(in))
+      case other =>
+        throw new java.io.IOException(s"unexpected RESP type byte '$other'")
+    }
+  }
+}
+
 /** LIVE ASN-rank feed fetcher (`NERDd/modules/bgp_rank.py:16–83` — the
   * CIRCL BGP Ranking feed — and `eml_asn_rank.py`'s rank CSV): download
   * the whole rank table once per cycle as CSV (`asn,rank` rows; `#`

@@ -418,4 +418,81 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(gated.ranks.collect().map(_.getLong(0)).toSeq == Seq(999L))
     } finally server.stop(0)
   }
+
+  test("live Redis blacklist connector: RESP fetch of sets and interval zsets, degrade and gate serve fixtures") {
+    import spark.implicits._
+    import graft.sources.LiveRedisBlSource
+    // loopback RESP2 server: parses command arrays, serves two structures
+    val server = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val serverThread = new Thread(() => {
+      try while (!server.isClosed) {
+        val c = server.accept()
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(c.getInputStream))
+          val out = c.getOutputStream
+          def line(): String = {
+            val b = new StringBuilder
+            var ch = in.read()
+            while (ch != '\r' && ch >= 0) { b.append(ch.toChar); ch = in.read() }
+            in.read(); b.toString
+          }
+          def bulkArray(xs: Seq[String]): String =
+            s"*${xs.length}\r\n" + xs.map(x => s"$$${x.length}\r\n$x\r\n").mkString
+          var open = true
+          while (open) {
+            val t = in.read()
+            if (t < 0) open = false
+            else {
+              assert(t == '*')
+              val n = line().toInt
+              val args = (1 to n).map { _ =>
+                val h = line(); assert(h.startsWith("$")); line()
+              }
+              val resp = args match {
+                case Seq("SMEMBERS", "bl:tor") =>
+                  bulkArray(Seq("167772161", "167772162", "garbage"))
+                case Seq("SMEMBERS", _) => "*0\r\n"
+                case Seq("ZRANGE", "bl:spamnet", "0", "-1", "WITHSCORES") =>
+                  bulkArray(Seq("x:B", "100", "x:E", "200", "y:B", "300", "y:E", "350"))
+                case Seq("ZRANGE", _, _, _, _) => "*0\r\n"
+                case _ => "-ERR unknown command\r\n"
+              }
+              out.write(resp.getBytes("UTF-8")); out.flush()
+            }
+          }
+        } finally c.close()
+      } catch { case _: java.net.SocketException => () }
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+    try {
+      val fbSets = Seq((999L, "fixture")).toDF("ip", "bl_id")
+      val fbPref = Seq((1L, 2L, "fixture")).toDF("first", "last", "bl_id")
+      val live = LiveRedisBlSource(spark, "127.0.0.1", server.getLocalPort,
+        setKeys = Seq("bl:tor" -> "tor"),
+        prefixKeys = Seq("bl:spamnet" -> "spamnet"),
+        fallbackSets = fbSets, fallbackPrefixes = fbPref, enabled = true)
+      val (sets, prefs) = live.lists
+      assert(sets.orderBy($"ip").collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq == Seq((167772161L, "tor"), (167772162L, "tor"))) // garbage dropped
+      assert(prefs.orderBy($"first").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq == Seq((100L, 200L, "spamnet"), (300L, 350L, "spamnet")))
+      // enrich: set hit, interval hit, miss — through Intel.redisBlHits
+      val ents = Seq((1L, 167772161L), (2L, 150L), (3L, 55555L))
+        .toDF("entity", "ip")
+      val e = live.enrich(ents).orderBy($"entity").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(e.toSeq == Seq((1L, "tor", 1L), (2L, "spamnet", 1L)))
+      // dead port degrades to fixtures; gate never connects
+      val dead = LiveRedisBlSource(spark, "127.0.0.1", 1, Seq("k" -> "b"),
+        Nil, fbSets, fbPref, enabled = true, timeoutMs = 300)
+      assert(dead.lists._1.collect().map(_.getLong(0)).toSeq == Seq(999L))
+      val gated = LiveRedisBlSource(spark, "127.0.0.1", server.getLocalPort,
+        Nil, Nil, fbSets, fbPref, enabled = false)
+      assert(gated.lists._1.collect().map(_.getLong(0)).toSeq == Seq(999L))
+    } finally server.close()
+  }
 }
