@@ -321,6 +321,172 @@ object LiveDnsPtrSource {
   }
 }
 
+/** LIVE geolocation feed fetcher (`NERDd/modules/geolocation.py` — the
+  * MaxMind GeoLite2 db the reference loads): fetch a GeoLite2-style
+  * COUNTRY CSV (`network,country[,city[,tz]]` rows, CIDR networks, `#`
+  * comments skipped) once per cycle over the shared bounded transport and
+  * serve it as (first, last, ctry, city, tz) ip RANGES — so live `enrich`
+  * is the broadcast range join `ip BETWEEN first AND last`, the same
+  * shape as the prefix-blacklist and IANA range rows. Stated plainly: the
+  * reference reads MaxMind's BINARY .mmdb via libmaxminddb; the engine
+  * consumes the equivalent data in the CSV form MaxMind also publishes —
+  * same information, a parse this container can actually do. Gated off by
+  * default (`GRAFT_LIVE_GEO=1`), serving the keyed `fallback` through
+  * [[Intel.geoEnrich]] unchanged.
+  */
+final case class HttpGeoSource(
+    spark: org.apache.spark.sql.SparkSession,
+    url: String, fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_GEO").contains("1"),
+    timeoutMs: Int = 10000,
+    maxBytes: Int = 256 << 20) extends EnrichmentSource {
+  val name = "geo"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The fetched range table (first, last, ctry, city, tz), or None when
+    * gated off / fetch failed.
+    */
+  lazy val ranges: Option[DataFrame] =
+    HttpBlacklistSource(spark, url, name, fallback, enabled, timeoutMs,
+        maxBytes).fetchLines().map { lines =>
+      import spark.implicits._
+      val rows = lines.iterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          val c = l.split(',')
+          HttpGeoSource.cidrRange(c(0).trim).collect {
+            case (first, last) if c.length >= 2 && c(1).trim.nonEmpty =>
+              (first, last, c(1).trim,
+                if (c.length >= 3) c(2).trim else "",
+                if (c.length >= 4) c(3).trim else "")
+          }
+        }.toSeq
+      log.info(s"geo feed: ${rows.size} ranges from $url")
+      rows.toDF("first", "last", "ctry", "city", "tz")
+    }
+
+  def feeds: Seq[DataFrame] = Seq(ranges.getOrElse(fallback))
+
+  /** Live: broadcast range join on the int ip. Gated off: the keyed
+    * fixture join ([[Intel.geoEnrich]] — entities carry `gk`).
+    */
+  def enrich(entities: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ranges match {
+      case Some(r) =>
+        entities.join(broadcast(r),
+            col("ip").between(col("first"), col("last")))
+          .select(col("entity"), col("ctry"), col("city"), col("tz"))
+      case None => Intel.geoEnrich(entities, fallback)
+    }
+  }
+}
+
+object HttpGeoSource {
+  /** `a.b.c.d/n` → inclusive int range; None for malformed input. */
+  private[graft] def cidrRange(cidr: String): Option[(Long, Long)] = {
+    val slash = cidr.split('/')
+    if (slash.length != 2) None
+    else {
+      val q = slash(0).split('.')
+      if (q.length != 4) None
+      else
+        for {
+          ip <- scala.util.Try(
+            q.map(_.trim.toLong).reduceLeft((a, b) => (a << 8) | b)).toOption
+          n <- scala.util.Try(slash(1).trim.toInt).toOption
+          if n >= 0 && n <= 32 && ip >= 0 && ip <= 0xFFFFFFFFL
+        } yield {
+          val mask = if (n == 0) 0L else (0xFFFFFFFFL << (32 - n)) & 0xFFFFFFFFL
+          val first = ip & mask
+          (first, first | (~mask & 0xFFFFFFFFL))
+        }
+    }
+  }
+}
+
+/** LIVE passive-DNS connector (`NERDd/modules/passive_dns.py:34–144` —
+  * the CESNET PassiveDNS query per ip): one HTTP GET per entity ip under
+  * the budget cut, returning a JSON array of resolution records whose
+  * `domain` fields are extracted and fed to the SAME downstream the
+  * fixture path uses ([[Intel.pdnsDomainBl]] — domain-blacklist suffix
+  * matching). Answer taxonomy per the standing connector rules: 200
+  * yields domains (possibly none — a definitive empty answer), 404 is
+  * definitive no-data, transport failure drops the entity from the
+  * result (no-op — never a spurious "no domains" claim). Gated off by
+  * default (`GRAFT_LIVE_PDNS=1`), resolving domains from the `fallback`
+  * (entity, domain) fixture instead.
+  */
+final case class HttpPdnsSource(
+    fallback: DataFrame,
+    dblSuffixes: Seq[(String, String)],
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_PDNS").contains("1"),
+    budget: Int = 500,
+    baseUrl: String = "https://passivedns.cesnet.cz/api/query",
+    timeoutMs: Int = 5000) extends EnrichmentSource {
+  val name = "pdns"
+
+  def feeds: Seq[DataFrame] = Seq(fallback)
+
+  def enrich(ips: DataFrame): DataFrame =
+    Intel.pdnsDomainBl(
+      if (!enabled) fallback else resolveDomains(ips), dblSuffixes)
+
+  /** Live-resolve the budget cut to (entity, domain) rows — one row per
+    * resolved domain, entities with transport failures absent.
+    */
+  private[sources] def resolveDomains(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = ips.sparkSession
+    import spark.implicits._
+    val (base, tms) = (baseUrl, timeoutMs)
+    ips.orderBy(col("entity")).limit(budget)
+      .select(col("entity"), col("ip")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (entity, ip) =>
+          try {
+            val conn = java.net.URI
+              .create(s"$base/${LiveWhoisSource.queryName(ip)}")
+              .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(tms)
+            conn.setReadTimeout(tms)
+            try {
+              if (conn.getResponseCode != 200) Nil
+              else {
+                val body = new String(conn.getInputStream.readNBytes(1 << 20),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                HttpPdnsSource.domainFields(body).map(d => (entity, d))
+              }
+            } finally conn.disconnect()
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        }
+      }.toDF("entity", "domain")
+  }
+}
+
+object HttpPdnsSource {
+  /** Every `"domain": "<value>"` field in a JSON array of flat records —
+    * the one field the reference consumes; no JSON library needed for a
+    * flat scan, and malformed tail content simply stops the scan.
+    */
+  private[graft] def domainFields(json: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val key = "\"domain\""
+    var i = json.indexOf(key)
+    while (i >= 0) {
+      val colon = json.indexOf(':', i + key.length)
+      val q1 = if (colon < 0) -1 else json.indexOf('"', colon)
+      val q2 = if (q1 < 0) -1 else json.indexOf('"', q1 + 1)
+      if (q2 > q1 && q1 > 0) {
+        out += json.substring(q1 + 1, q2)
+        i = json.indexOf(key, q2)
+      } else i = -1
+    }
+    out.toSeq
+  }
+}
+
 /** LIVE Redis blacklist connector (`NERDd/modules/redis_bl.py:47–56` +
   * the writer `scripts/blacklists2redis.py`): the reference caches
   * blacklists in Redis as ip SETS and prefix-interval SORTED SETS

@@ -495,4 +495,93 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(gated.lists._1.collect().map(_.getLong(0)).toSeq == Seq(999L))
     } finally server.close()
   }
+
+  test("live geo feed fetcher: GeoLite2-style CSV to ip ranges, range-join enrich, gate keeps the keyed fixture join") {
+    import spark.implicits._
+    import graft.sources.HttpGeoSource
+    // pure CIDR math incl. edge prefixes
+    assert(HttpGeoSource.cidrRange("10.1.0.0/16").contains(
+      ((10L << 24) | (1L << 16), (10L << 24) | (1L << 16) | 0xFFFFL)))
+    assert(HttpGeoSource.cidrRange("0.0.0.0/0").contains((0L, 0xFFFFFFFFL)))
+    assert(HttpGeoSource.cidrRange("1.2.3.4/32").contains(
+      ((1L << 24) | (2L << 16) | (3L << 8) | 4L, (1L << 24) | (2L << 16) | (3L << 8) | 4L)))
+    assert(HttpGeoSource.cidrRange("bogus").isEmpty)
+    assert(HttpGeoSource.cidrRange("1.2.3.4/33").isEmpty)
+    val csv =
+      """# GeoLite2-style export
+        |10.1.0.0/16,cz,Prague,Europe/Prague
+        |10.2.0.0/16,de
+        |malformed-row
+        |10.3.0.0/16,""".stripMargin
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/geo.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/geo.csv"
+      val fallback = Seq((0, "xx", "Nowhere", "UTC")).toDF("gk", "ctry", "city", "tz")
+      val live = HttpGeoSource(spark, url, fallback, enabled = true)
+      val r = live.ranges.get.orderBy($"first").collect()
+        .map(x => (x.getLong(0), x.getString(2), x.getString(3)))
+      // malformed + empty-country rows dropped, short row padded
+      assert(r.toSeq == Seq(((10L << 24) | (1L << 16), "cz", "Prague"),
+        ((10L << 24) | (2L << 16), "de", "")))
+      val ents = Seq((1L, (10L << 24) | (1L << 16) | 42L),
+        (2L, (10L << 24) | (9L << 16))).toDF("entity", "ip")
+      val e = live.enrich(ents).collect().map(x => (x.getLong(0), x.getString(1)))
+      assert(e.toSeq == Seq((1L, "cz"))) // out-of-range ip: no geo row
+      // gated off: the keyed MaxMind-style fixture join
+      val gated = HttpGeoSource(spark, url, fallback, enabled = false)
+      val g = gated.enrich(Seq((7L, 0)).toDF("entity", "gk")).head()
+      assert(g.getString(1) == "xx")
+    } finally server.stop(0)
+  }
+
+  test("live passive-DNS connector: per-ip JSON domains feed the suffix matcher; failures drop, gate serves fixture") {
+    import spark.implicits._
+    import graft.sources.HttpPdnsSource
+    assert(HttpPdnsSource.domainFields(
+      """[{"domain": "a.example.com", "ts": 1}, {"domain": "b.zone2.example.com"}]""")
+      == Seq("a.example.com", "b.zone2.example.com"))
+    assert(HttpPdnsSource.domainFields("[]").isEmpty)
+    val ip1 = (10L << 24) | 1L
+    val ip2 = (10L << 24) | 2L
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/q", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (ex.getRequestURI.getPath == "/q/10.0.0.1") {
+        val b = """[{"domain": "h1.zone2.example.com"}, {"domain": "h1.other.org"}]"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      } else ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val suffixes = Seq(".zone2.example.com" -> "dbl-spam",
+        ".example.com" -> "dbl-broad")
+      val fallback = Seq((9L, "f.zone2.example.com")).toDF("entity", "domain")
+      val live = HttpPdnsSource(fallback, suffixes, enabled = true,
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/q",
+        timeoutMs = 1500)
+      val got = live.enrich(Seq((1L, ip1), (2L, ip2)).toDF("entity", "ip"))
+        .orderBy($"entity", $"domain").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // ip1's blacklisted domain matches two suffixes, the clean one none;
+      // ip2's 404 yields no domain rows at all
+      assert(got.toSeq == Seq(
+        (1L, "h1.other.org", ""),
+        (1L, "h1.zone2.example.com", "dbl-broad,dbl-spam")), got.mkString(","))
+      // gated off: the fixture (entity, domain) rows feed the matcher
+      val gated = HttpPdnsSource(fallback, suffixes, enabled = false)
+      val g = gated.enrich(Seq((9L, ip1)).toDF("entity", "ip")).head()
+      assert(g.getLong(0) == 9L && g.getString(2) == "dbl-broad,dbl-spam")
+    } finally server.stop(0)
+  }
 }
