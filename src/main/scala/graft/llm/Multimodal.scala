@@ -364,30 +364,29 @@ object Multimodal {
         // NonFatal for the same reason as decodeImage: container parsers
         // throw more than UnsupportedAudioFileException on malformed
         // headers, and none of it may kill the batch
-        val pcm: Array[Byte] = {
-          var data: Array[Byte] = null
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val f = ais.getFormat
-              if (f.getEncoding ==
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                  f.getSampleSizeInBits == 16)
-                data = ais.readAllBytes()
-            } finally ais.close()
-          } catch { case scala.util.control.NonFatal(_) => }
-          data
-        }
-        if (pcm != null) {
-          // re-probe the header cheaply for rate/channels/endianness (the
-          // stream above was consumed); AudioFileFormat reads only the
-          // header, not the payload
-          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        // capture format fields from the ONE container parse (a second
+        // getAudioFileFormat probe per row doubled parse cost at corpus
+        // scale for information already in hand)
+        var pcm: Array[Byte] = null
+        var ch = 1
+        var big = false
+        var rate = 0L
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val f = ff.getFormat
-          val ch = f.getChannels
-          val big = f.isBigEndian
+          try {
+            val f = ais.getFormat
+            if (f.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16) {
+              ch = f.getChannels
+              big = f.isBigEndian
+              rate = f.getSampleRate.toLong
+              pcm = ais.readAllBytes()
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => }
+        if (pcm != null) {
           val nSamples = pcm.length / (2 * ch)
           var ampSum = 0L
           var peak = 0L
@@ -407,8 +406,7 @@ object Multimodal {
             prevNeg = neg
             i += 1
           }
-          (id, 1L, f.getSampleRate.toLong, nSamples.toLong, ampSum, peak,
-            zeroCross)
+          (id, 1L, rate, nSamples.toLong, ampSum, peak, zeroCross)
         } else {
           var sum = 0L
           var peak = 0L
