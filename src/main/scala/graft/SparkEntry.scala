@@ -1149,6 +1149,39 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // the IVF drift ledger driven through its whole lifecycle: build (80%
+    // of the corpus) → two frozen-quantizer appends of 10% each → rebuild.
+    // Each stage reads the 1-row `meta` ledger and the `needsIvfRebuild`
+    // gate at threshold 0.15: the first append leaves the appended fraction
+    // at 10/90 (gate closed), the second crosses to 20/100 (gate OPEN — the
+    // quantizer refresh is due), and the rebuild resets the ledger. The
+    // fractions are exact functions of the vec_id distribution, so the
+    // oracle derives the identical schedule from counts alone; the recall
+    // cost the threshold protects against is MEASURED in the `ivf_drift`
+    // smoke probe, not asserted here.
+    "llm_ann_ivf_rebuild" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-ivf-rebuild")
+      def stageRow(stage: String): (String, Long, Long, Long) = {
+        val m = Ann.ivfIndexMeta(s, idx).get
+        (stage, m.baseRows, m.appendedRows,
+          if (Ann.needsIvfRebuild(s, idx, threshold = 0.15)) 1L else 0L)
+      }
+      Ann.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+        clusterCol = "label", dir = idx)
+      val built = stageRow("1_built")
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 4), idx)
+      val append1 = stageRow("2_append1")
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 9), idx)
+      val append2 = stageRow("3_append2")
+      Ann.writeIvfIndex(emb, clusterCol = "label", dir = idx)
+      val rebuilt = stageRow("4_rebuilt")
+      Seq(built, append1, append2, rebuilt)
+        .toDF("stage", "base_rows", "appended_rows", "needs_rebuild")
+        .orderBy(col("stage"))
+    }),
+
     // JSONL training-shard export ROUND-TRIP: deterministic md5 shard
     // assignment, partitionBy(shard) text write, re-read + JSON parse — the
     // curation-to-trainer handoff proven end-to-end, not just written
@@ -4649,6 +4682,23 @@ object SparkEntry {
     // frozen-quantizer append: centroids come from the 80% corpus only; the
     // 20% batch is assigned to its nearest stored centroid; the probe then
     // searches the merged corpus under those same centroids
+    "llm_ann_ivf_rebuild" ->
+      """WITH n AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS base,
+        |    CAST(sum(CASE WHEN vec_id % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        |  FROM embeddings)
+        |SELECT '1_built' AS stage, base AS base_rows,
+        |       CAST(0 AS BIGINT) AS appended_rows,
+        |       CAST(0 AS BIGINT) AS needs_rebuild FROM n
+        |UNION ALL SELECT '2_append1', base, a1,
+        |  CAST(CASE WHEN a1 * 1.0 / (base + a1) > 0.15 THEN 1 ELSE 0 END AS BIGINT) FROM n
+        |UNION ALL SELECT '3_append2', base, a1 + a2,
+        |  CAST(CASE WHEN (a1 + a2) * 1.0 / (base + a1 + a2) > 0.15 THEN 1 ELSE 0 END AS BIGINT) FROM n
+        |UNION ALL SELECT '4_rebuilt', total, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+        |ORDER BY stage""".stripMargin,
+
     "llm_ann_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |corpus AS (SELECT * FROM e WHERE vec_id % 5 != 4),

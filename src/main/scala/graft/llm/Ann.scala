@@ -111,7 +111,10 @@ object Ann {
     *    parquet directory per coarse cell, so a probe's partition filter
     *    prunes to ~nprobe/nlist of the bytes at ANY corpus size;
     *  - `dir/centroids` — the |clusters|-row coarse-quantizer table (the
-    *    build artifact every probe broadcasts).
+    *    build artifact every probe broadcasts);
+    *  - `dir/meta`      — the 1-row drift ledger ([[IvfMeta]]): rows the
+    *    quantizer was trained on vs rows frozen-appended since, read by
+    *    [[needsIvfRebuild]] to schedule the quantizer refresh.
     */
   def writeIvfIndex(embeddings: DataFrame, clusterCol: String, dir: String): Unit = {
     val e = asDouble(embeddings, "embedding")
@@ -121,7 +124,74 @@ object Ann {
     centroids(embeddings, clusterCol)
       .withColumn("cluster", col("cluster").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // a (re)build resets the drift ledger: everything in the layout was
+    // assigned by the quantizer trained on it
+    writeIvfMeta(embeddings.sparkSession, dir,
+      IvfMeta(baseRows = e.count(), appendedRows = 0L))
   }
+
+  /** The IVF index's drift ledger: how many rows the quantizer was trained
+    * on vs how many arrived later through [[appendToIvfIndex]]'s FROZEN
+    * assignment. Appended rows are placed by centroids that never saw them,
+    * so as their share grows the coarse routing drifts from what a fresh
+    * k-means would learn and nprobe=1 recall decays — the ledger is the
+    * number that schedules the quantizer refresh ([[writeIvfIndex]] again),
+    * the same role the delta-chain length plays for MOR compaction.
+    */
+  final case class IvfMeta(baseRows: Long, appendedRows: Long) {
+    def appendedFraction: Double =
+      if (baseRows + appendedRows <= 0L) 0d
+      else appendedRows.toDouble / (baseRows + appendedRows)
+  }
+
+  private def metaDirs(indexDir: String) =
+    (new org.apache.hadoop.fs.Path(s"$indexDir/meta"),
+      new org.apache.hadoop.fs.Path(s"$indexDir/.meta-tmp"))
+
+  /** 1-row, driver-trivial at any index size. Swap discipline: write tmp →
+    * delete published → rename tmp in; [[ivfIndexMeta]] self-heals a crash
+    * between the last two steps, mirroring [[compactIvfIndex]].
+    */
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, meta: IvfMeta): Unit = {
+    import spark.implicits._
+    val (pub, tmp) = metaDirs(indexDir)
+    val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((meta.baseRows, meta.appendedRows)).toDF("base_rows", "appended_rows")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(pub, true)
+    require(fs.rename(tmp, pub), s"IVF meta swap failed for $indexDir")
+  }
+
+  /** Read the drift ledger; `None` for an index written before the ledger
+    * existed (no way to reconstruct how much of it was frozen-appended).
+    */
+  def ivfIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Option[IvfMeta] = {
+    val (pub, tmp) = metaDirs(indexDir)
+    val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pub) && fs.exists(tmp)) {
+      require(fs.rename(tmp, pub), s"IVF meta self-heal failed for $indexDir")
+      log.warn(s"self-healed crashed IVF meta swap for $indexDir")
+    }
+    if (!fs.exists(pub)) None
+    else {
+      val r = spark.read.parquet(pub.toString)
+        .select(col("base_rows"), col("appended_rows")).head()
+      Some(IvfMeta(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** The rebuild gate: has the frozen-quantizer share of the index crossed
+    * `threshold`? An index with NO ledger answers true — its drift is
+    * unknowable, and a rebuild both refreshes the quantizer and establishes
+    * the ledger. The `ivf_drift` smoke probe carries the measured
+    * recall-vs-appended-fraction curve this threshold is read against.
+    */
+  def needsIvfRebuild(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, threshold: Double = 0.2): Boolean =
+    ivfIndexMeta(spark, indexDir)
+      .forall(_.appendedFraction > threshold)
 
   /** Append a batch of new vectors into an EXISTING IVF layout without a
     * rebuild — the index-maintenance step that keeps an ANN index usable
@@ -139,7 +209,11 @@ object Ann {
     * trained centroids is the standard IVF add path (re-training moves
     * centroids and would orphan already-placed rows); quantizer refresh is
     * a scheduled REBUILD ([[writeIvfIndex]] again), exactly as the MOR
-    * store's compaction is a scheduled rewrite behind bounded deltas.
+    * store's compaction is a scheduled rewrite behind bounded deltas. Each
+    * append advances the 1-row drift ledger (`dir/meta`) so
+    * [[needsIvfRebuild]] can schedule that refresh from the
+    * appended-fraction, with the recall cost of drift measured by the
+    * `ivf_drift` smoke probe rather than guessed.
     */
   def appendToIvfIndex(newVectors: DataFrame, indexDir: String): Unit = {
     val spark = newVectors.sparkSession
@@ -151,7 +225,17 @@ object Ann {
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster"))))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+      .cache() // written AND counted for the ledger — one assignment pass
     assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+    // advance the drift ledger (O(batch) count). Crash honesty: dying
+    // between the corpus append and this write under-counts drift by that
+    // one batch — the ledger schedules rebuilds, it is not a correctness
+    // surface, and the probe/query results never depend on it being exact
+    ivfIndexMeta(spark, indexDir).foreach { m =>
+      writeIvfMeta(spark, indexDir,
+        m.copy(appendedRows = m.appendedRows + assigned.count()))
+    }
+    assigned.unpersist()
   }
 
   /** Bounded PARTITION-LOCAL compaction of an IVF layout: each

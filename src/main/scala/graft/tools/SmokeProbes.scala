@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *     and 2, and read the corpus scan's `filesSize`/`numPartitions`
   *     metrics — scan bytes must track nprobe/nlist of the corpus (the
   *     claim PlanSpec pins structurally, here measured in bytes).
+  *
+  *  3. IVF recall under quantizer drift: the measured
+  *     recall-vs-appended-fraction curve (and its restoration by a
+  *     rebuild) that `Ann.needsIvfRebuild`'s threshold is read against.
   */
 object SmokeProbes {
 
@@ -135,6 +139,67 @@ object SmokeProbes {
       "nprobe2_scan_bytes" -> b2, "nprobe2_partitions_read" -> p2))
   }
 
+  // ---- probe 3: recall under quantizer drift (the needsIvfRebuild curve) ----
+
+  /** Measures what the drift ledger's threshold protects against: build the
+    * pruned layout from a quantizer LEARNED on 60% of the corpus, append the
+    * remaining 40% in two frozen-quantizer batches (appended fraction 0 →
+    * 0.25 → 0.40), and record nprobe=1 recall@10 against the exact top-10
+    * over the index's then-current contents at every stage — then rebuild
+    * (quantizer re-learned on the full corpus, ledger reset) and record the
+    * restored recall. Query set is 12 fixed base-resident vectors so every
+    * stage ranks the same queries.
+    */
+  def ivfDrift(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 < 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfdrift")
+    def learnAndWrite(corpus: DataFrame): Unit = {
+      val k = graft.llm.Ann.proportionalK(corpus.count())
+      val asg = graft.llm.Ann.kmeans(corpus, k = k, iters = 2)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      graft.llm.Ann.writeIvfIndex(corpus.join(asg, Seq("vec_id")),
+        clusterCol = "kc", dir = idx.toString)
+    }
+    learnAndWrite(base)
+    val q = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val nQ = q.count()
+    val k = 10
+    def stage(name: String): String = {
+      val m = graft.llm.Ann.ivfIndexMeta(spark, idx.toString).get
+      val corpus = spark.read.parquet(s"$idx/corpus")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qd = q.withColumn("qe", col("qe").cast("array<double>"))
+      val exact = corpus.join(broadcast(qd), col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(
+          call_function("cosine_sim", col("qe"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= k).select(col("qid"), col("vec_id"))
+      val pruned = graft.llm.Ann
+        .ivfTopKPruned(qd, idx.toString, k = k, nprobe = 1)
+        .select(col("qid"), col("vec_id"))
+      val hits = pruned.join(exact, Seq("qid", "vec_id")).count()
+      jLong(Seq("base_rows" -> m.baseRows, "appended_rows" -> m.appendedRows,
+        "appended_fraction_permille" -> (m.appendedFraction * 1000).round,
+        "recall_at10_permille" -> (hits * 1000L) / (nQ * k))) match {
+        case j => s"""{"stage":"$name",${j.drop(1)}"""
+      }
+    }
+    val s0 = stage("built_60pct")
+    graft.llm.Ann.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 3), idx.toString)
+    val s1 = stage("appended_25pct")
+    graft.llm.Ann.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4), idx.toString)
+    val s2 = stage("appended_40pct")
+    learnAndWrite(emb)
+    val s3 = stage("rebuilt_full")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx.toFile)
+    s"""{"threshold_note":"needsIvfRebuild default 0.2 sits between the 0.25-fraction stage and zero drift; this curve is what the threshold is read against","stages":[$s0,$s1,$s2,$s3]}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,7 +214,7 @@ object SmokeProbes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json =
-      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)}}"""
+      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)}}"""
     println("SMOKEPROBES " + json)
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json)

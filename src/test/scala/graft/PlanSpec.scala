@@ -320,6 +320,55 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF drift ledger: appends advance it, the gate flips at threshold, rebuild resets, crashed swap self-heals") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-meta").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val nBase = emb.filter(col("vec_id") % 5 =!= 4).count()
+    val nA1 = emb.filter(col("vec_id") % 10 === 4).count()
+    val nA2 = emb.filter(col("vec_id") % 10 === 9).count()
+
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      clusterCol = "label", dir = dir)
+    assert(Ann.ivfIndexMeta(spark, dir).contains(Ann.IvfMeta(nBase, 0L)))
+    assert(!Ann.needsIvfRebuild(spark, dir, threshold = 0.15))
+
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 4), dir)
+    assert(Ann.ivfIndexMeta(spark, dir).contains(Ann.IvfMeta(nBase, nA1)))
+    assert(!Ann.needsIvfRebuild(spark, dir, threshold = 0.15),
+      "10/90 appended must not trip a 0.15 gate")
+
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 9), dir)
+    assert(Ann.ivfIndexMeta(spark, dir).contains(Ann.IvfMeta(nBase, nA1 + nA2)))
+    assert(Ann.needsIvfRebuild(spark, dir, threshold = 0.15),
+      "20/100 appended must trip a 0.15 gate")
+    // the gate is a pure threshold on the same ledger
+    assert(!Ann.needsIvfRebuild(spark, dir, threshold = 0.25))
+
+    // crashed meta swap (tmp written, published deleted, rename lost):
+    // reads self-heal it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pub = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta-tmp")
+    assert(fs.rename(pub, tmp))
+    assert(Ann.ivfIndexMeta(spark, dir).contains(Ann.IvfMeta(nBase, nA1 + nA2)),
+      "a crashed swap must self-heal on read")
+    assert(fs.exists(pub) && !fs.exists(tmp))
+
+    // rebuild resets the ledger and closes the gate
+    Ann.writeIvfIndex(emb, clusterCol = "label", dir = dir)
+    assert(Ann.ivfIndexMeta(spark, dir).contains(Ann.IvfMeta(emb.count(), 0L)))
+    assert(!Ann.needsIvfRebuild(spark, dir, threshold = 0.15))
+
+    // a ledger-less (pre-gate) index answers true: drift unknowable
+    fs.delete(pub, true)
+    assert(Ann.ivfIndexMeta(spark, dir).isEmpty)
+    assert(Ann.needsIvfRebuild(spark, dir, threshold = 0.99))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("IVF compaction: only over-fragmented partitions rewrite, content survives, crashed swap self-heals") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
