@@ -132,11 +132,16 @@ object Ann {
 
   /** The IVF index's drift ledger: how many rows the quantizer was trained
     * on vs how many arrived later through [[appendToIvfIndex]]'s FROZEN
-    * assignment. Appended rows are placed by centroids that never saw them,
-    * so as their share grows the coarse routing drifts from what a fresh
-    * k-means would learn and nprobe=1 recall decays — the ledger is the
-    * number that schedules the quantizer refresh ([[writeIvfIndex]] again),
-    * the same role the delta-chain length plays for MOR compaction.
+    * assignment. Appended rows are placed by centroids that never saw them;
+    * when the incoming distribution SHIFTS, that mass lands far from every
+    * trained centroid, cells unbalance, and coarse routing drifts from what
+    * a fresh k-means would learn. The `ivf_drift` probe measures this
+    * honestly: under distribution-STATIONARY appends the recall curve is
+    * flat (query and candidate route through the same argmax), so the
+    * ledger tracks the EXPOSURE — the share of the index the quantizer
+    * never saw, the only regime where shift can hide — and schedules the
+    * quantizer refresh ([[writeIvfIndex]] again), the same role the
+    * delta-chain length plays for MOR compaction.
     */
   final case class IvfMeta(baseRows: Long, appendedRows: Long) {
     def appendedFraction: Double =
