@@ -32,6 +32,35 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
+  /** javax.sound provider tables resolved ONCE per executor JVM.
+    * `AudioSystem.write`/`getAudioInputStream` route every call through the
+    * JDK's provider registry, whose lookup is globally SYNCHRONIZED
+    * (`JDK13Services.getProviders`) — so 32 task threads serialize on one
+    * lock at ~60–150 µs per row, and the audio row's wall time becomes
+    * rows × lookup-cost regardless of parallelism (measured: 29.9 s → the
+    * per-row loop cost at 10×; the micro-benchmark without the registry is
+    * 3–15 µs/row). The provider OBJECTS are stateless and thread-safe; only
+    * the registry is contended. Resolving them once and calling them
+    * directly leaves the decode work byte-identical (same JDK provider
+    * classes — pinned by the oracle row) and removes the lock from the
+    * per-row path.
+    */
+  private lazy val audioFileWriters: Array[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private lazy val audioFileReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   /** Attach a media payload to each document. Here the "image" is the UTF-8
     * text bytes (deterministic stand-in for a real binary column read from
     * parquet); metadata is derived from payload size like a real decoder
@@ -317,6 +346,10 @@ object Multimodal {
     in.mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(
         8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      val waveWriter = audioFileWriters
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException(
+          "JVM ships no WAVE AudioFileWriter — javax.sound providers missing"))
       rows.map { case (id, bytes) =>
         val n = bytes.length
         val pcm = new Array[Byte](n * 2)
@@ -330,8 +363,10 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        // waveWriter resolved per partition from the JVM-cached provider
+        // table (see audioFileWriters): AudioSystem.write per row would
+        // serialize all task threads on the registry lock
+        waveWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         (id, bos.toByteArray, n.toLong)
       }
     }.toDF("doc_id", "media", "n_samples")
@@ -342,9 +377,11 @@ object Multimodal {
   }
 
   /** REAL audio decode behind the same partition-batched binary-in /
-    * features-out contract as [[decodeImage]]:
-    * `javax.sound.sampled.AudioSystem` parses the container (WAV/AIFF/AU —
-    * whatever the JVM's providers handle), and the features come from the
+    * features-out contract as [[decodeImage]]: the JVM's own
+    * `javax.sound.sampled` providers parse the container (WAV/AIFF/AU —
+    * whatever the provider table handles, iterated directly instead of
+    * through `AudioSystem`'s synchronized registry; see
+    * [[audioFileReaders]]), and the features come from the
     * ACTUAL decoded 16-bit PCM samples of channel 0 — sample count and
     * rate, the summed absolute amplitude, the peak, and the zero-crossing
     * count (the classic cheap speech/music discriminator). `decoded = 1`
@@ -360,6 +397,33 @@ object Multimodal {
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
     in.mapPartitions { rows =>
+      // the JVM-cached provider table (see audioFileReaders) replayed the
+      // way AudioSystem.getAudioInputStream iterates it — first reader that
+      // recognizes the container wins — minus the per-call registry lock
+      // that serializes task threads. `hint` remembers the last successful
+      // reader so a homogeneous partition (all WAV) parses in one attempt.
+      val readers = audioFileReaders
+      var hint: javax.sound.sampled.spi.AudioFileReader = null
+      def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        if (hint != null) {
+          try return hint.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+        }
+        var i = 0
+        while (i < readers.length) {
+          if (readers(i) ne hint) {
+            try {
+              val ais = readers(i)
+                .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              hint = readers(i)
+              return ais
+            } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+          }
+          i += 1
+        }
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no provider recognizes the container")
+      }
       rows.map { case (id, bytes) =>
         // NonFatal for the same reason as decodeImage: container parsers
         // throw more than UnsupportedAudioFileException on malformed
@@ -372,8 +436,7 @@ object Multimodal {
         var big = false
         var rate = 0L
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = openAudio(bytes)
           try {
             val f = ais.getFormat
             if (f.getEncoding ==
