@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *  3. IVF recall under quantizer drift: the measured
   *     recall-vs-appended-fraction curve (and its restoration by a
   *     rebuild) that `Ann.needsIvfRebuild`'s threshold is read against.
+  *
+  *  4. IVF under a MANUFACTURED distribution shift (corpus translated
+  *     outside its own support): the frozen layout unbalances and the
+  *     pruned probe's scan-byte bound breaks while recall holds; a rebuild
+  *     restores both — the receipt that the drift ledger's exposure number
+  *     is worth acting on.
   */
 object SmokeProbes {
 
@@ -205,6 +211,101 @@ object SmokeProbes {
     s"""{"threshold_note":"measured honestly: with DISTRIBUTION-STATIONARY appends (replica-scaled corpus) the recall curve stays flat - a frozen-quantizer append routes query and candidate through the same argmax, so stationary data cannot manufacture decay. The gate guards the regime this dataset cannot exhibit: distribution SHIFT, where appended mass lands far from every trained centroid and cells go unbalanced. The ledger bounds the share of the index the quantizer never saw - the exposure, not a measured loss","stages":[$s0,$s1,$s2,$s3]}"""
   }
 
+  // ---- probe 4: distribution SHIFT under a frozen quantizer ----
+
+  /** The companion to [[ivfDrift]]'s flat stationary curve: MANUFACTURE the
+    * shift regime and measure its cost. The appended 40% is the corpus
+    * TRANSLATED by +1.0 per dimension — far outside the support of the
+    * zero-mean ±0.4 training cloud, so every appended vector points within
+    * a few degrees of the all-ones direction and the frozen argmax sends
+    * essentially the whole batch into ONE cell (the centroid least unlike
+    * that direction). Two subtler "shifts" were measured first and moved
+    * nothing, which is itself informative: negation is
+    * distribution-preserving on a symmetric cloud, and abs() only doubles
+    * the max cell share — cosine routing is insensitive to any shift that
+    * keeps the mass spread over many directions. Routing stays
+    * consistent (query and candidate share the argmax), so the loss lands
+    * exactly where theory says: the shifted mass collapses into the few
+    * least-unlike cells, the layout unbalances
+    * (`max_cell_rowshare_permille`), and a shifted-region probe's nprobe=1
+    * scan bytes blow up from ~1/nlist of the corpus toward the whole
+    * shifted mass (`probe1_scan_bytes` vs `corpus_bytes`) — the pruned
+    * layout's COST contract breaks while recall holds
+    * (`recall_at10_permille`). A rebuild on the union re-learns centroids
+    * over both modes and restores balance and the scan bound. The drift
+    * ledger reads 400‰ at the broken stage, so `needsIvfRebuild(0.2)` is
+    * OPEN (`gate_open_at_0_2`) exactly when the measured blowup exists —
+    * the receipt that the ledger's exposure number is worth acting on.
+    */
+  def ivfShift(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 < 3)
+    val shifted = emb.filter(col("vec_id") % 5 >= 3)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(1.0)))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfshift")
+    def learnAndWrite(corpus: DataFrame): Unit = {
+      val k = graft.llm.Ann.proportionalK(corpus.count())
+      val asg = graft.llm.Ann.kmeans(corpus, k = k, iters = 2)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      graft.llm.Ann.writeIvfIndex(corpus.join(asg, Seq("vec_id")),
+        clusterCol = "kc", dir = idx.toString)
+    }
+    learnAndWrite(base)
+    // shifted-region queries: translated base vectors (ids < 12, disjoint
+    // from the appended batch so self-hits don't flatter recall); ONE of
+    // them carries the scan-bytes measurement so the probed-cell byte count
+    // is not smeared across distinct cells
+    val qRecall = base.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x + lit(1.0)).as("qe"))
+    val nQ = qRecall.count()
+    val k = 10
+    def stage(name: String): String = {
+      val m = graft.llm.Ann.ivfIndexMeta(spark, idx.toString).get
+      // ≤ nlist rows — bounded driver collect by construction
+      val cells = spark.read.parquet(s"$idx/corpus")
+        .groupBy(col("cluster")).count().collect().map(_.getLong(1))
+      val total = cells.sum
+      val corpus = spark.read.parquet(s"$idx/corpus")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qd = qRecall.withColumn("qe", col("qe").cast("array<double>"))
+      val exact = corpus.join(broadcast(qd), col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(
+          call_function("cosine_sim", col("qe"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= k).select(col("qid"), col("vec_id"))
+      val pruned = graft.llm.Ann
+        .ivfTopKPruned(qd, idx.toString, k = k, nprobe = 1)
+        .select(col("qid"), col("vec_id"))
+      val hits = pruned.join(exact, Seq("qid", "vec_id")).count()
+      val one = graft.llm.Ann.ivfTopKPruned(
+        qd.filter(col("qid") === 0), idx.toString, k = k, nprobe = 1)
+      one.collect()
+      val scanBytes = corpusScans(one.queryExecution.executedPlan)
+        .headOption.flatMap(_.metrics.get("filesSize").map(_.value)).getOrElse(-1L)
+      jLong(Seq("cells" -> cells.length.toLong, "rows" -> total,
+        "max_cell_rowshare_permille" -> cells.max * 1000L / total,
+        "appended_fraction_permille" -> (m.appendedFraction * 1000).round,
+        "gate_open_at_0_2" ->
+          (if (graft.llm.Ann.needsIvfRebuild(spark, idx.toString, 0.2)) 1L else 0L),
+        "probe1_scan_bytes" -> scanBytes,
+        "corpus_bytes" -> dirBytes(new java.io.File(idx.toFile, "corpus")),
+        "recall_at10_permille" -> (hits * 1000L) / (nQ * k))) match {
+        case j => s"""{"stage":"$name",${j.drop(1)}"""
+      }
+    }
+    val s0 = stage("built_60pct_unshifted")
+    graft.llm.Ann.appendToIvfIndex(shifted, idx.toString)
+    val s1 = stage("appended_40pct_shifted")
+    learnAndWrite(base.unionByName(shifted))
+    val s2 = stage("rebuilt_on_union")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx.toFile)
+    s"""{"shift_note":"the manufactured-shift companion to ivf_drift's stationary-flat curve: appended mass is the corpus translated +1.0 per dimension, far outside the zero-mean +-0.4 training cloud, so the frozen argmax sends essentially the whole batch into one cell. (Negation and abs() were measured first and barely move - cosine routing shrugs off any shift that keeps mass spread over many directions.) Expected and measured: the frozen layout unbalances and a shifted-region probe's scan bytes blow toward the whole shifted mass while recall holds; rebuild restores the ~1/nlist bound; the drift gate is open exactly at the broken stage","stages":[$s0,$s1,$s2]}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -219,7 +320,7 @@ object SmokeProbes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json =
-      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)}}"""
+      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)},"ivf_shift":${ivfShift(spark, sfDir)}}"""
     println("SMOKEPROBES " + json)
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json)
