@@ -1182,6 +1182,27 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // the PERSISTED IVFADC index driven through its lifecycle: build the
+    // codes/codebooks/centroids layout from the 80% corpus, append the 20%
+    // batch through the FROZEN coarse centroids and FROZEN codebooks, probe
+    // the merged layout from disk. The candidate scan reads PQ codes (m
+    // ints/vector), never the exact vectors — the compressed two-level
+    // index a 100-TB ANN deployment actually serves from; the oracle
+    // replays codebook training on the base corpus and frozen-encodes both
+    // sides, so every code, reconstruction, and ADC distance is pinned.
+    "llm_ann_ivfadc_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-ivfadc-idx")
+      Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % 5 =!= 4),
+        clusterCol = "label", dir = idx, m = 4, subDim = 16, k = 4)
+      Pq.appendToIvfAdcIndex(emb.filter(col("vec_id") % 5 === 4), idx)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Pq.ivfAdcTopKFromIndex(q, idx, topK = 10, nprobe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // JSONL training-shard export ROUND-TRIP: deterministic md5 shard
     // assignment, partitionBy(shard) text write, re-read + JSON parse — the
     // curation-to-trainer handoff proven end-to-end, not just written
@@ -2898,33 +2919,42 @@ object SparkEntry {
 
   private lazy val PQ_CTE: String = s"$PQ_E,\n$PQ_BODY"
 
-  private lazy val PQ_BODY: String = {
+  /** DuckDB replay of `Pq.train(train..., iters=2)` followed by the FINAL
+    * code assignment over `enc` — the two relations split so the
+    * index-lifecycle oracle can train codebooks on the base corpus only
+    * (`train = "eb"`) while frozen-encoding base AND appended rows
+    * (`enc = "e"`), exactly what `Pq.appendToIvfAdcIndex` does. The
+    * suite-wide default `PQ_BODY` trains and encodes on the same `e`
+    * (result-identical to the pre-split formulation).
+    */
+  private def pqBodyOn(train: String, enc: String): String = {
     val m = 4; val subDim = 16; val k = 4
     val subs = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
-      s"""sub$s AS (SELECT vec_id, emb[$lo:$hi] AS v FROM e),
+      s"""subT$s AS (SELECT vec_id, emb[$lo:$hi] AS v FROM $train),
+         |subE$s AS (SELECT vec_id, emb[$lo:$hi] AS v FROM $enc),
          |psc$s AS (SELECT code, emb[$lo:$hi] AS c FROM psd),
          |d1_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
-         |          FROM sub$s a, psc$s s),
+         |          FROM subT$s a, psc$s s),
          |a1_$s AS (SELECT vec_id, code FROM (
          |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
          |            FROM d1_$s) WHERE rn = 1),
          |u$s AS (SELECT a.code, unnest(b.v) AS x,
          |          unnest(generate_series(1, len(b.v))) AS pos
-         |        FROM a1_$s a JOIN sub$s b USING (vec_id)),
+         |        FROM a1_$s a JOIN subT$s b USING (vec_id)),
          |cm$s AS (SELECT code, pos,
          |           round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mv
          |         FROM u$s GROUP BY 1, 2),
          |c2_$s AS (SELECT code, list(mv ORDER BY pos) AS c FROM cm$s GROUP BY 1),
          |d2_$s AS (SELECT a.vec_id, s.code, round(list_distance(a.v, s.c), 6) AS d
-         |          FROM sub$s a, c2_$s s),
+         |          FROM subE$s a, c2_$s s),
          |a2_$s AS (SELECT vec_id, code, d FROM (
          |            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
          |            FROM d2_$s) WHERE rn = 1),
          |r$s AS (SELECT a.vec_id, c.c FROM a2_$s a JOIN c2_$s c USING (code))""".stripMargin
     }.mkString(",\n")
     s"""ps0 AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
-       |       FROM e ORDER BY h, vec_id LIMIT $k),
+       |       FROM $train ORDER BY h, vec_id LIMIT $k),
        |psd AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code, emb
        |       FROM ps0),
        |$subs,
@@ -2932,6 +2962,8 @@ object SparkEntry {
        |       FROM r0 JOIN r1 USING (vec_id) JOIN r2 USING (vec_id)
        |            JOIN r3 USING (vec_id))""".stripMargin
   }
+
+  private lazy val PQ_BODY: String = pqBodyOn("e", "e")
 
   /** FMP feature-frame SQL (no ORDER BY) shared by the features oracle and
     * the tree-ensemble scoring oracle.
@@ -4698,6 +4730,53 @@ object SparkEntry {
         |  CAST(CASE WHEN (a1 + a2) * 1.0 / (base + a1 + a2) > 0.15 THEN 1 ELSE 0 END AS BIGINT) FROM n
         |UNION ALL SELECT '4_rebuilt', total, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
         |ORDER BY stage""".stripMargin,
+
+    // frozen-everything lifecycle: codebooks trained on the 80% base only
+    // (pqBodyOn("eb","e") — seeds and Lloyd update from eb, final code
+    // assignment over ALL of e), coarse centroids per label from the base,
+    // the appended 20% routed by frozen cosine argmax; ADC ranks the probed
+    // cell's members by distance to their code reconstructions
+    "llm_ann_ivfadc_index" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT * FROM e WHERE vec_id % 5 != 4),
+         |${pqBodyOn("eb", "e")},
+         |batch AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM eb),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |asg0 AS (
+         |  SELECT b.vec_id, c.cluster, ${COS("b.emb", "c.centroid")} AS ccos
+         |  FROM batch b, cents c),
+         |asg AS (
+         |  SELECT vec_id, cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS crank
+         |        FROM asg0)
+         |  WHERE crank = 1),
+         |merged AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS cluster FROM eb
+         |  UNION ALL SELECT vec_id, CAST(cluster AS BIGINT) FROM asg),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, mg.vec_id,
+         |    round(list_distance(p.qe, rv.rvec), 6) AS adc
+         |  FROM merged mg
+         |  JOIN probe p ON mg.cluster = p.probe_cluster AND mg.vec_id != p.qid
+         |  JOIN rv ON rv.vec_id = mg.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, adc, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "llm_ann_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

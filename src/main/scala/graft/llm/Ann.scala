@@ -156,9 +156,12 @@ object Ann {
   /** 1-row, driver-trivial at any index size. Swap discipline: write tmp →
     * delete published → rename tmp in; [[ivfIndexMeta]] self-heals a crash
     * between the last two steps, mirroring [[compactIvfIndex]].
+    * `private[llm]` so [[Pq.writeIvfAdcIndex]]'s lifecycle shares ONE ledger
+    * implementation (same layout, same self-heal, same gate) instead of a
+    * near-copy.
     */
-  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String, meta: IvfMeta): Unit = {
+  private[llm] def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, meta: IvfMeta): Unit = {
     import spark.implicits._
     val (pub, tmp) = metaDirs(indexDir)
     val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -219,6 +219,138 @@ object Pq {
         col("vec_id"), col("adc"), col("rank"))
   }
 
+  /** Write the PERSISTED IVFADC layout — the index a 100-TB ANN deployment
+    * actually serves from, completing the index-lifecycle trio (LSH bands,
+    * IVF full-vector, now IVFADC codes):
+    *  - `dir/codes`     — the compressed corpus, partitioned by coarse
+    *    `cluster`: (vec_id, codes array<int>). m small codes per vector
+    *    instead of D floats — at m=4 this is what makes the candidate scan
+    *    memory-resident at any corpus size; partition pruning gives the
+    *    same ~nprobe/nlist byte bound as the full-vector layout, on a
+    *    corpus that is ~100× smaller on disk;
+    *  - `dir/codebooks` — the m·k-row PQ codebook ([[train]] output), the
+    *    artifact every probe broadcasts to decode candidates;
+    *  - `dir/centroids` — the coarse-quantizer table ([[Ann.centroids]]);
+    *  - `dir/meta`      — the SAME 1-row drift ledger as the full-vector
+    *    layout ([[Ann.IvfMeta]] / [[Ann.needsIvfRebuild]]): a (re)build
+    *    resets it; frozen appends advance it. Here the ledger guards TWO
+    *    frozen artifacts at once — coarse routing (cell imbalance under
+    *    shift, measured by the `ivf_shift` probe) and codebook fidelity
+    *    (appended vectors quantized by centroids fit to the old
+    *    distribution lose reconstruction accuracy).
+    */
+  def writeIvfAdcIndex(embeddings: DataFrame, clusterCol: String, dir: String,
+                       m: Int, subDim: Int, k: Int, iters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    val e = asDouble(embeddings, "embedding")
+    val cb = train(embeddings, m, subDim, k, iters)
+    val codes = assign(subvectors(e, m, subDim), cb)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    e.select(col("vec_id"), col(clusterCol).cast("long").as("cluster"))
+      .join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Ann.centroids(embeddings, clusterCol)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Ann.writeIvfMeta(spark, dir, Ann.IvfMeta(baseRows = e.count(), appendedRows = 0L))
+  }
+
+  /** Append a batch into an EXISTING IVFADC layout without a rebuild: the
+    * batch is routed by the FROZEN coarse centroids (nearest stored
+    * centroid, broadcast argmax — the identical rule to
+    * [[Ann.appendToIvfIndex]]) and encoded by the FROZEN codebooks (the
+    * standard IVFADC add path — re-training either artifact would orphan
+    * every already-coded row). O(batch) work, partition-local appended
+    * files, untouched partitions byte-identical; the drift ledger advances
+    * so [[Ann.needsIvfRebuild]] schedules the joint refresh. m/subDim are
+    * read off the stored codebook — the index is self-describing, callers
+    * cannot desync the geometry.
+    */
+  def appendToIvfAdcIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.GraftExtensions.register(spark)
+    val e = asDouble(newVectors, "embedding")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val m = cb.agg(max(col("sub"))).head().getInt(0) + 1
+    val subDim = cb.select(size(col("centroid"))).head().getInt(0)
+    val coarse = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        round(call_function("cosine_sim", col("embedding"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    val assigned = coarse.select(col("vec_id"), col("cluster"))
+      .join(assign(subvectors(e, m, subDim), cb)
+        .groupBy(col("vec_id"))
+        .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code")).as("codes")), Seq("vec_id"))
+      .cache() // written AND counted for the ledger — one assignment pass
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
+    // same crash-honesty contract as Ann.appendToIvfIndex: dying between the
+    // codes append and this write under-counts drift by one batch; the
+    // ledger schedules rebuilds, it is not a correctness surface
+    Ann.ivfIndexMeta(spark, indexDir).foreach { meta =>
+      Ann.writeIvfMeta(spark, indexDir,
+        meta.copy(appendedRows = meta.appendedRows + assigned.count()))
+    }
+    assigned.unpersist()
+  }
+
+  /** IVFADC probe AGAINST the persisted layout: route each query to its
+    * `nprobe` nearest stored coarse centroids, scan ONLY those clusters'
+    * CODE partitions (the same explicit driver-side router and static `IN`
+    * partition filter as [[Ann.ivfTopKPruned]], for the same byte-contract
+    * reason), decode the candidates through the broadcast codebook, and
+    * rank by asymmetric distance to the reconstruction. The decode is a
+    * posexplode→broadcast-join→regroup bounded to the probed partitions —
+    * the corpus never shuffles and the exact vectors are never touched.
+    * Same output contract as [[ivfAdcTopK]]:
+    * (qid, probe_cluster, vec_id, adc, rank) — and bit-identical to it
+    * when the index was built from the same corpus/assignment (pinned in
+    * `PlanSpec`).
+    */
+  def ivfAdcTopKFromIndex(queries: DataFrame, indexDir: String, topK: Int,
+                          nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    graft.GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val q = queries.select(col("qid"), col("qe").cast("array<double>").as("qe"))
+    val probe = q.join(broadcast(cents), lit(true))
+      .withColumn("pccos",
+        round(call_function("cosine_sim", col("qe"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pccos").desc, col("cluster"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
+    // the router action: ≤ |queries|·nprobe longs, a documented bounded
+    // boundary exactly like Ann.ivfTopKPruned's
+    val probedClusters = probe.select(col("probe_cluster")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rv = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cluster").isin(probedClusters.map(Long.box): _*))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("sub"), col("centroid")))),
+        x => x.getField("centroid"))).as("rvec"))
+    rv.join(broadcast(probe),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", l2(col("qe"), col("rvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("probe_cluster").cast("long").as("probe_cluster"),
+        col("vec_id"), col("adc"), col("rank"))
+  }
+
   /** ADC recall report: per query, the overlap between the exact Euclidean
     * top-k and the top-k ranked by distance to PQ reconstructions
     * (asymmetric distance computation — the query stays exact, only the

@@ -320,6 +320,80 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVFADC persisted index: probe == in-memory path bit-for-bit, codes scan prunes by partition, append is partition-local and advances the ledger") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{Ann, Pq}
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+    // 1) full build: the persisted probe must reproduce the in-memory
+    //    IVFADC rows bit-for-bit (same training determinism, same routing)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+    Pq.writeIvfAdcIndex(emb, clusterCol = "label", dir = dir,
+      m = 4, subDim = 16, k = 4)
+    val fromIndex = Pq.ivfAdcTopKFromIndex(q, dir, topK = 5, nprobe = 1)
+    val labelAsg = emb.select(col("vec_id"), col("label").cast("long").as("cluster"))
+    val inMemory = Pq.ivfAdcTopK(emb, labelAsg, queryMaxId = 3, topK = 5,
+      m = 4, subDim = 16, k = 4)
+    assert(fromIndex.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(fromIndex).isEmpty,
+      "persisted probe diverged from the in-memory IVFADC path")
+
+    // 2) the codes scan is partition-pruned to the probed cells (static IN
+    //    filter — the byte contract must not depend on optimizer mood)
+    val probed = Pq.ivfAdcTopKFromIndex(q, dir, topK = 5, nprobe = 1)
+    probed.collect()
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("codes")) => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScans = scans(probed.queryExecution.executedPlan)
+    assert(codeScans.nonEmpty)
+    val partsRead = codeScans.head.metrics("numPartitions").value
+    val nClusters = emb.select("label").distinct().count()
+    assert(partsRead > 0 && partsRead <= 3,
+      s"3 queries at nprobe=1 must read <=3 of $nClusters code partitions, read $partsRead")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+    // 3) frozen append: untouched code partitions stay byte-identical, the
+    //    merged layout is complete, the shared drift ledger advances
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfadc-add").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Pq.writeIvfAdcIndex(base, clusterCol = "label", dir = dir2,
+      m = 4, subDim = 16, k = 4)
+    def files(): Map[String, Set[String]] =
+      Option(new java.io.File(s"$dir2/codes").listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().map(f => f.getName + ":" + f.length()).toSet)
+        .toMap
+    val before = files()
+    Pq.appendToIvfAdcIndex(batch, dir2)
+    val after = files()
+    before.foreach { case (cl, fs) =>
+      assert(fs.subsetOf(after.getOrElse(cl, Set.empty)),
+        s"code partition $cl lost or rewrote files")
+    }
+    val merged = spark.read.parquet(s"$dir2/codes")
+    assert(merged.count() == emb.count())
+    assert(merged.select("vec_id").except(emb.select("vec_id")).isEmpty)
+    // every appended row carries m codes within [0, k)
+    assert(merged.filter(org.apache.spark.sql.functions.size(col("codes")) =!= 4
+      || org.apache.spark.sql.functions.array_max(col("codes")) >= 4
+      || org.apache.spark.sql.functions.array_min(col("codes")) < 0).isEmpty)
+    assert(Ann.ivfIndexMeta(spark, dir2)
+      .contains(Ann.IvfMeta(base.count(), batch.count())))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
   test("IVF drift ledger: appends advance it, the gate flips at threshold, rebuild resets, crashed swap self-heals") {
     import org.apache.spark.sql.functions.col
     import graft.llm.Ann
