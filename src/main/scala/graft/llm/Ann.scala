@@ -265,8 +265,18 @@ object Ann {
     * DataFrame creation — same rule as [[graft.llm.Dedup.appendToLshIndex]]).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String, maxFilesPerCluster: Int = 16): Int = {
-    val corpus = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
+                      indexDir: String, maxFilesPerCluster: Int = 16): Int =
+    compactClusterData(spark, indexDir, "corpus", maxFilesPerCluster)
+
+  /** The compaction body shared by the full-vector layout (`corpus/`) and
+    * the IVFADC codes layout (`codes/`, via [[Pq.compactIvfAdcIndex]]) —
+    * identical swap discipline, self-heal, and partition-local cost bound;
+    * `sub` names which cluster-partitioned data directory this index keeps.
+    */
+  private[llm] def compactClusterData(spark: org.apache.spark.sql.SparkSession,
+                                      indexDir: String, sub: String,
+                                      maxFilesPerCluster: Int): Int = {
+    val corpus = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // self-heal any crashed swap first: aside present, partition missing
@@ -304,8 +314,8 @@ object Ann {
         }
       }
     if (n > 0) {
-      log.info(s"compacted $n IVF cluster partitions in $indexDir")
-      spark.catalog.refreshByPath(s"$indexDir/corpus")
+      log.info(s"compacted $n IVF cluster partitions in $indexDir/$sub")
+      spark.catalog.refreshByPath(s"$indexDir/$sub")
     }
     n
   }

@@ -301,6 +301,16 @@ object Pq {
     assigned.unpersist()
   }
 
+  /** Bounded partition-local compaction of the codes layout — the same
+    * fragmentation bound a standing ingest needs on the full-vector layout,
+    * delegated to the ONE shared implementation ([[Ann.compactClusterData]]:
+    * only over-fragmented cluster partitions rewrite, rename-aside swap,
+    * crashed-swap self-heal).
+    */
+  def compactIvfAdcIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, maxFilesPerCluster: Int = 16): Int =
+    Ann.compactClusterData(spark, indexDir, "codes", maxFilesPerCluster)
+
   /** IVFADC probe AGAINST the persisted layout: route each query to its
     * `nprobe` nearest stored coarse centroids, scan ONLY those clusters'
     * CODE partitions (the same explicit driver-side router and static `IN`

@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Long-run LIFECYCLE SOAK — the receipt that the three mutable disk
+/** Long-run LIFECYCLE SOAK — the receipt that the four mutable disk
   * layouts (merge-on-read snapshot store, persisted banded-LSH index,
-  * partitioned IVF index) keep file counts, on-disk size, and per-trigger
+  * partitioned IVF index, IVFADC codes index) keep file counts, on-disk
+  * size, and per-trigger
   * latency BOUNDED over many more maintenance cycles than any single
   * correctness row drives (default 50 vs the suite's 2–4). A standing
   * 100-TB ingest runs these lifecycles all day; what this tool guards
@@ -155,6 +156,31 @@ object Soak {
     val ivfRows = spark.read.parquet(s"$ivfDir/corpus").count()
     val ivf = Series(ivfMs.toSeq, ivfFiles.toSeq, ivfBytes.toSeq)
 
+    // ---- 3b. persisted IVFADC codes layout: n frozen-coarse +
+    //          frozen-codebook appends with the shared partition-local
+    //          compaction — the compressed index must stay as bounded as
+    //          the full-vector one (same contract, ~100x fewer bytes) ----
+    val adcDir = s"$tmp/ivfadc-index"
+    graft.llm.Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % (n + 1) === 0),
+      clusterCol = "label", dir = adcDir, m = 4, subDim = 16, k = 4)
+    val adcMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val adcFiles = scala.collection.mutable.ArrayBuffer[Long]()
+    val adcBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    var adcCompactions = 0
+    (1 to n).foreach { i =>
+      val batch = emb.filter(col("vec_id") % (n + 1) === i)
+      val t0 = System.nanoTime()
+      graft.llm.Pq.appendToIvfAdcIndex(batch, adcDir)
+      adcCompactions +=
+        graft.llm.Pq.compactIvfAdcIndex(spark, adcDir, maxFilesPerCluster = 8)
+      adcMs += (System.nanoTime() - t0) / 1000000L
+      val (f, b) = dirStats(s"$adcDir/codes")
+      adcFiles += f
+      adcBytes += b
+    }
+    val adcRows = spark.read.parquet(s"$adcDir/codes").count()
+    val adc = Series(adcMs.toSeq, adcFiles.toSeq, adcBytes.toSeq)
+
     // ---- 4. keyed streaming state under event-time TTL: n TIME-ORDERED
     //         micro-batches through flatMapGroupsWithState; the state row
     //         count must PLATEAU (expiry keeping pace with arrivals), and
@@ -218,7 +244,8 @@ object Soak {
         s""""ttl_state":$ttlJson,""" +
         s""""mor":${mor.json(s""","commits":$morCommits,"entities":$morRows""")},""" +
         s""""lsh":${lsh.json(s""","rows":$lshRows""")},""" +
-        s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions""")}}"""
+        s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions""")},""" +
+        s""""ivfadc":${adc.json(s""","rows":$adcRows,"partitions_compacted":$adcCompactions""")}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()

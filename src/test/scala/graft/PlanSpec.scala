@@ -391,6 +391,15 @@ class PlanSpec extends AnyFunSuite {
       || org.apache.spark.sql.functions.array_min(col("codes")) < 0).isEmpty)
     assert(Ann.ivfIndexMeta(spark, dir2)
       .contains(Ann.IvfMeta(base.count(), batch.count())))
+
+    // 4) codes compaction (shared machinery): fragmented partitions
+    //    coalesce, content survives exactly, fresh reads see the new files
+    val contentBefore = merged.orderBy(col("vec_id")).collect().toSeq
+    val compacted = Pq.compactIvfAdcIndex(spark, dir2, maxFilesPerCluster = 1)
+    assert(compacted > 0, "an appended layout must have fragmented partitions")
+    val reread = spark.read.parquet(s"$dir2/codes")
+    assert(reread.orderBy(col("vec_id")).collect().toSeq == contentBefore,
+      "compaction changed the codes content")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
   }
 
