@@ -153,20 +153,23 @@ object Ann {
     (new org.apache.hadoop.fs.Path(s"$indexDir/meta"),
       new org.apache.hadoop.fs.Path(s"$indexDir/.meta-tmp"))
 
-  /** 1-row, driver-trivial at any index size. Swap discipline: write tmp →
-    * delete published → rename tmp in; [[ivfIndexMeta]] self-heals a crash
-    * between the last two steps, mirroring [[compactIvfIndex]].
-    * `private[llm]` so [[Pq.writeIvfAdcIndex]]'s lifecycle shares ONE ledger
-    * implementation (same layout, same self-heal, same gate) instead of a
-    * near-copy.
+  /** 1-row and genuinely driver-trivial: plain FileSystem I/O (a two-field
+    * text file), NOT a Spark job — a parquet write here costs a full job
+    * submission per append, which doubled the append row's wall time when
+    * the ledger first shipped. Swap discipline: write tmp → delete
+    * published → rename tmp in; [[ivfIndexMeta]] self-heals a crash between
+    * the last two steps, mirroring [[compactIvfIndex]]. `private[llm]` so
+    * [[Pq.writeIvfAdcIndex]]'s lifecycle shares ONE ledger implementation
+    * (same layout, same self-heal, same gate) instead of a near-copy.
     */
   private[llm] def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
                                 indexDir: String, meta: IvfMeta): Unit = {
-    import spark.implicits._
     val (pub, tmp) = metaDirs(indexDir)
     val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq((meta.baseRows, meta.appendedRows)).toDF("base_rows", "appended_rows")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(tmp, true)
+    try out.write(s"${meta.baseRows},${meta.appendedRows}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     fs.delete(pub, true)
     require(fs.rename(tmp, pub), s"IVF meta swap failed for $indexDir")
   }
@@ -184,9 +187,12 @@ object Ann {
     }
     if (!fs.exists(pub)) None
     else {
-      val r = spark.read.parquet(pub.toString)
-        .select(col("base_rows"), col("appended_rows")).head()
-      Some(IvfMeta(r.getLong(0), r.getLong(1)))
+      val in = fs.open(pub)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val Array(base, appended) = line.split(',')
+      Some(IvfMeta(base.toLong, appended.toLong))
     }
   }
 
