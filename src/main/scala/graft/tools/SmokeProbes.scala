@@ -306,6 +306,132 @@ object SmokeProbes {
     s"""{"shift_note":"the manufactured-shift companion to ivf_drift's stationary-flat curve: appended mass is the corpus translated +1.0 per dimension, far outside the zero-mean +-0.4 training cloud, so the frozen argmax sends essentially the whole batch into one cell. (Negation and abs() were measured first and barely move - cosine routing shrugs off any shift that keeps mass spread over many directions.) Expected and measured: the frozen layout unbalances and a shifted-region probe's scan bytes blow toward the whole shifted mass while recall holds; rebuild restores the ~1/nlist bound; the drift gate is open exactly at the broken stage","stages":[$s0,$s1,$s2]}"""
   }
 
+  // ---- probe 5: codebook staleness in the COMPRESSED index ----
+
+  /** The IVFADC companion to [[ivfShift]]. The full-vector probe showed
+    * shift breaks the SCAN-BYTES contract while recall holds — stored
+    * vectors are exact, so a consistent argmax keeps answers right. The
+    * compressed layout has a second frozen artifact with no such safety
+    * net: the PQ codebooks. Appended mass translated +1.0 per dimension
+    * sits far outside every sub-centroid trained on the zero-mean ±0.4
+    * cloud, so all shifted sub-vectors snap to the same least-unlike code
+    * — reconstructions collapse toward one point, ADC distances between
+    * shifted candidates stop discriminating, and RECALL ITSELF breaks
+    * (`adc_recall_at10_permille`), the failure [[ivfShift]] could not
+    * exhibit. `recon_err_*_milli` is the direct fidelity receipt, computed
+    * from the STORED codes + codebooks (what the index actually serves),
+    * split by mode: the unshifted rows stay at their build-time error
+    * while the appended rows' error is the full translation distance. A
+    * rebuild on the union re-trains the codebooks over both modes and
+    * restores both numbers; the shared drift ledger is open at the broken
+    * stage — the receipt for the claim in [[graft.llm.Pq.writeIvfAdcIndex]]
+    * that the ledger guards codebook fidelity, not just coarse routing.
+    */
+  def adcShift(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 < 3)
+    val shifted = emb.filter(col("vec_id") % 5 >= 3)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(1.0)))
+    val union = base.unionByName(shifted)
+    val idx = java.nio.file.Files.createTempDirectory("graft-adcshift")
+    def learnAndWrite(corpus: DataFrame): Unit = {
+      val kc = graft.llm.Ann.proportionalK(corpus.count())
+      val asg = graft.llm.Ann.kmeans(corpus, k = kc, iters = 2)
+        .select(col("vec_id"), col("cluster").as("kc"))
+      // k=16 sub-centroids (4-bit PQ): a sharper codebook than the oracle
+      // row's k=4 so the HEALTHY stages have recall headroom to lose —
+      // the staleness collapse is invariant to k (no codebook trained on
+      // the unshifted cloud can place the translated mass)
+      graft.llm.Pq.writeIvfAdcIndex(corpus.join(asg, Seq("vec_id")),
+        clusterCol = "kc", dir = idx.toString, m = 4, subDim = 16, k = 16)
+    }
+    learnAndWrite(base)
+    // shifted-region queries: translated base vectors, ids disjoint from
+    // the appended batch so self-hits don't flatter recall
+    val qRecall = base.filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x + lit(1.0))
+          .cast("array<double>").as("qe"))
+    val k = 10
+    def stage(name: String, corpus: DataFrame): String = {
+      val m = graft.llm.Ann.ivfIndexMeta(spark, idx.toString).get
+      // decode the STORED codes through the STORED codebooks — the
+      // fidelity of what the index serves, not a re-encode
+      val cb = spark.read.parquet(s"$idx/codebooks")
+      val rv = spark.read.parquet(s"$idx/codes")
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(cb), Seq("sub", "code"))
+        .groupBy(col("vec_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("sub"), col("centroid")))),
+          x => x.getField("centroid"))).as("rvec"))
+      val truth = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("tvec"),
+        (col("vec_id") % 5 >= 3).as("shifted_mode"))
+      val errs = rv.join(truth, Seq("vec_id"))
+        .withColumn("err", call_function("l2_dist", col("tvec"), col("rvec")))
+        .groupBy(col("shifted_mode")).agg(avg(col("err")).as("e"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      // recall is measured WITHIN the probed cell (the identical nprobe=1
+      // routing rule the index probe uses, so ivf_shift's finding that
+      // routing stays consistent applies) over DISTINCT vector VALUES: the
+      // replica datasets clone every vector verbatim under shifted ids, so
+      // id-level top-10 at 10x/100x degenerates into "name the single
+      // nearest clone group through a 4-byte code" — near zero for ANY
+      // healthy PQ. Ranking deduped values makes clone multiplicity cancel
+      // (distance doesn't depend on which clone) and the metric compare
+      // across all three scales; at base SF vectors are unique and this is
+      // plain in-cell recall@10. Any miss is attributable to CODE fidelity
+      // alone: exact and ADC rank the same candidate set, exact from the
+      // true vectors, ADC from the STORED codes' reconstructions.
+      val cents = spark.read.parquet(s"$idx/centroids")
+      val probed = qRecall.join(broadcast(cents), lit(true))
+        .withColumn("pccos",
+          round(call_function("cosine_sim", col("qe"), col("centroid")), 6))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("pccos").desc, col("cluster"))))
+        .filter(col("crank") === 1)
+        .select(col("qid"), col("qe"), col("cluster").as("probe_cluster"))
+      val cand = spark.read.parquet(s"$idx/codes")
+        .select(col("vec_id"), col("cluster"))
+        .join(corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")), Seq("vec_id"))
+        .join(rv, Seq("vec_id"))
+        .select(col("cluster"), col("embedding"), col("rvec")).distinct()
+        .join(broadcast(probed), col("cluster") === col("probe_cluster"))
+      def topVecs(scoreOf: org.apache.spark.sql.Column): DataFrame = cand
+        .withColumn("s", scoreOf)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("s").asc, col("embedding"))))
+        .filter(col("rank") <= k).select(col("qid"), col("embedding"))
+      val truthVecs = topVecs(call_function("l2_dist", col("qe"), col("embedding")))
+      val adcVecs = topVecs(call_function("l2_dist", col("qe"), col("rvec")))
+      val nTruth = truthVecs.count()
+      val hits = adcVecs.join(truthVecs, Seq("qid", "embedding")).count()
+      jLong(Seq(
+        "recon_err_unshifted_milli" ->
+          errs.get(false).map(e => (e * 1000).round).getOrElse(-1L),
+        "recon_err_shifted_milli" ->
+          errs.get(true).map(e => (e * 1000).round).getOrElse(-1L),
+        "appended_fraction_permille" -> (m.appendedFraction * 1000).round,
+        "gate_open_at_0_2" ->
+          (if (graft.llm.Ann.needsIvfRebuild(spark, idx.toString, 0.2)) 1L
+           else 0L),
+        "adc_recall_at10_permille" -> (hits * 1000L) / math.max(nTruth, 1L))) match {
+        case j => s"""{"stage":"$name",${j.drop(1)}"""
+      }
+    }
+    val s0 = stage("built_60pct_unshifted", base)
+    graft.llm.Pq.appendToIvfAdcIndex(shifted, idx.toString)
+    val s1 = stage("appended_40pct_shifted", union)
+    learnAndWrite(union)
+    val s2 = stage("rebuilt_on_union", union)
+    org.apache.commons.io.FileUtils.deleteDirectory(idx.toFile)
+    s"""{"adc_note":"codebook-staleness companion to ivf_shift: there the full-vector layout kept recall while the byte contract broke; here the SAME shift breaks recall itself, because the appended mass is coded by frozen sub-centroids that never saw it - reconstructions collapse toward one point and ADC distances stop discriminating (in-cell recall drops ~11x). recon_err is decoded from the stored codes/codebooks per mode; rebuild on the union FULLY restores reconstruction error but only partially restores recall - the retrained 16-entry sub-codebooks now split capacity across two modes, halving per-mode resolution. Measured honestly: a distribution-widening rebuild should also revisit codebook capacity (k), not just retrain. The shared drift ledger is open exactly at the broken stage","stages":[$s0,$s1,$s2]}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -320,7 +446,7 @@ object SmokeProbes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json =
-      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)},"ivf_shift":${ivfShift(spark, sfDir)}}"""
+      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)},"ivf_shift":${ivfShift(spark, sfDir)},"adc_shift":${adcShift(spark, sfDir)}}"""
     println("SMOKEPROBES " + json)
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json)
