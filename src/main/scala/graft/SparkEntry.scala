@@ -1618,6 +1618,51 @@ object SparkEntry {
         .orderBy(col("batch"), col("crawl_doc"), col("corpus_doc"))
     }),
 
+    // -- the ANN index lifecycle driven by Structured Streaming: embedding
+    //    batches arrive as a two-batch file stream (vec_id%3==1, then
+    //    %3==2); each micro-batch is appended THROUGH the frozen coarse
+    //    quantizer and frozen PQ codebooks, the codes layout compacted,
+    //    and the probe re-runs IN-STREAM against the refreshed index —
+    //    batch 1's probe ranking already contains batch-1 vectors, proving
+    //    the in-stream append took effect before the next trigger, and the
+    //    shared drift ledger's gate flips exactly when the appended
+    //    fraction crosses the threshold (~1/2 closed after batch 1, ~2/3
+    //    OPEN after batch 2: the stream itself schedules the rebuild). The
+    //    ANN sibling of llm_stream_near_dedup's crawl-dedup lifecycle. --
+    "llm_stream_ann_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-sann") + "/index"
+      Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % 3 === 0),
+        clusterCol = "label", dir = idx, m = 4, subDim = 16, k = 4)
+      val src = sannSourceDir(s, dir)
+      val sink = scratchDir("graft-sann-sink")
+      val q = s.readStream.schema(sannSourceSchema(s, dir))
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .option("checkpointLocation", scratchDir("graft-sann-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          Pq.appendToIvfAdcIndex(batch, idx)
+          Pq.compactIvfAdcIndex(s, idx, maxFilesPerCluster = 2)
+          val meta = Ann.ivfIndexMeta(s, idx).get
+          val qs = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          Pq.ivfAdcTopKFromIndex(qs, idx, topK = 10, nprobe = 1)
+            .withColumn("batch", lit(bid + 1))
+            .withColumn("appended_rows", lit(meta.appendedRows))
+            .withColumn("gate",
+              lit(if (Ann.needsIvfRebuild(s, idx, threshold = 0.6)) 1L else 0L))
+            .write.mode("append").parquet(sink)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("batch"), col("qid"), col("probe_cluster"), col("vec_id"),
+          col("adc"), col("rank").cast("long").as("rank"),
+          col("appended_rows"), col("gate"))
+        .orderBy(col("batch"), col("qid"), col("rank"))
+    }),
+
     // BPE encode under a fixed merge table: tokens-per-word fertility —
     // one narrow codegen projection, no shuffle (llm/Bpe.scala)
     "llm_bpe_encode" -> ((s, dir) =>
@@ -2377,6 +2422,31 @@ object SparkEntry {
         .coalesce(1).write.mode("append").parquet(src)
       backdateExistingFiles(src)
       docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      src
+    })
+
+  /** Reader schema for the two-batch embedding stream fixture below —
+    * derived from the embeddings table itself so it can never drift from
+    * the files the fixture writes.
+    */
+  private def sannSourceSchema(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir).select("vec_id", "embedding").schema
+
+  /** Two-batch embedding stream fixture for the streaming ANN-ingest
+    * lifecycle (vec_id % 3 == 1 arrives a micro-batch before % 3 == 2) —
+    * read-only fixture SETUP, cached per (app, dir) like the sibling stream
+    * sources; each invocation still runs its own index, sink, checkpoint.
+    */
+  private val sannSrcCache = new ConcurrentHashMap[String, String]()
+  private def sannSourceDir(s: SparkSession, dir: String): String =
+    sannSrcCache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val src = scratchDir("graft-sann-src")
+      val emb = Tables.embeddings(s, dir)
+      emb.filter(col("vec_id") % 3 === 1).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(src)
+      backdateExistingFiles(src)
+      emb.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
         .coalesce(1).write.mode("append").parquet(src)
       src
     })
@@ -4777,6 +4847,68 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, adc, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // streaming ANN ingest: codebooks and coarse centroids frozen on the
+    // vec_id%3==0 base; both streamed batches route/encode against them, so
+    // the oracle assigns all %3!=0 at once and replays the probe against
+    // the after-batch-1 and after-batch-2 member sets; ledger columns are
+    // exact functions of the %3 counts
+    "llm_stream_ann_ingest" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+         |${pqBodyOn("eb", "e")},
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM eb),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |newv AS (SELECT * FROM e WHERE vec_id % 3 != 0),
+         |asg0 AS (
+         |  SELECT b.vec_id, c.cluster, ${COS("b.emb", "c.centroid")} AS ccos
+         |  FROM newv b, cents c),
+         |asg AS (
+         |  SELECT vec_id, cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS crank
+         |        FROM asg0)
+         |  WHERE crank = 1),
+         |members AS (
+         |  SELECT 1 AS batch, vec_id, CAST(label AS BIGINT) AS cluster FROM eb
+         |  UNION ALL SELECT 1, vec_id, CAST(cluster AS BIGINT) FROM asg WHERE vec_id % 3 = 1
+         |  UNION ALL SELECT 2, vec_id, CAST(label AS BIGINT) FROM eb
+         |  UNION ALL SELECT 2, vec_id, CAST(cluster AS BIGINT) FROM asg),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT mg.batch, p.qid, p.probe_cluster, mg.vec_id,
+         |    round(list_distance(p.qe, rv.rvec), 6) AS adc
+         |  FROM members mg
+         |  JOIN probe p ON mg.cluster = p.probe_cluster AND mg.vec_id != p.qid
+         |  JOIN rv ON rv.vec_id = mg.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY batch, qid ORDER BY adc, vec_id) AS rank
+         |  FROM scored),
+         |nn AS (SELECT
+         |    CAST(sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN vec_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(sum(CASE WHEN vec_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+         |  FROM e)
+         |SELECT CAST(r.batch AS BIGINT) AS batch, qid,
+         |  CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, adc,
+         |  CAST(rank AS BIGINT) AS rank,
+         |  CASE WHEN r.batch = 1 THEN n.b1 ELSE n.b1 + n.b2 END AS appended_rows,
+         |  CAST(CASE WHEN r.batch = 1
+         |    THEN CASE WHEN n.b1 * 1.0 / (n.b0 + n.b1) > 0.6 THEN 1 ELSE 0 END
+         |    ELSE CASE WHEN (n.b1 + n.b2) * 1.0 / (n.b0 + n.b1 + n.b2) > 0.6 THEN 1 ELSE 0 END
+         |  END AS BIGINT) AS gate
+         |FROM ranked r, nn n WHERE rank <= 10
+         |ORDER BY batch, qid, rank""".stripMargin,
 
     "llm_ann_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
