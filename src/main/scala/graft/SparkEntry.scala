@@ -1450,6 +1450,22 @@ object SparkEntry {
       Multimodal.decodeImage(Multimodal.withImagePayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // -- MULTIMODAL near-dedup: perceptual dHash over the DECODED pixels
+    //    (real PNG decode, 9x8 nearest-neighbor sample, horizontal-gradient
+    //    bits), candidate pairs from the SAME 4x16-bit pigeonhole banding
+    //    the text SimHash path uses (Simhash.nearDupPairsOf is
+    //    fingerprint-agnostic) — image dedup joins text dedup (exact/
+    //    MinHash/SimHash) and embedding dedup (SemDeDup) as a first-class
+    //    family, at one (band, value) shuffle, never pairs. The oracle
+    //    derives the hash from the fixture's byte grid (pixels are a pure
+    //    function of text) and replays the banding in SQL. --
+    "llm_image_dhash_dedup" -> ((s, dir) => {
+      val fps = Multimodal.dHash(
+        Multimodal.withImagePayload(Tables.documents(s, dir)))
+      Simhash.nearDupPairsOf(fps.select(col("doc_id"), col("fp")), maxDist = 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // REAL audio decode: genuine RIFF/WAV 16-bit PCM payloads
     // (javax.sound.sampled) parsed back to samples, features from the
     // decoded amplitudes — the oracle knows the expected samples because
@@ -5357,6 +5373,43 @@ object SparkEntry {
         |  coalesce(agg.b3, 0) AS b3
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // image dHash near-dedup: the decoded pixel grid is the text's byte
+    // grid (w = len%13+3, zero-padded), so the 9x8 nearest-neighbor sample
+    // positions and the horizontal-gradient bits are pure integer functions
+    // of text — the oracle builds the same 64 bits, bands them 4x16 exactly
+    // like the simhash oracle, and replays the pigeonhole candidate join
+    "llm_image_dhash_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n, length(text) % 13 + 3 AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, text, n, w, greatest(1, (n + w - 1) // w) AS h FROM d),
+        |samp AS (
+        |  SELECT doc_id, gy, gx,
+        |    CASE WHEN (gy * h // 8) * w + (gx * w // 9) < n
+        |         THEN ord(substring(text, (gy * h // 8) * w + (gx * w // 9) + 1, 1))
+        |         ELSE 0 END AS px
+        |  FROM g, unnest(generate_series(0, 7)) AS ty(gy),
+        |       unnest(generate_series(0, 8)) AS tx(gx)),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS j,
+        |         CASE WHEN a.px > b.px THEN 1 ELSE 0 END AS fbit
+        |  FROM samp a JOIN samp b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |bv AS (
+        |  SELECT doc_id, j // 16 AS band,
+        |         CAST(sum(fbit * (1::BIGINT << (j % 16))) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.d1, c.d2, CAST(sum(bit_count(xor(a.v, b.v))) AS BIGINT) AS hamming
+        |  FROM cands c
+        |  JOIN bv a ON a.doc_id = c.d1
+        |  JOIN bv b ON b.doc_id = c.d2 AND b.band = a.band
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
 
     // fixture text is ASCII, so char positions == byte positions and
     // md5(substring(text)) hashes the same bytes the Spark stub slices

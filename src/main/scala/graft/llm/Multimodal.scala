@@ -327,6 +327,85 @@ object Multimodal {
       "b0", "b1", "b2", "b3")
   }
 
+  /** Perceptual difference-hash (dHash) of the DECODED image: the raster is
+    * nearest-neighbor sampled onto a 9-column × 8-row grid
+    * (`sample(gx, gy) = pixel(⌊gx·w/9⌋, ⌊gy·h/8⌋)`), and bit `gy·8 + gx` of
+    * the 64-bit fingerprint is set iff `sample(gx, gy) > sample(gx+1, gy)`
+    * — the classic horizontal-gradient fingerprint (Krawetz's dHash), which
+    * survives re-encoding and brightness scaling because it keys on local
+    * gradient SIGNS, not absolute values. Nearest-neighbor (rather than a
+    * box filter) keeps the sample positions pure integer functions of
+    * (w, h), so the DuckDB oracle can state the expected hash from the
+    * fixture's byte grid without an image decoder, and it stays defined
+    * for rasters narrower than the grid. 72 samples per image — decode
+    * cost dominates, the hash is free.
+    *
+    * Undecodable payloads degrade to the same fingerprint computed over
+    * the byte-grid pseudo-pixels (`w = len % 13 + 3`, the
+    * [[withImagePayload]] layout; `decoded = 0`) — the degrade-don't-fail
+    * contract every decode here carries.
+    *
+    * Near-duplicate pairs come from [[Simhash.nearDupPairsOf]] over this
+    * table: the 4×16-bit pigeonhole banding is fingerprint-agnostic, so
+    * image near-dedup reuses the text path's exact-recall candidate join
+    * unchanged — one (band, value) shuffle, never pairs.
+    */
+  def dHash(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] = withMedia
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        val samples = new Array[Int](9 * 8)
+        var decoded = 0L
+        if (img != null) {
+          decoded = 1L
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 9) {
+              samples(gy * 9 + gx) = math.min(255,
+                raster.getSample(gx * w / 9, gy * h / 8, 0) >>> shift)
+              gx += 1
+            }
+            gy += 1
+          }
+        } else {
+          val n = bytes.length
+          val w = n % 13 + 3
+          val h = math.max(1, (n + w - 1) / w)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 9) {
+              val pos = (gy * h / 8) * w + gx * w / 9
+              samples(gy * 9 + gx) = if (pos < n) bytes(pos) & 0xff else 0
+              gx += 1
+            }
+            gy += 1
+          }
+        }
+        var fp = 0L
+        var k = 0
+        while (k < 64) {
+          val (gy, gx) = (k / 8, k % 8)
+          if (samples(gy * 9 + gx) > samples(gy * 9 + gx + 1)) fp |= 1L << k
+          k += 1
+        }
+        (id, decoded, fp)
+      }
+    }.toDF("doc_id", "decoded", "fp")
+  }
+
   /** Attach a REAL WAV payload to each document: one 16-bit signed PCM
     * mono sample per text byte (sample = `(byte·2654435761) mod 2¹⁶ −
     * 2¹⁵` — the Knuth-hash spread makes amplitude sign and the zero-cross

@@ -78,7 +78,15 @@ object Simhash {
     * (doc_id, fp, band ∈ [0,4), v ∈ [0, 2¹⁶)).
     */
   def bandValues(docs: DataFrame): DataFrame =
-    fingerprints(docs).select(col("doc_id"), col("fp"),
+    bandValuesOf(fingerprints(docs))
+
+  /** The band projection over ANY 64-bit fingerprint table (doc_id, fp) —
+    * the candidate machinery is fingerprint-agnostic, so the image dHash
+    * path ([[Multimodal.dHash]]) shares it instead of re-implementing the
+    * pigeonhole join.
+    */
+  def bandValuesOf(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 until Bands).map(b => bandOf(col("fp"), b)): _*))
         .as(Seq("band", "v")))
       .withColumn("band", col("band").cast("int"))
@@ -101,9 +109,17 @@ object Simhash {
     * None = exact, for oracle parity.
     */
   def nearDupPairs(docs: DataFrame, maxDist: Int = 3,
-                   maxBandDf: Option[Int] = None): DataFrame = {
+                   maxBandDf: Option[Int] = None): DataFrame =
+    nearDupPairsOf(fingerprints(docs), maxDist, maxBandDf)
+
+  /** [[nearDupPairs]] over a caller-supplied fingerprint table (doc_id,
+    * fp) — the banding, skew cap, and Hamming verify are identical for any
+    * 64-bit LSH fingerprint (text SimHash, image dHash, ...).
+    */
+  def nearDupPairsOf(fps: DataFrame, maxDist: Int = 3,
+                     maxBandDf: Option[Int] = None): DataFrame = {
     require(maxDist < Bands, s"pigeonhole banding covers distance < $Bands only")
-    val bv0 = bandValues(docs)
+    val bv0 = bandValuesOf(fps)
     val bv = maxBandDf match {
       case Some(cap) =>
         val hot = bv0.groupBy(col("band"), col("v"))

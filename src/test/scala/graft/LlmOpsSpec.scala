@@ -151,6 +151,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fb.getLong(1) == 0L && fb.getLong(2) == 0L && fb.getLong(4) == 10L)
   }
 
+  test("image dHash: decoded fp equals the byte-grid fp, exact dups at hamming 0, corrupt bytes fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{Multimodal, Simhash}
+    val docs = Seq(
+      (1L, "hello spark world this is a slightly longer body of text"),
+      (2L, "hello spark world this is a slightly longer body of text"), // exact dup
+      (3L, "a completely different document with other bytes entirely")
+    ).toDF("doc_id", "text")
+    val fps = Multimodal.dHash(Multimodal.withImagePayload(docs))
+      .orderBy(col("doc_id")).collect()
+    // all three decoded, and the fixture's decoded pixels ARE the byte grid,
+    // so the fallback (byte-grid) hash of the same text must agree: compute
+    // it by corrupting the payload and substituting the text bytes
+    assert(fps.forall(_.getLong(1) == 1L))
+    assert(fps(0).getLong(2) == fps(1).getLong(2), "exact dup images must share the fp")
+    val textBytes = "hello spark world this is a slightly longer body of text"
+      .getBytes("UTF-8")
+    val viaFallback = Multimodal.dHash(
+      Seq((1L, textBytes)).toDF("doc_id", "media")).head()
+    assert(viaFallback.getLong(1) == 0L, "raw text bytes are not a decodable image")
+    assert(viaFallback.getLong(2) == fps(0).getLong(2),
+      "byte-grid fallback must produce the decoded hash on fixture payloads")
+    // the fingerprint-agnostic banding finds the exact-dup pair at hamming 0
+    val pairs = Simhash.nearDupPairsOf(
+      Multimodal.dHash(Multimodal.withImagePayload(docs))
+        .select(col("doc_id"), col("fp"))).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    assert(pairs.forall(r => !(r.getLong(1) == 3L)), "doc 3 is not a near-dup")
+  }
+
   test("audio payload is a genuine WAV; decode features the actual samples; corrupt bytes fall back") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
