@@ -191,8 +191,21 @@ object Ann {
       val line =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val Array(base, appended) = line.split(',')
-      Some(IvfMeta(base.toLong, appended.toLong))
+      // a TORN ledger (crash between fs.create's truncate and the write,
+      // or a torn tmp promoted by the self-heal above) degrades to None —
+      // the same answer as a missing ledger, and the safe direction:
+      // needsIvfRebuild answers true for an unknowable index, and the
+      // rebuild re-establishes the ledger. Throwing here would brick every
+      // subsequent append until someone hand-deletes the file.
+      val parsed = line.split(',') match {
+        case Array(base, appended) =>
+          scala.util.Try(IvfMeta(base.trim.toLong, appended.trim.toLong)).toOption
+        case _ => None
+      }
+      if (parsed.isEmpty)
+        log.warn(s"corrupt IVF meta ledger at $pub ('$line'); treating as " +
+          "absent — the next rebuild re-establishes it")
+      parsed
     }
   }
 
@@ -296,6 +309,18 @@ object Ann {
             s"IVF self-heal rename failed: $aside -> $part")
           log.warn(s"self-healed crashed IVF compaction swap for $part")
         } else fs.delete(aside, true) // swap completed; stale aside
+      }
+    // and sweep orphaned rewrite tmps: a crash between the coalesce write
+    // and the aside rename leaves a full-partition-sized `.compact-*` copy
+    // that mode("overwrite") only reclaims if that partition ever
+    // re-fragments — without this sweep a standing ingest accumulates dead
+    // copies in the index root forever (single-writer discipline, same as
+    // the swap itself: any `.compact-*` present at entry is stale)
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".compact-cluster="))
+      .foreach { tmp =>
+        log.warn(s"removing orphaned compaction tmp $tmp (crashed rewrite)")
+        fs.delete(tmp, true)
       }
     var n = 0
     fs.listStatus(corpus).filter(_.isDirectory).map(_.getPath)

@@ -243,7 +243,14 @@ object Pq {
                        m: Int, subDim: Int, k: Int, iters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     val e = asDouble(embeddings, "embedding")
-    val cb = train(embeddings, m, subDim, k, iters)
+    // train ONCE: the codebook is a multi-pass Lloyd lineage, so write it
+    // to its final home FIRST and encode from the read-back table — an
+    // unmaterialized `cb` consumed by both the codes write and the
+    // codebooks write would re-execute the full training (the build's most
+    // expensive stage) twice at any corpus size
+    train(embeddings, m, subDim, k, iters)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val cb = spark.read.parquet(s"$dir/codebooks")
     val codes = assign(subvectors(e, m, subDim), cb)
       .groupBy(col("vec_id"))
       .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
@@ -251,7 +258,6 @@ object Pq {
     e.select(col("vec_id"), col(clusterCol).cast("long").as("cluster"))
       .join(codes, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
-    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
     Ann.centroids(embeddings, clusterCol)
       .withColumn("cluster", col("cluster").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/centroids")

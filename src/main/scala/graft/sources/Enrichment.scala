@@ -369,7 +369,12 @@ final case class HttpGeoSource(
   def feeds: Seq[DataFrame] = Seq(ranges.getOrElse(fallback))
 
   /** Live: broadcast range join on the int ip. Gated off: the keyed
-    * fixture join ([[Intel.geoEnrich]] — entities carry `gk`).
+    * fixture join ([[Intel.geoEnrich]] — entities carry `gk`). Degrade
+    * (enabled but fetch failed) with LIVE-shaped input: the keyed fixture
+    * cannot be joined from an ip (`gk` is not a function of ip), so the
+    * connector serves NO geo rows for that cycle — the same shape every
+    * out-of-range ip takes under a healthy feed — instead of throwing an
+    * unresolved-column error from inside the degrade path.
     */
   def enrich(entities: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -378,7 +383,13 @@ final case class HttpGeoSource(
         entities.join(broadcast(r),
             col("ip").between(col("first"), col("last")))
           .select(col("entity"), col("ctry"), col("city"), col("tz"))
-      case None => Intel.geoEnrich(entities, fallback)
+      case None if entities.columns.contains("gk") =>
+        Intel.geoEnrich(entities, fallback)
+      case None =>
+        this.log.warn("geo feed unavailable and entities carry no gk key; " +
+          "serving no geo rows this cycle")
+        entities.select(col("entity"), lit("").as("ctry"),
+          lit("").as("city"), lit("").as("tz")).limit(0)
     }
   }
 }
@@ -393,10 +404,14 @@ object HttpGeoSource {
       if (q.length != 4) None
       else
         for {
-          ip <- scala.util.Try(
-            q.map(_.trim.toLong).reduceLeft((a, b) => (a << 8) | b)).toOption
+          octets <- scala.util.Try(q.map(_.trim.toLong)).toOption
+          // per-octet bound, not just the final 32-bit bound: "10.0.0.300"
+          // would otherwise overflow into the third octet and parse as the
+          // WRONG range instead of being dropped as malformed
+          if octets.forall(o => o >= 0 && o <= 255)
+          ip = octets.reduceLeft((a, b) => (a << 8) | b)
           n <- scala.util.Try(slash(1).trim.toInt).toOption
-          if n >= 0 && n <= 32 && ip >= 0 && ip <= 0xFFFFFFFFL
+          if n >= 0 && n <= 32
         } yield {
           val mask = if (n == 0) 0L else (0xFFFFFFFFL << (32 - n)) & 0xFFFFFFFFL
           val first = ip & mask
@@ -545,18 +560,20 @@ final case class LiveRedisBlSource(
               case ms: Seq[_] =>
                 val entries = ms.grouped(2).collect {
                   case Seq(m: String, s: String) => (m, s.toDouble.toLong)
-                }.toSeq.sortBy(e => (e._2, e._1))
-                // reconstruct intervals: each :B opens at its score, the
-                // next :E closes it (score order; writer emits pairs)
-                val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
-                var open: Option[Long] = None
-                entries.foreach { case (m, score) =>
-                  if (m.endsWith(":B")) open = Some(score)
-                  else if (m.endsWith(":E")) open.foreach { b =>
-                    acc += ((b, score, blId)); open = None
-                  }
+                }.toSeq
+                // reconstruct intervals by pairing each token's :B with ITS
+                // :E — a score-ordered open/close walk would mispair nested
+                // or overlapping ranges (a:B@100, b:B@200, a:E@250, b:E@300
+                // closes a at b's begin and drops [100,250] silently)
+                val begins = entries.collect {
+                  case (m, sc) if m.endsWith(":B") => (m.dropRight(2), sc)
+                }.toMap
+                val ends = entries.collect {
+                  case (m, sc) if m.endsWith(":E") => (m.dropRight(2), sc)
+                }.toMap
+                begins.toSeq.sortBy(_._2).flatMap { case (tok, b) =>
+                  ends.get(tok).map(e => (b, e, blId))
                 }
-                acc.toSeq
               case _ => Nil
             }
           }
@@ -934,8 +951,11 @@ object LiveWhoisSource {
     val s = inetnum.split('-').head.trim
     val parts = s.split('.')
     if (parts.length != 4) None
-    else scala.util.Try(
-      parts.map(_.trim.toLong).reduceLeft((a, b) => (a << 8) | b)).toOption
+    else scala.util.Try(parts.map(_.trim.toLong)).toOption
+      // per-octet bound (same reason as HttpGeoSource.cidrRange): a
+      // malformed "10.0.0.300" must be dropped, not overflow into octet 3
+      .filter(_.forall(o => o >= 0 && o <= 255))
+      .map(_.reduceLeft((a, b) => (a << 8) | b))
   }
 
   /** The CROSS-ENTITY record-creation flow (`whois.py:245–247,349–355,374`):

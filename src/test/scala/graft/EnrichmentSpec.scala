@@ -455,7 +455,10 @@ class EnrichmentSpec extends AnyFunSuite {
                   bulkArray(Seq("167772161", "167772162", "garbage"))
                 case Seq("SMEMBERS", _) => "*0\r\n"
                 case Seq("ZRANGE", "bl:spamnet", "0", "-1", "WITHSCORES") =>
-                  bulkArray(Seq("x:B", "100", "x:E", "200", "y:B", "300", "y:E", "350"))
+                  // OVERLAPPING ranges: a score-ordered open/close walk
+                  // mispairs these (y:B@200 lands between x's bounds);
+                  // per-token pairing must reconstruct both exactly
+                  bulkArray(Seq("x:B", "100", "x:E", "250", "y:B", "200", "y:E", "300"))
                 case Seq("ZRANGE", _, _, _, _) => "*0\r\n"
                 case _ => "-ERR unknown command\r\n"
               }
@@ -479,7 +482,7 @@ class EnrichmentSpec extends AnyFunSuite {
         .toSeq == Seq((167772161L, "tor"), (167772162L, "tor"))) // garbage dropped
       assert(prefs.orderBy($"first").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .toSeq == Seq((100L, 200L, "spamnet"), (300L, 350L, "spamnet")))
+        .toSeq == Seq((100L, 250L, "spamnet"), (200L, 300L, "spamnet")))
       // enrich: set hit, interval hit, miss — through Intel.redisBlHits
       val ents = Seq((1L, 167772161L), (2L, 150L), (3L, 55555L))
         .toDF("entity", "ip")
@@ -507,6 +510,9 @@ class EnrichmentSpec extends AnyFunSuite {
       ((1L << 24) | (2L << 16) | (3L << 8) | 4L, (1L << 24) | (2L << 16) | (3L << 8) | 4L)))
     assert(HttpGeoSource.cidrRange("bogus").isEmpty)
     assert(HttpGeoSource.cidrRange("1.2.3.4/33").isEmpty)
+    // per-octet bound: 300 must not overflow into the third octet
+    assert(HttpGeoSource.cidrRange("10.0.0.300/32").isEmpty)
+    assert(HttpGeoSource.cidrRange("256.0.0.1/8").isEmpty)
     val csv =
       """# GeoLite2-style export
         |10.1.0.0/16,cz,Prague,Europe/Prague
@@ -539,6 +545,16 @@ class EnrichmentSpec extends AnyFunSuite {
       val gated = HttpGeoSource(spark, url, fallback, enabled = false)
       val g = gated.enrich(Seq((7L, 0)).toDF("entity", "gk")).head()
       assert(g.getString(1) == "xx")
+      // degrade with LIVE-shaped input: fetch fails (dead port) and the
+      // entities carry no gk — the connector must serve zero geo rows for
+      // the cycle, not throw an unresolved-column error from the keyed
+      // fixture join
+      val broken = HttpGeoSource(spark, "http://127.0.0.1:1/geo.csv",
+        fallback, enabled = true, timeoutMs = 300)
+      assert(broken.ranges.isEmpty)
+      val degraded = broken.enrich(ents)
+      assert(degraded.columns.toSeq == Seq("entity", "ctry", "city", "tz"))
+      assert(degraded.isEmpty)
     } finally server.stop(0)
   }
 

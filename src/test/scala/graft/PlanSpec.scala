@@ -449,6 +449,17 @@ class PlanSpec extends AnyFunSuite {
     fs.delete(pub, true)
     assert(Ann.ivfIndexMeta(spark, dir).isEmpty)
     assert(Ann.needsIvfRebuild(spark, dir, threshold = 0.99))
+
+    // a TORN ledger (crash between create's truncate and the write, or a
+    // torn tmp promoted by the self-heal) degrades to None like a missing
+    // one — the gate answers true and appends keep working, instead of a
+    // MatchError bricking the index until someone hand-deletes the file
+    val torn = fs.create(pub, true); torn.close()
+    assert(Ann.ivfIndexMeta(spark, dir).isEmpty)
+    assert(Ann.needsIvfRebuild(spark, dir, threshold = 0.99))
+    val garbled = fs.create(pub, true)
+    garbled.write("not,a,ledger\n".getBytes("UTF-8")); garbled.close()
+    assert(Ann.ivfIndexMeta(spark, dir).isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
@@ -492,6 +503,15 @@ class PlanSpec extends AnyFunSuite {
     assert(part.renameTo(aside))
     graft.llm.Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 3)
     assert(part.exists() && !aside.exists(), "crashed swap did not self-heal")
+    assert(spark.read.parquet(s"$dir/corpus").count() == total)
+    // orphaned rewrite tmp (crash between the coalesce write and the aside
+    // rename): the next compaction sweeps it instead of leaving a dead
+    // full-partition copy in the index root forever
+    val orphan = new java.io.File(s"$dir/.compact-$victim")
+    assert(orphan.mkdir())
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-stale"), "x")
+    graft.llm.Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 3)
+    assert(!orphan.exists(), "orphaned .compact- tmp was not swept")
     assert(spark.read.parquet(s"$dir/corpus").count() == total)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
