@@ -969,6 +969,26 @@ object SparkEntry {
         .withColumn("probe_cluster", col("probe_cluster").cast("long"))
         .orderBy(col("qid"), col("rank"))),
 
+    // LSH-bucketed ANN — the data-independent scale path beside the IVF
+    // family (no quantizer to train, so appends never drift and never gate
+    // a rebuild): 16 SRP tables of corpus-proportional width, the query
+    // signatures broadcast onto ONE corpus-signature pass, deduped
+    // candidates broadcast back onto ONE corpus scan for the exact
+    // re-rank — the corpus is never shuffled end-to-end; n_cand audits
+    // the candidate cost per query (Ann.srpTopK)
+    "llm_ann_srp" -> ((s, dir) =>
+      Ann.srpTopK(Tables.embeddings(s, dir), queryMaxId = 5, k = 10,
+          tables = 16, bits = srpBits(s, dir))
+        .orderBy(col("qid"), col("rank"))),
+
+    // recall@10 of the SRP probe against the exact top-10 — the same eval
+    // harness the IVF probe answers to, so the two scale paths are judged
+    // by one metric (Ann.srpRecallReport)
+    "llm_ann_srp_recall" -> ((s, dir) =>
+      Ann.srpRecallReport(Tables.embeddings(s, dir), queryMaxId = 5, k = 10,
+          tables = 16, bits = srpBits(s, dir))
+        .orderBy(col("qid"))),
+
     // embedding-cosine near-dup: sign-LSH bucket join with a CORPUS-
     // PROPORTIONAL bucket space (bits grows with log n, buckets hold ~256
     // vectors at any scale — pair work ~n·256, never n²/2^const; same
@@ -2548,6 +2568,17 @@ object SparkEntry {
       s"${s.sparkContext.applicationId}:$dir",
       _ => Tables.embeddings(s, dir).count())
 
+  /** SRP table width for llm_ann_srp: per-table bucket occupancy pinned at
+    * ~256 vectors (floor 4 so oracle-SF buckets aren't empty, cap 16), which
+    * holds each query's candidate cost ~tables·256 CONSTANT as the corpus
+    * grows. Recall decays as bits grow unless tables grow with them — the
+    * measured trade llm_ann_srp_recall reports; sizing (tables, bits) for a
+    * recall target is the same calibration discipline as rows_per_band.
+    * The oracle derives the identical width from count(*).
+    */
+  private def srpBits(s: SparkSession, dir: String): Int =
+    Ann.proportionalBits(embCount(s, dir), floor = 4, maxBits = 16)
+
   /** The kmeans coarse-quantizer assignment — in a real campaign this is
     * the index-BUILD artifact, written once and read by every probe; it is
     * materialized once per data dir here for the same reason (each plan
@@ -2916,6 +2947,39 @@ object SparkEntry {
     */
   private def COS(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** DuckDB replay of the SRP-LSH probe (`Ann.srpTopK`, 16 tables, corpus-
+    * proportional bits with floor 4 / cap 16, 64 dims): deterministic
+    * difference-of-coordinates hyperplanes — bit i of table t tests
+    * `emb[(i·(2t+3)+t) mod 64] − emb[(… + 32) mod 64] > 0` — banded
+    * candidates deduped across tables, exact-cosine re-ranked. Ends in
+    * `ranked(qid, vec_id, cos, rank, n_cand)`; shared by the llm_ann_srp
+    * and llm_ann_srp_recall oracles.
+    */
+  private lazy val SRP_CTE: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bb AS (SELECT CAST(LEAST(16, GREATEST(4,
+       |         CASE WHEN (count(*) + 255) // 256 <= 1 THEN 0
+       |              ELSE length(bin((count(*) + 255) // 256 - 1)) END)) AS INT) AS bits
+       |       FROM e),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    list_sum(list_transform(generate_series(0, (SELECT bits FROM bb) - 1),
+       |      i -> CASE WHEN emb[((i * (2 * t + 3) + t) % 64) + 1]
+       |                   - emb[(((i * (2 * t + 3) + t) % 64 + 32) % 64) + 1] > 0
+       |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM e, (SELECT unnest(generate_series(0, 15)) AS t)),
+       |cand AS (
+       |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS vec_id
+       |  FROM sig cs JOIN sig qs ON cs.t = qs.t AND cs.bucket = qs.bucket
+       |  WHERE qs.vec_id < 5 AND cs.vec_id <> qs.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id, ${COS("qe.emb", "ce.emb")} AS cos
+       |  FROM cand c JOIN e ce ON ce.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.qid),
+       |ranked AS (
+       |  SELECT *, count(*) OVER (PARTITION BY qid) AS n_cand,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)""".stripMargin
 
   /** DuckDB replay of the six-check quality gate at the llm_quality_gate
     * thresholds, ending in `r(doc_id, reasons)` — shared by the gate oracle
@@ -4074,6 +4138,33 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_ann_srp" ->
+      s"""WITH $SRP_CTE
+         |SELECT qid, vec_id, cos, rank, n_cand
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "llm_ann_srp_recall" ->
+      s"""WITH $SRP_CTE,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT qid, vec_id, ${COS("qe", "emb")} AS cos
+         |  FROM e, q WHERE vec_id != qid),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |    FROM bscored) WHERE rank <= 10),
+         |approx AS (SELECT qid, vec_id FROM ranked WHERE rank <= 10),
+         |hit AS (
+         |  SELECT t.qid, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY 1)
+         |SELECT t.qid, count(*) AS n_true,
+         |  coalesce(any_value(h.n_hit), 0) AS n_hit,
+         |  CAST(round(CAST(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*)
+         |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN hit h ON h.qid = t.qid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     "llm_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

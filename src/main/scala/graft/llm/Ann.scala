@@ -699,4 +699,98 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
   }
+
+  /** Multi-table SRP (signed-random-projection) LSH signatures: `tables`
+    * independent `bits`-bit sketches per vector, the OR-of-ANDs banding
+    * scheme the text-side MinHash LSH uses, applied to embeddings.
+    *
+    * The hyperplane family is DETERMINISTIC so DuckDB replays it exactly:
+    * bit `i` of table `t` tests the sign of `emb[a] − emb[b]` — the
+    * difference-of-two-coordinates hyperplane with
+    * `a = (i·(2t+3) + t) mod dims` and `b = (a + dims/2) mod dims`
+    * (0-based; the per-table odd stride `2t+3` is coprime with the
+    * power-of-two `dims`, so each table walks a distinct coordinate-pair
+    * sequence and the tables decorrelate far better than raw axis bits).
+    * Pseudo-random seeded Gaussian planes drop in by replacing the
+    * projection; the banding algebra is unchanged.
+    *
+    * Scale shape: ONE narrow projection per vector emitting `tables` slim
+    * (vec_id, t, bucket) rows — no shuffle, no n² anything; the signature
+    * table is the disk-layout candidate index (same lifecycle as the
+    * MinHash band index in `Dedup.writeLshIndex`).
+    */
+  def srpSignatures(embeddings: DataFrame, tables: Int, bits: Int,
+                    dims: Int = 64): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    def tableBucket(t: Int): Column = {
+      val stride = 2 * t + 3
+      (0 until bits).map { i =>
+        val a = (i * stride + t) % dims
+        val b = (a + dims / 2) % dims
+        when(element_at(col("embedding"), a + 1) -
+               element_at(col("embedding"), b + 1) > lit(0d),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("t"), tableBucket(t).as("bucket")))
+    e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k — the data-independent scale path beside the IVF
+    * family (no quantizer to train or to drift: appending to the signature
+    * index never needs a rebuild gate, the trade being more tables for the
+    * recall a trained coarse quantizer gets from one probe).
+    *
+    * Query plan: the query set's signatures BROADCAST onto one pass of the
+    * corpus signature table (equi-join on (t, bucket) — never a corpus
+    * shuffle); candidate ids dedup across tables (slim (qid, vec_id) rows);
+    * the exact cosine re-rank then BROADCASTS the deduped candidate list
+    * back onto one corpus scan, so the corpus is never shuffled end-to-end.
+    * `n_cand` reports each query's verified-candidate count — the knob
+    * audit (more tables/fewer bits buy recall at candidate-count cost).
+    * Output: (qid, vec_id, cos, rank, n_cand).
+    */
+  def srpTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+              tables: Int = 16, bits: Int = 8, dims: Int = 64): DataFrame = {
+    val e = asDouble(embeddings, "embedding")
+    val sig = srpSignatures(embeddings, tables, bits, dims)
+    val qsig = sig.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val cands = sig.join(broadcast(qsig), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", round(cosN(e)(col("qe"), col("embedding")), 6))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("qid"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"), col("n_cand"))
+  }
+
+  /** Recall@k of the SRP-LSH probe against the exact top-k — the same eval
+    * harness [[recallReport]] runs for the IVF probe, so the two scale
+    * paths are judged by one metric. Output: (qid, n_true, n_hit, recall).
+    */
+  def srpRecallReport(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                      tables: Int = 16, bits: Int = 8,
+                      dims: Int = 64): DataFrame = {
+    val truth = bruteTopK(embeddings, queryMaxId, k).select(col("qid"), col("vec_id"))
+    val approx = srpTopK(embeddings, queryMaxId, k, tables, bits, dims)
+      .select(col("qid"), col("vec_id"))
+    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        round((col("n_hit") / col("n_true")).cast("decimal(28,10)"), 6).cast("double"))
+      .select(col("qid"), col("n_true"), col("n_hit"), col("recall"))
+  }
 }

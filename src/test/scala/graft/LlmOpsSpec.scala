@@ -1111,6 +1111,48 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP signatures: tables rows per vector, buckets within 2^bits") {
+    import org.apache.spark.sql.functions.{col, count}
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val sig = graft.llm.Ann.srpSignatures(emb, tables = 16, bits = 4)
+    assert(sig.count() == n * 16)
+    assert(sig.groupBy(col("vec_id")).agg(count(col("t")).as("c"))
+      .filter(col("c") =!= 16).count() == 0)
+    assert(sig.filter(col("bucket") < 0 || col("bucket") >= 16).count() == 0)
+    // different tables genuinely decorrelate: no two tables produce the
+    // identical bucket assignment across the corpus
+    val perTable = (0 until 16).map(t =>
+      sig.filter(col("t") === t).orderBy(col("vec_id"))
+        .select(col("bucket")).collect().toSeq)
+    assert(perTable.distinct.length == 16, "two SRP tables collapsed")
+  }
+
+  test("SRP top-k: ranks contiguous, cosines exact, recall report valid") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top = graft.llm.Ann.srpTopK(emb, queryMaxId = 3, k = 5,
+      tables = 16, bits = 4)
+    val rows = top.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      // contiguous ranks from 1; candidate count >= returned rows
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+      assert(rs.forall(_.getLong(4) >= rs.length))
+      // re-rank is by exact cosine, descending
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getLong(1) == qid), "query returned itself")
+    }
+    val rep = graft.llm.Ann.srpRecallReport(emb, queryMaxId = 3, k = 5,
+      tables = 16, bits = 4).collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 5)
+      val hit = r.getLong(2)
+      assert(hit >= 0 && hit <= 5)
+      assert(math.abs(r.getDouble(3) - hit / 5.0) < 1e-6)
+    }
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted

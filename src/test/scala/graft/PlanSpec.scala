@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("SRP-LSH probe: corpus passes stay broadcast-joined, never sort-merged") {
+    val p = plan("llm_ann_srp")
+    // query signatures onto the corpus signature pass, deduped candidates
+    // back onto the corpus scan, query vectors onto the re-rank: all three
+    // joins broadcast — the corpus side is never shuffled for a join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("as-of join broadcasts the boundary side; facts never shuffle for it") {
     val p = plan("nerd_asn_rir")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
