@@ -432,6 +432,35 @@ object SmokeProbes {
     s"""{"adc_note":"codebook-staleness companion to ivf_shift: there the full-vector layout kept recall while the byte contract broke; here the SAME shift breaks recall itself, because the appended mass is coded by frozen sub-centroids that never saw it - reconstructions collapse toward one point and ADC distances stop discriminating (in-cell recall drops ~11x). recon_err is decoded from the stored codes/codebooks per mode; rebuild on the union FULLY restores reconstruction error but only partially restores recall - the retrained 16-entry sub-codebooks now split capacity across two modes, halving per-mode resolution. Measured honestly: a distribution-widening rebuild should also revisit codebook capacity (k), not just retrain. The shared drift ledger is open exactly at the broken stage","stages":[$s0,$s1,$s2]}"""
   }
 
+  // ---- probe 6: SRP-LSH recall vs candidate cost across scales ----
+
+  /** The SRP answer to ivf_drift's recall curve: at each smoke scale, the
+    * measured recall@10 and per-query verified-candidate count of the
+    * llm_ann_srp configuration (16 tables, corpus-proportional bits), plus
+    * the same corpus probed with HALF the tables — the receipt for the
+    * documented trade (bits grow with the corpus to hold candidate cost
+    * constant; recall is bought back with tables, not with rebuilds).
+    */
+  def srpRecall(spark: SparkSession, sfDir: String): String = {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val bits = graft.llm.Ann.proportionalBits(n, floor = 4, maxBits = 16)
+    def at(tables: Int): String = {
+      val rep = graft.llm.Ann
+        .srpRecallReport(emb, queryMaxId = 5, k = 10, tables, bits).collect()
+      val recallPm = (rep.map(_.getLong(2)).sum * 1000L) /
+        math.max(rep.map(_.getLong(1)).sum, 1L)
+      val cands = graft.llm.Ann.srpTopK(emb, queryMaxId = 5, k = 10, tables, bits)
+        .select(col("qid"), col("n_cand")).distinct()
+        .collect().map(_.getLong(1))
+      val avgCand = if (cands.isEmpty) 0L else cands.sum / cands.length
+      jLong(Seq("recall_at10_permille" -> recallPm,
+        "avg_candidates_per_query" -> avgCand,
+        "candidate_fraction_permille" -> (avgCand * 1000L) / math.max(n, 1L)))
+    }
+    s"""{"srp_note":"the honest reading: the UNREPLICATED sf0.1 row is the recall signal (tables 16 vs 8 shows what recall the extra candidates buy); at the replicated scales recall saturates ARTIFICIALLY because the replicator copies embeddings verbatim, so each query's true top-10 is its own exact copies, which share every signature and always collide - the scaled entries are receipts for CANDIDATE COST ONLY (fraction falls as corpus-proportional bits grow), not for recall on a real corpus; sizing (tables, bits) against the unreplicated curve is the operator's calibration step","n_vectors":$n,"bits":$bits,"tables_16":${at(16)},"tables_8":${at(8)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -445,8 +474,18 @@ object SmokeProbes {
       .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val json =
-      s"""{"mor_skew":${morSkew(spark)},"ivf_prune":${ivfPrune(spark, sfDir)},"ivf_drift":${ivfDrift(spark, sfDir)},"ivf_shift":${ivfShift(spark, sfDir)},"adc_shift":${adcShift(spark, sfDir)}}"""
+    // SPARK_GRAFT_PROBES=name1,name2 restricts the run (so a new probe can
+    // be measured without re-running the whole battery); default = all.
+    val all = Seq[(String, () => String)](
+      "mor_skew" -> (() => morSkew(spark)),
+      "ivf_prune" -> (() => ivfPrune(spark, sfDir)),
+      "ivf_drift" -> (() => ivfDrift(spark, sfDir)),
+      "ivf_shift" -> (() => ivfShift(spark, sfDir)),
+      "adc_shift" -> (() => adcShift(spark, sfDir)),
+      "srp_recall" -> (() => srpRecall(spark, sfDir)))
+    val sel = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").map(_.trim).toSet)
+    val json = all.filter { case (k, _) => sel.forall(_.contains(k)) }
+      .map { case (k, f) => s""""$k":${f()}""" }.mkString("{", ",", "}")
     println("SMOKEPROBES " + json)
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json)
