@@ -24,6 +24,12 @@ object Bench {
       // pay multi-second Janino recompiles in the measurement. Size the
       // cache to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Single-file tables split by byte range: the default 128 MB split
+      // leaves a 64 MB 100x-scale table on ONE core of 32. 8 MB keeps base-SF
+      // plans identical (every sf0.1 file is smaller than 8 MB -> still one
+      // split) while a scaled corpus fans out across the executor.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
       // pinned for WardenFilter's shared from_json (see Verify.scala)
       .config("spark.sql.json.enablePartialResults", "true")
       // native graft expressions (cosine_sim) via the declarative hook; the

@@ -1040,6 +1040,16 @@ object SparkEntry {
       Sample.stratified(Tables.documents(s, dir), "lang", quota = 40)
         .orderBy(col("stratum"), col("rk"))),
 
+    // the EPOCH PLAN a pretraining run is scheduled from (Llama-style):
+    // per-source token counts (the one corpus pass) → temperature-flattened
+    // target shares → per-source epoch cap → one-round surplus
+    // redistribution over the uncapped sources; capped/uncapped branches
+    // both exercised at the oracle SF (Sample.tokenBudgetMix)
+    "llm_token_budget_mix" -> ((s, dir) =>
+      Sample.tokenBudgetMix(Tables.documents(s, dir), "lang",
+          budgetTokens = 32000L, maxEpochs = 1.4)
+        .orderBy(col("stratum"))),
+
     // the SCALE-OUT stratified sampler: each stratum fans out across 4
     // salted-md5 sub-buckets, each ranking its quota share independently —
     // a dominant stratum (English at 60% of 100 TB) never serializes
@@ -1483,6 +1493,7 @@ object SparkEntry {
       val fps = Multimodal.dHash(
         Multimodal.withImagePayload(Tables.documents(s, dir)))
       Simhash.nearDupPairsOf(fps.select(col("doc_id"), col("fp")), maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -4251,6 +4262,42 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
         |      FROM documents)
         |WHERE rk <= 40 ORDER BY stratum, rk""".stripMargin,
+
+    // the epoch plan: mirrors Sample.tokenBudgetMix's arithmetic exactly
+    // (sqrt is IEEE-correctly-rounded in both engines; the budget/cap
+    // literals match the Spark call; epochs divides the UNROUNDED final)
+    "llm_token_budget_mix" ->
+      """WITH per AS (
+        |  SELECT lang AS stratum, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    sqrt(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)) AS pw
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pw) AS totpw FROM per),
+        |t1 AS (
+        |  SELECT stratum, n_docs, n_tokens,
+        |    pw / (SELECT totpw FROM tot) AS share,
+        |    32000.0 * (pw / (SELECT totpw FROM tot)) AS target_tokens,
+        |    1.4 * CAST(n_tokens AS DOUBLE) AS cap_tokens
+        |  FROM per),
+        |t2 AS (SELECT *,
+        |    CAST(CASE WHEN target_tokens > cap_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |  FROM t1),
+        |agg AS (SELECT
+        |    sum(CASE WHEN capped = 1 THEN target_tokens - cap_tokens ELSE 0.0 END) AS surplus,
+        |    sum(CASE WHEN capped = 0 THEN share ELSE 0.0 END) AS ush FROM t2),
+        |t3 AS (SELECT *,
+        |    CASE WHEN capped = 1 THEN cap_tokens
+        |         ELSE target_tokens +
+        |           CASE WHEN (SELECT ush FROM agg) > 0.0
+        |                THEN (SELECT surplus FROM agg) * share / (SELECT ush FROM agg)
+        |                ELSE 0.0 END
+        |    END AS final_raw
+        |  FROM t2)
+        |SELECT stratum, n_docs, n_tokens, round(share, 6) AS share,
+        |  round(target_tokens, 4) AS target_tokens, capped,
+        |  round(final_raw, 4) AS final_tokens,
+        |  round(final_raw / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM t3 ORDER BY stratum""".stripMargin,
 
     // sub-bucketed variant: bucket from an INDEPENDENT salted hash, rank
     // within (stratum, bucket), quota/B per bucket (40/4 = 10 — no remainder)

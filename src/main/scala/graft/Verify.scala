@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // see Bench.scala
+      // byte-range splits sized so scaled single-file tables fan out across
+      // the executor (see Bench.scala)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
       // pinned: WardenFilter's shared from_json relies on partial-result
       // conversion to confine per-row schema conflicts to the conflicting
       // subtree (default true on Spark 4.x; pinned so behavior cannot

@@ -159,6 +159,70 @@ object Sample {
       .select(col("doc_id"), col("stratum"), round(col("p"), 6).as("keep_p"))
   }
 
+  /** Token-budget source mixing — the "how many epochs of each source"
+    * table a pretraining run is planned from (the Llama-1 recipe: small
+    * high-value sources run multiple epochs, the big crawl runs less than
+    * one). Given a total token budget and a per-source epoch cap:
+    *
+    *  1. per-source token counts (ONE corpus pass, map-side combined —
+    *     the only at-scale work here);
+    *  2. temperature-flattened target shares `√tokens_s / Σ√tokens`
+    *     (τ = 2 fixed, as `sqrt` — IEEE-correctly-rounded in BOTH engines,
+    *     unlike a general `pow`, so the oracle replays it bitwise);
+    *  3. each source's target capped at `maxEpochs · tokens_s`;
+    *  4. the capped surplus redistributed over UNCAPPED sources in one
+    *     round, proportional to their shares (a second-round cap breach is
+    *     possible by construction and left visible in `epochs` rather than
+    *     silently water-filled; if every source caps, the shortfall stays
+    *     unassigned — the budget is infeasible under the cap and the table
+    *     shows it: Σ final_tokens < budget).
+    *
+    * Everything after the token count is |sources|-row arithmetic on
+    * driver-collected 1-row totals (the broadcast-scalar pattern used by
+    * temperatureSample above). Output: (stratum, n_docs, n_tokens, share,
+    * target_tokens, capped, final_tokens, epochs).
+    */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String, budgetTokens: Long,
+                     maxEpochs: Double): DataFrame = {
+    // localCheckpoint pins the |strata|-row aggregate so the THREE actions
+    // below (Σpw, cap totals, the result) cost ONE corpus pass, not three —
+    // the retained blob is |strata| rows (a mixing table: tens, not
+    // millions), the price of not re-splitting every document per action
+    val per = docs
+      .select(col(strataCol).as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("pw", sqrt(col("n_tokens").cast("double")))
+      .localCheckpoint()
+    val totPw = per.agg(sum(col("pw"))).head.getDouble(0)
+    val t1 = per
+      .withColumn("share", col("pw") / lit(totPw))
+      .withColumn("target_tokens", lit(budgetTokens.toDouble) * col("share"))
+      .withColumn("cap_tokens", lit(maxEpochs) * col("n_tokens").cast("double"))
+      .withColumn("capped",
+        when(col("target_tokens") > col("cap_tokens"), lit(1L)).otherwise(lit(0L)))
+    val caps = t1.agg(
+      sum(when(col("capped") === 1L, col("cap_tokens")).otherwise(lit(0d))),
+      sum(when(col("capped") === 0L, col("share")).otherwise(lit(0d))),
+      sum(when(col("capped") === 1L,
+        col("target_tokens") - col("cap_tokens")).otherwise(lit(0d)))).head
+    val uncappedShare = caps.getDouble(1)
+    val surplus = caps.getDouble(2)
+    t1.withColumn("final_tokens",
+        when(col("capped") === 1L, col("cap_tokens"))
+          .otherwise(col("target_tokens") +
+            (if (uncappedShare > 0d)
+               lit(surplus) * col("share") / lit(uncappedShare)
+             else lit(0d))))
+      .withColumn("epochs",
+        round(col("final_tokens") / col("n_tokens").cast("double"), 6))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("target_tokens"), 4).as("target_tokens"), col("capped"),
+        round(col("final_tokens"), 4).as("final_tokens"), col("epochs"))
+  }
+
   /** Deterministic global shuffle for training order: position = rank of
     * `md5(salt || doc_id)`. Changing the salt re-shuffles; the same salt
     * always yields the same epoch order. The manifest is (position, doc_id)

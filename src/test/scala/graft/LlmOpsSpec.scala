@@ -1111,6 +1111,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget mix: budget conserved when feasible, caps honored, infeasible shows shortfall") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.llm.Sample
+      .tokenBudgetMix(docs, "lang", budgetTokens = 32000L, maxEpochs = 1.4)
+      .collect()
+    assert(rows.nonEmpty)
+    var sumFinal = 0d
+    rows.foreach { r =>
+      val nTok = r.getLong(2).toDouble
+      val capped = r.getLong(5)
+      val fin = r.getDouble(6)
+      if (capped == 1L) assert(math.abs(fin - 1.4 * nTok) < 1e-3,
+        s"capped source off its cap: $r")
+      else assert(fin >= r.getDouble(4) - 1e-3,
+        s"uncapped source lost tokens to redistribution: $r")
+      assert(math.abs(r.getDouble(7) - fin / nTok) < 1e-5, s"epochs mismatch: $r")
+      if (capped == 1L) assert(r.getDouble(7) <= 1.4 + 1e-6)
+      sumFinal += fin
+    }
+    // one-round algebra: if any source is uncapped, the surplus lands there
+    // and the budget is conserved exactly
+    if (rows.exists(_.getLong(5) == 0L))
+      assert(math.abs(sumFinal - 32000d) < 1e-2, s"budget leaked: $sumFinal")
+    // infeasible: budget far above maxEpochs * corpus -> every source caps
+    // and the table SHOWS the shortfall instead of silently water-filling
+    val tight = graft.llm.Sample
+      .tokenBudgetMix(docs, "lang", budgetTokens = 10000000L, maxEpochs = 1.0)
+      .collect()
+    assert(tight.forall(_.getLong(5) == 1L))
+    val totTok = tight.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(tight.map(_.getDouble(6)).sum - totTok) < 1e-3)
+  }
+
   test("SRP signatures: tables rows per vector, buckets within 2^bits") {
     import org.apache.spark.sql.functions.{col, count}
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
