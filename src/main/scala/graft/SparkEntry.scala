@@ -989,6 +989,31 @@ object SparkEntry {
           tables = 16, bits = srpBits(s, dir))
         .orderBy(col("qid"))),
 
+    // the SRP signature index PERSISTED and maintained — completing the
+    // index-lifecycle quartet (LSH bands, IVF full-vector, IVFADC codes,
+    // SRP signatures), and the cheapest lifecycle of the four: build on 80%
+    // of the corpus, append the remaining batch's signatures (O(batch) —
+    // NOTHING is frozen because nothing is trained: no quantizer, no drift
+    // ledger, no rebuild gate, the operational selling point of the
+    // data-independent family), compact the fragmented layout via the
+    // shared banded-index machinery (Dedup.appendToLshIndex, crash-safe
+    // swap + .old self-heal), probe from the stored layout. The oracle is
+    // the same content-defined SRP probe over the full corpus, so a lost
+    // or duplicated row in append/compaction fails the gate.
+    "llm_ann_srp_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = srpBits(s, dir)
+      val idx = scratchDir("graft-srp-index") + "/index"
+      Ann.srpSignatures(emb.filter(col("vec_id") % 5 =!= 4), tables = 16, bits)
+        .write.mode("overwrite").parquet(idx)
+      Dedup.appendToLshIndex(idx,
+        Ann.srpSignatures(emb.filter(col("vec_id") % 5 === 4), tables = 16, bits),
+        maxFiles = 1)
+      Ann.srpProbe(emb, Dedup.readLshIndex(s, idx), queryMaxId = 5, k = 10,
+          tables = 16, bits = bits)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // embedding-cosine near-dup: sign-LSH bucket join with a CORPUS-
     // PROPORTIONAL bucket space (bits grows with log n, buckets hold ~256
     // vectors at any scale — pair work ~n·256, never n²/2^const; same
@@ -4151,6 +4176,15 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "llm_ann_srp" ->
+      s"""WITH $SRP_CTE
+         |SELECT qid, vec_id, cos, rank, n_cand
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the persisted-index probe serves the SAME content as the live
+    // projection (the index holds every vector after the append), so the
+    // oracle is the identical SRP replay — a row lost or duplicated by
+    // append/compaction breaks the hash
+    "llm_ann_srp_index" ->
       s"""WITH $SRP_CTE
          |SELECT qid, vec_id, cos, rank, n_cand
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,

@@ -753,10 +753,25 @@ object Ann {
     * Output: (qid, vec_id, cos, rank, n_cand).
     */
   def srpTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
-              tables: Int = 16, bits: Int = 8, dims: Int = 64): DataFrame = {
+              tables: Int = 16, bits: Int = 8, dims: Int = 64): DataFrame =
+    srpProbe(embeddings, srpSignatures(embeddings, tables, bits, dims),
+      queryMaxId, k, tables, bits, dims)
+
+  /** [[srpTopK]] against an EXPLICIT corpus-signature source — the probe
+    * half of the persisted-index path: `sig` can be the live projection
+    * (what [[srpTopK]] passes) or a stored signature index read back from
+    * disk (`Dedup.readLshIndex` — the SRP table is schema-compatible with
+    * the banded-LSH lifecycle machinery, (id, key..., bucket) rows with
+    * O(batch) appends and bounded compaction). Query signatures are always
+    * computed fresh from the query vectors with the INDEX's (tables, bits):
+    * the width is part of the index's identity, recorded by its builder the
+    * way the IVF layout records its quantizer.
+    */
+  def srpProbe(embeddings: DataFrame, sig: DataFrame, queryMaxId: Long,
+               k: Int, tables: Int, bits: Int, dims: Int = 64): DataFrame = {
     val e = asDouble(embeddings, "embedding")
-    val sig = srpSignatures(embeddings, tables, bits, dims)
-    val qsig = sig.filter(col("vec_id") < queryMaxId)
+    val qsig = srpSignatures(
+        embeddings.filter(col("vec_id") < queryMaxId), tables, bits, dims)
       .select(col("vec_id").as("qid"), col("t"), col("bucket"))
     val cands = sig.join(broadcast(qsig), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("qid"))

@@ -1186,6 +1186,35 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP index lifecycle: append lands, compaction bounds files, probe equals live") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("graft-srpidx-spec")
+    val idx = root.toString + "/index"
+    try {
+      graft.llm.Ann.srpSignatures(emb.filter(col("vec_id") % 5 =!= 4),
+        tables = 16, bits = 4).write.parquet(idx)
+      graft.llm.Dedup.appendToLshIndex(idx,
+        graft.llm.Ann.srpSignatures(emb.filter(col("vec_id") % 5 === 4),
+          tables = 16, bits = 4),
+        maxFiles = 1)
+      // compaction engaged (append pushed parts past maxFiles) and bounded
+      // the layout; no signature row lost or duplicated
+      val parts = Option(new java.io.File(idx).listFiles()).get
+        .count(_.getName.startsWith("part-"))
+      assert(parts == 1, s"compaction left $parts part files")
+      val stored = graft.llm.Dedup.readLshIndex(spark, idx)
+      assert(stored.count() == n * 16)
+      // the stored-index probe is pointwise identical to the live projection
+      val live = graft.llm.Ann.srpTopK(emb, queryMaxId = 3, k = 5,
+        tables = 16, bits = 4).collect().map(_.toString).sorted
+      val fromIdx = graft.llm.Ann.srpProbe(emb, stored, queryMaxId = 3, k = 5,
+        tables = 16, bits = 4).collect().map(_.toString).sorted
+      assert(live.sameElements(fromIdx))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
