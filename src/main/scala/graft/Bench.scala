@@ -27,9 +27,16 @@ object Bench {
       // Single-file tables split by byte range: the default 128 MB split
       // leaves a 64 MB 100x-scale table on ONE core of 32. 8 MB keeps base-SF
       // plans identical (every sf0.1 file is smaller than 8 MB -> still one
-      // split) while a scaled corpus fans out across the executor.
+      // split) while a scaled corpus fans out across the executor. The open
+      // cost must scale WITH the split size (default 4 MB was tuned for
+      // 128 MB bins): left at 4 MB, an 8 MB bin packs only TWO small files,
+      // shattering every multi-file scratch store into tiny tasks — measured
+      // as a broad 1.3–1.8x suite slowdown. 256 KB keeps the default's 32:1
+      // bin:open-cost ratio.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"))
       // pinned for WardenFilter's shared from_json (see Verify.scala)
       .config("spark.sql.json.enablePartialResults", "true")
       // native graft expressions (cosine_sim) via the declarative hook; the

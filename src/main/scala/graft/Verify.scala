@@ -14,9 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // see Bench.scala
       // byte-range splits sized so scaled single-file tables fan out across
-      // the executor (see Bench.scala)
+      // the executor; open cost scaled with the split size (see Bench.scala)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"))
       // pinned: WardenFilter's shared from_json relies on partial-result
       // conversion to confine per-row schema conflicts to the conflicting
       // subtree (default true on Spark 4.x; pinned so behavior cannot
