@@ -585,24 +585,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     val (fw, fh) = (frameW, frameH)
     in.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      // one encoder per partition: reused row/deflate buffers and ONE
+      // reset-between-frames Deflater (see [[PngEncoder]] for why the
+      // ImageIO.write path was unusable at 5+ frames per document)
+      val enc = new Multimodal.PngEncoder(fw, fh)
+      val gray = new Array[Byte](fw * fh)
       rows.map { case (id, bytes) =>
         val frameBytes = fw * fh
         val nFrames = (bytes.length + frameBytes - 1) / frameBytes
         val frames = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            fw, fh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
           var i = 0
           while (i < frameBytes) {
             val src = f * frameBytes + i
-            raster.setSample(i % fw, i / fw, 0,
-              if (src < bytes.length) bytes(src) & 0xff else 0)
+            gray(i) = if (src < bytes.length) bytes(src) else 0
             i += 1
           }
-          val bos = new java.io.ByteArrayOutputStream(frameBytes + 256)
-          javax.imageio.ImageIO.write(img, "png", bos)
-          bos.toByteArray
+          enc.encode(gray)
         }
         (id, Multimodal.buildAvi(frames, fw, fh), nFrames)
       }
@@ -611,6 +609,68 @@ object Multimodal {
         lit("avi").as("format"), col("n_frames"),
         lit(frameW).as("width"), lit(frameH).as("height")))
       .drop("n_frames")
+  }
+
+  /** Minimal spec-conformant PNG encoder for the fixed-size grayscale
+    * frames [[withVideoPayload]] generates — written by hand because the
+    * general-purpose `ImageIO.write` path was measured (thread-sampled) to
+    * spend its time in `MemoryCacheImageOutputStream`'s block bookkeeping
+    * and a fresh `Deflater.init` + cleaner registration PER FRAME, not in
+    * compression: for an 8×8 tile the encoder was ~all overhead. One
+    * instance per partition reuses its row buffer, deflate buffer, CRC, and
+    * a single reset-between-frames `Deflater`. The output is a standard
+    * 8-bit grayscale PNG (signature, IHDR, one IDAT holding the zlib stream
+    * of filter-0-prefixed rows, IEND) — `javax.imageio` decodes it
+    * byte-identically to what `ImageIO.write` produced, which is pinned by
+    * the unchanged decode oracles.
+    */
+  private[graft] final class PngEncoder(w: Int, h: Int) {
+    private val raw = new Array[Byte]((w + 1) * h)
+    private val defBuf = new Array[Byte]((w + 1) * h + 128)
+    private val deflater = new java.util.zip.Deflater()
+    private val crc = new java.util.zip.CRC32()
+    private def u32(out: Array[Byte], o: Int, v: Long): Unit = {
+      out(o) = ((v >> 24) & 0xff).toByte; out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+    }
+    private def chunk(out: Array[Byte], o: Int, tag: String,
+                      data: Array[Byte], len: Int): Int = {
+      u32(out, o, len.toLong)
+      var i = 0
+      while (i < 4) { out(o + 4 + i) = tag.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, out, o + 8, len)
+      crc.reset(); crc.update(out, o + 4, 4 + len)
+      u32(out, o + 8 + len, crc.getValue)
+      o + 12 + len
+    }
+    private val ihdr = new Array[Byte](13)
+    u32(ihdr, 0, w.toLong); u32(ihdr, 4, h.toLong)
+    ihdr(8) = 8 /*bit depth*/; ihdr(9) = 0 /*grayscale*/
+    /** `gray` holds w*h samples row-major; values are bytes 0..255. */
+    def encode(gray: Array[Byte]): Array[Byte] = {
+      var y = 0
+      while (y < h) {
+        raw(y * (w + 1)) = 0 // filter type None per row
+        System.arraycopy(gray, y * w, raw, y * (w + 1) + 1, w)
+        y += 1
+      }
+      deflater.reset()
+      deflater.setInput(raw)
+      deflater.finish()
+      var n = 0
+      while (!deflater.finished() && n < defBuf.length)
+        n += deflater.deflate(defBuf, n, defBuf.length - n)
+      require(deflater.finished(), "PNG deflate buffer undersized")
+      val out = new Array[Byte](8 + 25 + (12 + n) + 12)
+      // signature
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      var i = 0
+      while (i < 8) { out(i) = sig(i).toByte; i += 1 }
+      var o = chunk(out, 8, "IHDR", ihdr, 13)
+      o = chunk(out, o, "IDAT", defBuf, n)
+      chunk(out, o, "IEND", Array.emptyByteArray, 0)
+      out
+    }
   }
 
   /** Minimal structurally-valid AVI (RIFF) container around pre-encoded
@@ -686,6 +746,23 @@ object Multimodal {
     val k = every
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      // one cached PNG reader per partition (the encode-side rationale in
+      // [[withVideoPayload]] applies symmetrically); a frame the cached
+      // reader rejects falls back to the generic ImageIO.read probe before
+      // the per-frame skip, so foreign codecs still degrade, not fail
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      def readFrame(payload: Array[Byte]): java.awt.image.BufferedImage =
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try { reader.setInput(iis); reader.read(0) } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        }
       rows.map { case (id, bytes) =>
         val frames = Multimodal.demuxAvi(bytes)
         if (frames != null) {
@@ -695,10 +772,7 @@ object Multimodal {
           var f = 0
           while (f < frames.length) {
             if (f % k == 0) {
-              val img =
-                try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(frames(f)))
-                catch { case scala.util.control.NonFatal(_) => null }
+              val img = readFrame(frames(f))
               if (img != null) {
                 nSampled += 1L
                 val (w, h) = (img.getWidth, img.getHeight)
