@@ -587,8 +587,11 @@ object Multimodal {
     in.mapPartitions { rows =>
       // one encoder per partition: reused row/deflate buffers and ONE
       // reset-between-frames Deflater (see [[PngEncoder]] for why the
-      // ImageIO.write path was unusable at 5+ frames per document)
+      // ImageIO.write path was unusable at 5+ frames per document); its
+      // native zlib state is released at task end, not left to the cleaner
       val enc = new Multimodal.PngEncoder(fw, fh)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => enc.close()))
       val gray = new Array[Byte](fw * fh)
       rows.map { case (id, bytes) =>
         val frameBytes = fw * fh
@@ -626,7 +629,11 @@ object Multimodal {
     */
   private[graft] final class PngEncoder(w: Int, h: Int) {
     private val raw = new Array[Byte]((w + 1) * h)
-    private val defBuf = new Array[Byte]((w + 1) * h + 128)
+    // worst-case deflate growth for incompressible input is ~5 bytes per
+    // 64 KB stored block + zlib header/trailer; len/1000 over-covers that
+    // at any frame size the public (frameW, frameH) parameters can reach
+    private val defBuf =
+      new Array[Byte]((w + 1) * h + ((w + 1) * h) / 1000 + 128)
     private val deflater = new java.util.zip.Deflater()
     private val crc = new java.util.zip.CRC32()
     private def u32(out: Array[Byte], o: Int, v: Long): Unit = {
@@ -671,6 +678,11 @@ object Multimodal {
       chunk(out, o, "IEND", Array.emptyByteArray, 0)
       out
     }
+    /** Release the Deflater's native zlib state deterministically — on a
+      * long-lived executor, waiting for the GC cleaner accumulates
+      * off-heap memory across thousands of tasks.
+      */
+    def close(): Unit = deflater.end()
   }
 
   /** Minimal structurally-valid AVI (RIFF) container around pre-encoded
@@ -752,6 +764,8 @@ object Multimodal {
       // the per-frame skip, so foreign codecs still degrade, not fail
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
       def readFrame(payload: Array[Byte]): java.awt.image.BufferedImage =
         try {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(

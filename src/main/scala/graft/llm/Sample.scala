@@ -203,12 +203,11 @@ object Sample {
       .withColumn("capped",
         when(col("target_tokens") > col("cap_tokens"), lit(1L)).otherwise(lit(0L)))
     val caps = t1.agg(
-      sum(when(col("capped") === 1L, col("cap_tokens")).otherwise(lit(0d))),
       sum(when(col("capped") === 0L, col("share")).otherwise(lit(0d))),
       sum(when(col("capped") === 1L,
         col("target_tokens") - col("cap_tokens")).otherwise(lit(0d)))).head
-    val uncappedShare = caps.getDouble(1)
-    val surplus = caps.getDouble(2)
+    val uncappedShare = caps.getDouble(0)
+    val surplus = caps.getDouble(1)
     t1.withColumn("final_tokens",
         when(col("capped") === 1L, col("cap_tokens"))
           .otherwise(col("target_tokens") +

@@ -445,14 +445,18 @@ object SmokeProbes {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val bits = graft.llm.Ann.proportionalBits(n, floor = 4, maxBits = 16)
+    // ONE brute-truth pass shared by both table counts, ONE probe pass per
+    // table count (recall hits and candidate counts both come from it) —
+    // srpRecallReport would re-execute the probe just to intersect ids
+    val truth = graft.llm.Ann.bruteTopK(emb, queryMaxId = 5, k = 10)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     def at(tables: Int): String = {
-      val rep = graft.llm.Ann
-        .srpRecallReport(emb, queryMaxId = 5, k = 10, tables, bits).collect()
-      val recallPm = (rep.map(_.getLong(2)).sum * 1000L) /
-        math.max(rep.map(_.getLong(1)).sum, 1L)
-      val cands = graft.llm.Ann.srpTopK(emb, queryMaxId = 5, k = 10, tables, bits)
-        .select(col("qid"), col("n_cand")).distinct()
-        .collect().map(_.getLong(1))
+      val top = graft.llm.Ann
+        .srpTopK(emb, queryMaxId = 5, k = 10, tables, bits).collect()
+      val hits = top.count(r => truth((r.getLong(0), r.getLong(1))))
+      val recallPm = hits * 1000L / math.max(truth.size, 1)
+      val cands = top.map(r => (r.getLong(0), r.getLong(4))).distinct.map(_._2)
       val avgCand = if (cands.isEmpty) 0L else cands.sum / cands.length
       jLong(Seq("recall_at10_permille" -> recallPm,
         "avg_candidates_per_query" -> avgCand,
