@@ -1215,6 +1215,39 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("PngEncoder round-trips through the real ImageIO decoder at any size") {
+    // the encoder is hand-rolled (see Multimodal.PngEncoder for why), so the
+    // decoder of record — javax.imageio, the one decodeVideo uses — is the
+    // conformance oracle: random dimensions, random (incompressible) pixels,
+    // plus the flat frames that compress hardest, all byte-exact after decode
+    val rng = new scala.util.Random(20260815L)
+    val cases =
+      Seq((8, 8), (1, 1), (3, 7), (13, 2), (32, 32), (64, 64)) ++
+        Seq.fill(20)((rng.nextInt(48) + 1, rng.nextInt(48) + 1))
+    cases.foreach { case (w, h) =>
+      val enc = new graft.llm.Multimodal.PngEncoder(w, h)
+      try {
+        val flats = Seq(Array.fill[Byte](w * h)(0), Array.fill[Byte](w * h)(-1))
+        val randoms = Seq.fill(3) {
+          val a = new Array[Byte](w * h); rng.nextBytes(a); a
+        }
+        (flats ++ randoms).foreach { gray =>
+          val png = enc.encode(gray)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          assert(img != null, s"ImageIO rejected hand-rolled PNG at ${w}x$h")
+          assert(img.getWidth == w && img.getHeight == h)
+          var i = 0
+          while (i < w * h) {
+            assert(img.getRaster.getSample(i % w, i / w, 0) == (gray(i) & 0xff),
+              s"pixel $i mismatch at ${w}x$h")
+            i += 1
+          }
+        }
+      } finally enc.close()
+    }
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
