@@ -1052,6 +1052,15 @@ object SparkEntry {
           Dedup.shingles(Tables.documents(s, dir), 13), benchMaxId = 24L)
         .orderBy(col("doc_id"), col("bench_id"))),
 
+    // cross-source shingle-overlap matrix: the dataset-composition audit
+    // dedup policy reads ("how much of source A is already in B") — one
+    // distinct (source, shingle) hash-agg, a shingle-keyed self-join that
+    // emits at most C(sources,2) slim rows per shingle, broadcast size
+    // table (Dedup.sourceOverlap)
+    "llm_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir))
+        .orderBy(col("src_a"), col("src_b"))),
+
     // temperature-scaled language rebalancing (τ=2, half the corpus kept):
     // head languages downsample, tail languages survive — deterministic
     // md5-draw vs broadcast per-stratum probability, no corpus shuffle
@@ -4272,6 +4281,23 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin
     },
+
+    "llm_source_overlap" ->
+      s"""WITH $SHINGLES,
+         |ss AS (SELECT DISTINCT d.source, h.s
+         |       FROM sh h JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, za.n_sh AS n_a, zb.n_sh AS n_b, p.shared,
+         |  CAST(round(CAST(p.shared * 1.0 / (za.n_sh + zb.n_sh - p.shared)
+         |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN sz za ON za.source = p.src_a
+         |JOIN sz zb ON zb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // weights as cnt^(1/τ) (the n^(1/τ) factor cancels against the total —
     // same algebra as Sample.temperatureSample, one aggregate pass) and p

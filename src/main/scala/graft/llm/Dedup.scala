@@ -125,6 +125,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-source shingle-overlap matrix — the dataset-composition audit
+    * published with corpus papers and consumed by dedup policy ("how much
+    * of source A is already in source B" decides which source survives a
+    * cross-source near-dup): distinct n-gram shingle sets per source,
+    * pairwise intersection sizes, Jaccard per source pair.
+    *
+    * Scale shape: ONE distinct hash-agg builds the (source, shingle) set;
+    * the self-join is keyed on the shingle, and a shingle shared by k of
+    * the S sources contributes C(k,2) ≤ C(S,2) slim count rows — constant
+    * per shingle for a fixed source taxonomy (sources are a taxonomy of
+    * tens, not a per-document id), so total work is O(|distinct shingles|)
+    * with map-side-combined counts and a broadcast of the S-row size table.
+    * Output: (src_a, src_b, n_a, n_b, shared, jaccard).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("s")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.as("a").join(ss.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard",
+        round((col("shared") / (col("n_a") + col("n_b") - col("shared")))
+          .cast("decimal(28,10)"), 6).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared"), col("jaccard"))
+  }
+
   /** Default document-frequency cap for the inverted-index candidate join.
     * A shingle shared by df documents contributes df² candidate rows, so the
     * uncapped index is super-linear in corpus size (measured 3.3× normalized
