@@ -1215,6 +1215,21 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("source overlap: full pair matrix, intersections bounded, jaccard algebra holds") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nSrc = docs.select("source").distinct().count()
+    val rows = graft.llm.Dedup.sourceOverlap(docs).collect()
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      "every source pair sharing at least one shingle should appear")
+    rows.foreach { r =>
+      val (nA, nB, shared, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(r.getString(0) < r.getString(1), "pairs must be canonical a<b")
+      assert(shared >= 1 && shared <= math.min(nA, nB))
+      assert(math.abs(j - shared.toDouble / (nA + nB - shared)) < 1e-5)
+    }
+  }
+
   test("PngEncoder round-trips through the real ImageIO decoder at any size") {
     // the encoder is hand-rolled (see Multimodal.PngEncoder for why), so the
     // decoder of record — javax.imageio, the one decodeVideo uses — is the
