@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("source-overlap matrix broadcasts both size-table joins") {
+    // the shingle-keyed self-join is MEANT to shuffle on the shingle (the
+    // candidate join); the S-row size table must never cause one
+    val p = plan("llm_source_overlap")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("as-of join broadcasts the boundary side; facts never shuffle for it") {
     val p = plan("nerd_asn_rir")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
