@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: one JSON line `{"metric":"total",...}` for the driver.
   *
@@ -8,8 +9,52 @@ import org.apache.spark.sql.SparkSession
   * for row counting — and run one untimed warmup pass over all queries first
   * so JVM/codegen/scan warmup doesn't land on whichever query runs first.
   * Queries run in sorted-name order so cross-round numbers are comparable.
+  *
+  * CALIBRATION ANCHORS (VERDICT r11 "What's wrong" #1): this box's
+  * day-to-day speed drifts ~1.3×, which made raw cross-round wall-clock
+  * uninterpretable. Every sweep therefore times two FIXED workloads whose
+  * cost never changes across rounds — a pure-CPU hash reduction over
+  * `spark.range` (no input data at all) and a fixed-IO scan that always
+  * reads the SAME sf0.1 files regardless of the sweep's SF dir — once
+  * before and once after the suite (in-sweep drift shows up as pre/post
+  * disagreement). The detail file carries `anchors` plus
+  * `queries_norm_cpu` (query seconds ÷ mean CPU-anchor seconds), so
+  * round-over-round comparisons are stated in anchor units: a query is
+  * only slower than last round if its ANCHOR-NORMALIZED time moved.
   */
 object Bench {
+
+  /** Pure-CPU anchor: a chained xxhash64 reduction over 2²⁹ generated rows.
+    * No file IO, no shuffle (partial aggs collapse map-side), fully
+    * codegen'd — its seconds measure this box's compute speed today and
+    * nothing else.
+    */
+  def anchorCpu(spark: SparkSession): DataFrame = {
+    // bit_xor, not sum: a sum of 2²⁹ hash values overflows long under ANSI
+    val h = (0 until 8).foldLeft(col("id"))((c, i) => xxhash64(c, lit(i)))
+    spark.range(0, 1L << 29, 1, 64).select(h.as("h"))
+      .agg(expr("bit_xor(h)").as("x"))
+  }
+
+  /** Fixed-IO anchor: scan + decode the full-width sf0.1 lineitem from a
+    * PINNED path (env-overridable, but never derived from the sweep's SF
+    * dir — the whole point is a workload whose bytes are identical in
+    * every sweep of every round).
+    */
+  def anchorIo(spark: SparkSession): DataFrame = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", "/root/testdata/sf0.1")
+    // 32 salted copies of the full-width lineitem scan (per-copy salt keeps
+    // the plans distinct): ~64 scan tasks keep the 32-way executor busy for
+    // a couple of waves, so the anchor measures the box's aggregate
+    // scan+decode throughput, not one task's latency. Bytes are pinned —
+    // the same file, every sweep, every round.
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val wide = xxhash64(l.columns.map(col): _*)
+    (0 until 32)
+      .map(i => l.select(xxhash64(wide, lit(i)).as("h")).agg(expr("bit_xor(h)").as("x")))
+      .reduce(_ unionByName _)
+      .agg(expr("bit_xor(x)").as("x"))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,8 +104,14 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val anchors = Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "anchor_cpu" -> ((s, _) => anchorCpu(s)),
+      "anchor_io" -> ((s, _) => anchorIo(s)))
     ordered.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
+    anchors.foreach { case (n, f) => runOne(n, f) } // anchor warmup, untimed
     failed.clear() // only the timed pass decides the reported error set
+    // anchors bracket the suite: pre/post disagreement IS the in-sweep drift
+    val anchorsPre = anchors.map { case (n, f) => System.gc(); n -> runOne(n, f) }
     val results = ordered.map { case (n, f) =>
       // park cross-query garbage (broadcast blocks, codegen classes, shuffle
       // buffers from the previous query) OUTSIDE the next timed region — a
@@ -69,19 +120,31 @@ object Bench {
       System.gc()
       n -> runOne(n, f)
     }
+    val anchorsPost = anchors.map { case (n, f) => System.gc(); n -> runOne(n, f) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val cpuMean = (anchorsPre ++ anchorsPost).filter(_._1 == "anchor_cpu")
+      .map(_._2).sum / 2d
+    val anchorJson = (anchorsPre.map { case (k, v) => "\"" + k + "_pre\":" + v } ++
+      anchorsPost.map { case (k, v) => "\"" + k + "_post\":" + v } ++
+      Seq("\"anchor_cpu_mean\":" + cpuMean)).mkString("{", ",", "}")
     // stdout is captured tail-first downstream (last ~2000 chars survive), so
     // the headline value/errors go LAST on the line; the full per-query map
     // is also written to a file next to the run for durable inspection.
     // gc_between_queries: totals exclude cross-query GC pauses (System.gc()
     // before each timed region) — only compare against runs of this harness
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"queries":$qs,"errors":$errs,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"anchors":$anchorJson,"queries":$qs,"errors":$errs,"value":$total}"""
     println(line)
+    // the detail file additionally carries the anchor-normalized map —
+    // cross-round comparisons should be made on THESE numbers, not seconds
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + (math.round(v / cpuMean * 1000d) / 1000d) }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"anchors":$anchorJson,"queries":$qs,"queries_norm_cpu":$qsNorm,"errors":$errs,"value":$total}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }

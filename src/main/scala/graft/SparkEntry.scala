@@ -4340,7 +4340,8 @@ object SparkEntry {
         |    1.4 * CAST(n_tokens AS DOUBLE) AS cap_tokens
         |  FROM per),
         |t2 AS (SELECT *,
-        |    CAST(CASE WHEN target_tokens > cap_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |    CAST(CASE WHEN round(target_tokens, 4) > round(cap_tokens, 4)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS capped
         |  FROM t1),
         |agg AS (SELECT
         |    sum(CASE WHEN capped = 1 THEN target_tokens - cap_tokens ELSE 0.0 END) AS surplus,

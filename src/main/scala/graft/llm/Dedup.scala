@@ -131,18 +131,26 @@ object Dedup {
     * cross-source near-dup): distinct n-gram shingle sets per source,
     * pairwise intersection sizes, Jaccard per source pair.
     *
-    * Scale shape: ONE distinct hash-agg builds the (source, shingle) set;
-    * the self-join is keyed on the shingle, and a shingle shared by k of
+    * Scale shape: ONE distinct hash-agg builds the (source, shingle) set,
+    * materialized via localCheckpoint because THREE consumers fan out from
+    * it (both self-join sides and the per-source size aggregate — exchange
+    * reuse covers the identically-partitioned join sides but the size
+    * branch would otherwise re-run the full shingle pipeline); the
+    * self-join is keyed on the shingle, and a shingle shared by k of
     * the S sources contributes C(k,2) ≤ C(S,2) slim count rows — constant
     * per shingle for a fixed source taxonomy (sources are a taxonomy of
     * tens, not a per-document id), so total work is O(|distinct shingles|)
     * with map-side-combined counts and a broadcast of the S-row size table.
-    * Output: (src_a, src_b, n_a, n_b, shared, jaccard).
+    * (On a cluster with a checkpoint dir, `checkpoint` — the blob is the
+    * distinct (source, shingle) set, the table a dedup campaign
+    * materializes anyway.) Output: (src_a, src_b, n_a, n_b, shared,
+    * jaccard).
     */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val ss = shingles(docs, n)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("s")).distinct()
+      .localCheckpoint()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     ss.as("a").join(ss.as("b"),
         col("a.s") === col("b.s") && col("a.source") < col("b.source"))

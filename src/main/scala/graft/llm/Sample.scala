@@ -195,19 +195,30 @@ object Sample {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("pw", sqrt(col("n_tokens").cast("double")))
       .localCheckpoint()
-    val totPw = per.agg(sum(col("pw"))).head.getDouble(0)
+    // an empty corpus aggregates to ONE all-null row: read the total as an
+    // Option so the plan degrades to an empty mix table instead of an NPE
+    // deep inside getDouble (every downstream branch is row-wise, so a 0.0
+    // total never divides anything — per has no rows to divide)
+    val totRow = per.agg(sum(col("pw"))).head
+    val totPw = if (totRow.isNullAt(0)) 0d else totRow.getDouble(0)
     val t1 = per
       .withColumn("share", col("pw") / lit(totPw))
       .withColumn("target_tokens", lit(budgetTokens.toDouble) * col("share"))
       .withColumn("cap_tokens", lit(maxEpochs) * col("n_tokens").cast("double"))
+      // the cap decision is quantized BEFORE the comparison (the
+      // temperature-sampler convention): target_tokens carries a float
+      // total (Σ√tokens) whose last ulp can differ between engines, and a
+      // source sitting exactly at its cap must not flip sides on that ulp.
+      // 4 decimals matches the precision the table itself publishes.
       .withColumn("capped",
-        when(col("target_tokens") > col("cap_tokens"), lit(1L)).otherwise(lit(0L)))
+        when(round(col("target_tokens"), 4) > round(col("cap_tokens"), 4),
+          lit(1L)).otherwise(lit(0L)))
     val caps = t1.agg(
       sum(when(col("capped") === 0L, col("share")).otherwise(lit(0d))),
       sum(when(col("capped") === 1L,
         col("target_tokens") - col("cap_tokens")).otherwise(lit(0d)))).head
-    val uncappedShare = caps.getDouble(0)
-    val surplus = caps.getDouble(1)
+    val uncappedShare = if (caps.isNullAt(0)) 0d else caps.getDouble(0)
+    val surplus = if (caps.isNullAt(1)) 0d else caps.getDouble(1)
     t1.withColumn("final_tokens",
         when(col("capped") === 1L, col("cap_tokens"))
           .otherwise(col("target_tokens") +

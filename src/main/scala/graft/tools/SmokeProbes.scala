@@ -488,6 +488,14 @@ object SmokeProbes {
       "adc_shift" -> (() => adcShift(spark, sfDir)),
       "srp_recall" -> (() => srpRecall(spark, sfDir)))
     val sel = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").map(_.trim).toSet)
+    // a typo'd probe name must fail LOUDLY, not silently filter to '{}' —
+    // a smoke run that measures nothing must not look like a passing run
+    sel.foreach { names =>
+      val unknown = names -- all.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBES names unknown probes: ${unknown.mkString(",")} " +
+          s"(known: ${all.map(_._1).mkString(",")})")
+    }
     val json = all.filter { case (k, _) => sel.forall(_.contains(k)) }
       .map { case (k, f) => s""""$k":${f()}""" }.mkString("{", ",", "}")
     println("SMOKEPROBES " + json)
