@@ -68,7 +68,12 @@ def main():
                          "(ids shifted per replica; every 7th document token "
                          "perturbed per replica so replica pairs sit at ~0.4 "
                          "shingle Jaccard - duplicate pairs scale naturally, "
-                         "not manufactured)"),
+                         "not manufactured; embedding replicas rotated to "
+                         "exactly cos 0.30 against their source via a seeded "
+                         "orthogonal direction - under the 0.35 near-dup "
+                         "threshold, so no manufactured dup pairs, and ANN "
+                         "recall probes measure real index quality instead "
+                         "of verbatim-copy signature collisions)"),
         "smoke_10x": section(base, s10, 10, qs10, args.note10),
         "smoke_100x": section(base, s100, 100, qs100, args.note100),
     }

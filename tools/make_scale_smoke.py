@@ -7,6 +7,7 @@ corpus scale-up does.  Usage:
     python3 tools/make_scale_smoke.py /root/testdata/sf0.1 /tmp/sf1x10 10
 """
 import sys, os
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -17,6 +18,35 @@ REPLICATED = {
     "documents": (["doc_id"], "text"),
     "embeddings": (["vec_id"], None),
 }
+
+# Cosine of each embedding replica against its source vector.  Chosen the
+# same way the text perturbation chose "every 7th token": decisively UNDER
+# the suite's near-dup threshold (cosineNearDupPairs/semanticDedup use 0.35,
+# and the corpus's natural nearest-neighbor cosines reach ~0.48), so
+# replication adds ~linear near-dup mass instead of manufacturing
+# C(replicas,2) pairs per source vector — while keeping each replica a
+# same-cloud novel point rather than a verbatim copy.  Verbatim copies made
+# every scaled recall receipt saturate artificially: a query's true top-k
+# was its own exact clones, which share every SRP signature and every IVF
+# cell.  At 0.30 the true top-k over the scaled corpus is a genuine mix of
+# natural neighbors and chance-close replicas that the index has to earn.
+EMB_REPLICA_COS = 0.30
+
+
+def perturb_embeddings(vecs, r):
+    """Replica r of the embedding matrix: exact-cosine rotation of each
+    vector toward a seeded random direction orthogonalized against it
+    (Gram-Schmidt), preserving each vector's norm.  Deterministic per
+    replica (legacy RandomState is version-pinned by numpy)."""
+    E = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    U = E / np.maximum(norms, 1e-12)
+    rng = np.random.RandomState(0x5EED0 + r)
+    G = rng.standard_normal(E.shape)
+    G -= (G * U).sum(axis=1, keepdims=True) * U
+    G /= np.maximum(np.linalg.norm(G, axis=1, keepdims=True), 1e-12)
+    c = EMB_REPLICA_COS
+    return ((c * U + np.sqrt(1.0 - c * c) * G) * norms).astype(np.float32)
 
 def main():
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -57,6 +87,12 @@ def main():
                      for s in part[text_col].to_pylist()],
                     type=pa.string())
                 part = part.set_column(idx, part.schema.field(text_col), perturbed)
+            if t == "embeddings" and r > 0:
+                idx = part.schema.get_field_index("embedding")
+                vecs = perturb_embeddings(part["embedding"].to_pylist(), r)
+                emb = pa.array([row.tolist() for row in vecs],
+                               type=part.schema.field("embedding").type)
+                part = part.set_column(idx, part.schema.field("embedding"), emb)
             parts.append(part)
         out = pa.concat_tables(parts)
         # keep row groups at the source table's size: one giant row group
