@@ -636,6 +636,22 @@ object Dedup {
     * reused across band configs, incremental batches, and calibration runs
     * (they are the expensive part: one pass over every shingle of the
     * corpus).
+    *
+    * COST FLOOR, measured (`SmokeProbes.lshCost`, 500k docs at 100×): this
+    * is the suite's heaviest scaled job, and the receipt says the cost is a
+    * floor, not a fixable plan defect. The band-bucket histogram is FLAT
+    * (p999 bucket = 12 docs, max 307; buckets >64 docs hold 7% of raw
+    * collision mass, >256 hold 1.5%), so a hot-bucket cap — the
+    * `DefaultMaxShingleDf` trick — buys under 10% here and is not applied.
+    * The real mass is moderate-overlap candidates: of 2.46M distinct
+    * candidate pairs, 46% have signature estimates within 2σ BELOW the
+    * threshold (k = 64 ⇒ σ ≈ 0.0625) and 11% at/above it — no
+    * signature-based gate can drop within-2σ mass without real recall risk,
+    * which is why the shipped 4σ gate only removes the unambiguous 13%.
+    * Exactly verifying that near-threshold mass (~1.4M shingle-join pairs
+    * here) IS the operator's honest price; the corpus plants it by design
+    * (replica pairs at Jaccard ≈ 0.4 against a 0.5 threshold), mirroring a
+    * post-crawl corpus where near-miss duplicates hug the dedup bar.
     */
   def minhashLshFromSignatures(sig: DataFrame, sh: DataFrame, k: Int = 64,
                                rowsPerBand: Int = 4,

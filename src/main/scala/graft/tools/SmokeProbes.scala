@@ -465,6 +465,95 @@ object SmokeProbes {
     s"""{"srp_note":"scaled recall is now a REAL measurement: the replicator rotates each embedding replica to exactly cos 0.30 against its source (seeded orthogonal direction, tools/make_scale_smoke.py), so a query's true top-10 over the scaled corpus is a mix of natural neighbors and chance-close replicas at cos ~0.45-0.55 that the index has to earn - nothing collides by construction any more. The trade the three scales show: corpus-proportional bits hold the CANDIDATE FRACTION down as the corpus grows, which costs recall; tables buy it back (8 -> 16 -> 32 roughly doubles candidates each step and climbs the recall curve at every scale). Sizing (tables, bits) against this curve is the operator's calibration step; at tiny sf0.1 the candidate fraction is so high the index is near-brute and recall saturates, which is a statement about the corpus size, not the index","n_vectors":$n,"bits":$bits,"tables_32":${at(32)},"tables_16":${at(16)},"tables_8":${at(8)}}"""
   }
 
+  /** MinHash-LSH candidate-cost decomposition — the receipt VERDICT r11
+    * asked for on the suite's heaviest 100× job (`llm_minhash_lsh`). For the
+    * given corpus: the band-bucket size distribution (a bucket of m docs
+    * contributes C(m,2) raw collisions to the self-join), how much of the
+    * raw collision mass lives in buckets above candidate cap sizes, and the
+    * funnel the operator actually pays for — raw collisions → distinct
+    * candidate pairs → signature-gate survivors → exact-verified pairs. If
+    * hot buckets own the mass, a per-band bucket cap buys headroom; if the
+    * distribution is flat, the cost floor is the honest answer.
+    */
+  def lshCost(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val sh = graft.llm.Dedup.shingles(docs, 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.llm.Dedup.minhashSignaturesWide(sh, 64)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sig.count()
+    val bands = graft.llm.Dedup.lshBandRows(sig, 64, 4)
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("m")).as("max_bucket"),
+      expr("percentile_approx(m, array(0.5, 0.9, 0.99, 0.999), 10000)").as("pcts"),
+      sum(col("m") * (col("m") - 1) / 2).cast("long").as("raw_collisions"))
+      .head()
+    val pcts = hist.getSeq[Long](2)
+    def massAbove(cap: Int): Long = buckets.filter(col("m") > cap)
+      .agg(coalesce(sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val cands = {
+      val b = bands
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nCands = cands.count()
+    val nGated = graft.llm.Dedup.signatureGate(sig, cands, 0.5, 0.25, 64).count()
+    val nVerified = graft.llm.Dedup
+      .minhashLshFromSignatures(sig, sh, 64, 4, 0.5).count()
+    // Estimate distribution over the distinct candidates: how much of the
+    // mass could ANY signature-based gate drop without real recall risk?
+    // Bins relative to the 0.5 threshold at k=64 (sigma ~ 0.0625): below
+    // the shipped 4-sigma bar, between the 4-sigma and a hypothetical
+    // 2-sigma bar, within 2 sigma of the threshold, and at/above it.
+    val est = {
+      val s1 = sig.select(col("doc_id").as("d1") +:
+        (0 until 64).map(i => col(s"mh$i").as(s"_a$i")): _*)
+      val s2 = sig.select(col("doc_id").as("d2") +:
+        (0 until 64).map(i => col(s"mh$i").as(s"_b$i")): _*)
+      val matches = (0 until 64)
+        .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
+        .select((matches.cast("double") / 64.0).as("e"))
+        .agg(
+          sum(when(col("e") < 0.25, 1L).otherwise(0L)).as("below_4sigma_bar"),
+          sum(when(col("e") >= 0.25 && col("e") < 0.375, 1L).otherwise(0L))
+            .as("between_4sigma_and_2sigma"),
+          sum(when(col("e") >= 0.375 && col("e") < 0.5, 1L).otherwise(0L))
+            .as("within_2sigma_below"),
+          sum(when(col("e") >= 0.5, 1L).otherwise(0L)).as("at_or_above"))
+        .head()
+    }
+    Seq(sh, sig, buckets, cands).foreach(_.unpersist())
+    jLong(Seq(
+      "n_docs" -> nDocs,
+      "n_buckets" -> hist.getLong(0),
+      "max_bucket" -> hist.getLong(1),
+      "bucket_p50" -> pcts(0), "bucket_p90" -> pcts(1),
+      "bucket_p99" -> pcts(2), "bucket_p999" -> pcts(3),
+      "raw_collisions" -> hist.getLong(3),
+      "raw_collisions_in_buckets_gt16" -> massAbove(16),
+      "raw_collisions_in_buckets_gt64" -> massAbove(64),
+      "raw_collisions_in_buckets_gt256" -> massAbove(256),
+      "distinct_candidate_pairs" -> nCands,
+      "gate_survivors" -> nGated,
+      "est_below_4sigma_bar" -> est.getLong(0),
+      "est_between_4sigma_and_2sigma" -> est.getLong(1),
+      "est_within_2sigma_below_threshold" -> est.getLong(2),
+      "est_at_or_above_threshold" -> est.getLong(3),
+      "verified_pairs" -> nVerified))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -486,7 +575,8 @@ object SmokeProbes {
       "ivf_drift" -> (() => ivfDrift(spark, sfDir)),
       "ivf_shift" -> (() => ivfShift(spark, sfDir)),
       "adc_shift" -> (() => adcShift(spark, sfDir)),
-      "srp_recall" -> (() => srpRecall(spark, sfDir)))
+      "srp_recall" -> (() => srpRecall(spark, sfDir)),
+      "lsh_cost" -> (() => lshCost(spark, sfDir)))
     val sel = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").map(_.trim).toSet)
     // a typo'd probe name must fail LOUDLY, not silently filter to '{}' —
     // a smoke run that measures nothing must not look like a passing run
