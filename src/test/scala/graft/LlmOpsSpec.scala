@@ -1263,6 +1263,110 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- crash injection for the index-swap self-heal paths (VERDICT r11
+  // #6): each test MANUFACTURES the exact on-disk state a crash leaves
+  // mid-swap (the steps before the kill performed, the steps after skipped)
+  // and asserts the documented self-heal actually restores a serving index.
+  // Removing any heal branch makes the matching test fail with a missing
+  // path, not a skipped assertion. ----
+
+  private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("crash injection: IVF meta swap heals the orphaned tmp; a torn ledger degrades to rebuild-needed") {
+    import graft.llm.Ann
+    val dir = java.nio.file.Files.createTempDirectory("ivf-meta-crash").toString
+    val fs = hadoopFs(dir)
+    val pub = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta-tmp")
+    // crash state: writeIvfMeta died between delete-published and rename-in
+    // (tmp fully written, published missing)
+    val out = fs.create(tmp, true)
+    try out.write("100,30\n".getBytes("UTF-8")) finally out.close()
+    assert(!fs.exists(pub))
+    val healed = Ann.ivfIndexMeta(spark, dir)
+    assert(healed.contains(Ann.IvfMeta(100L, 30L)), s"got $healed")
+    assert(fs.exists(pub) && !fs.exists(tmp), "heal must promote tmp to published")
+    // 30/130 = 0.23 > 0.2: the healed ledger drives the gate
+    assert(Ann.needsIvfRebuild(spark, dir, threshold = 0.2))
+    assert(!Ann.needsIvfRebuild(spark, dir, threshold = 0.3))
+    // crash state: died between fs.create's truncate and the write — a torn
+    // (empty) tmp. The heal promotes it, the parse degrades to None, and the
+    // gate answers rebuild-needed instead of bricking.
+    fs.delete(pub, true)
+    fs.create(tmp, true).close()
+    assert(Ann.ivfIndexMeta(spark, dir).isEmpty)
+    assert(Ann.needsIvfRebuild(spark, dir))
+  }
+
+  test("crash injection: IVF compaction swap heals the missing cluster partition and sweeps orphaned tmps") {
+    import spark.implicits._
+    import graft.llm.Ann
+    val dir = java.nio.file.Files.createTempDirectory("ivf-crash").toString + "/idx"
+    val emb = (0L until 12L).map(i =>
+      (i, Array(i.toDouble % 3, 1.0), i % 3)).toDF("vec_id", "embedding", "cluster")
+    Ann.writeIvfIndex(emb, "cluster", dir)
+    val fs = hadoopFs(dir)
+    val part = new org.apache.hadoop.fs.Path(s"$dir/corpus/cluster=1")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.old-cluster=1")
+    // crash state: compactClusterData died between rename-aside and
+    // rename-in (partition gone, aside holds the only copy)
+    assert(fs.rename(part, aside), "test setup: aside rename failed")
+    assert(!fs.exists(part))
+    // plus an orphaned rewrite tmp from a crash between the coalesce write
+    // and the aside rename
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.compact-cluster=2"))
+    Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 1000)
+    assert(fs.exists(part), "heal must restore the partition from its aside")
+    assert(!fs.exists(aside), "heal must consume the aside")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact-cluster=2")),
+      "orphaned rewrite tmp must be swept")
+    val got = spark.read.parquet(s"$dir/corpus")
+    assert(got.count() == 12L, "no vector may be lost across the heal")
+    assert(got.where(org.apache.spark.sql.functions.col("cluster") === 1L).count() == 4L)
+    // a completed swap's stale aside (partition present AND aside present)
+    // is garbage, not truth: it must be dropped, not renamed over the data
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.old-cluster=0"))
+    Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 1000)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.old-cluster=0")))
+    assert(spark.read.parquet(s"$dir/corpus").count() == 12L)
+  }
+
+  test("crash injection: IVFADC codes compaction heals through the shared swap discipline") {
+    import spark.implicits._
+    import graft.llm.Pq
+    val dir = java.nio.file.Files.createTempDirectory("adc-crash").toString + "/idx"
+    val emb = (0L until 8L).map(i =>
+      (i, Array(i.toDouble, (i % 2).toDouble), i % 2)).toDF("vec_id", "embedding", "cluster")
+    Pq.writeIvfAdcIndex(emb, "cluster", dir, m = 2, subDim = 1, k = 2)
+    val fs = hadoopFs(dir)
+    val part = new org.apache.hadoop.fs.Path(s"$dir/codes/cluster=0")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/.old-cluster=0")
+    assert(fs.rename(part, aside), "test setup: aside rename failed")
+    Pq.compactIvfAdcIndex(spark, dir, maxFilesPerCluster = 1000)
+    assert(fs.exists(part) && !fs.exists(aside))
+    assert(spark.read.parquet(s"$dir/codes").count() == 8L,
+      "no coded vector may be lost across the heal")
+  }
+
+  test("crash injection: LSH compaction swap heals on read from the .old aside") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh-crash").toString + "/idx"
+    val rows = (1L to 4L).flatMap(id => (0 until 4).map(b => (id, b, s"h$id-$b")))
+    rows.toDF("doc_id", "band", "bh").write.parquet(dir)
+    val fs = hadoopFs(dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    // crash state: appendToLshIndex died between rename-aside and rename-in
+    // (published path missing, .old aside holds the pre-compaction index)
+    assert(fs.rename(path, old), "test setup: aside rename failed")
+    assert(!fs.exists(path))
+    val got = graft.llm.Dedup.readLshIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == rows.toSet, "healed read must serve the full pre-compaction index")
+    assert(fs.exists(path) && !fs.exists(old), "heal must restore the published path")
+  }
+
   test("snapshot stays within its 2-shuffle budget") {
     // "today" deliberately differs from the data's real max date: SparkEntry
     // persists its snapshot, and an identical plan here would be substituted
