@@ -1546,6 +1546,18 @@ object SparkEntry {
       Multimodal.decodeVideo(Multimodal.withVideoPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // the MJPEG sibling: same demux + sampled-frame pipeline over REAL
+    // ImageIO-encoded JPEG frames (fourcc MJPG). JPEG is lossy, so the
+    // oracle asserts the codec-independent columns exactly — n_sampled
+    // counts only frames the JPEG reader actually decoded, so a green row
+    // proves every sampled frame of every document decoded; pixel fidelity
+    // bounds are pinned in LlmOpsSpec
+    "llm_decode_video_mjpeg" -> ((s, dir) =>
+      Multimodal.decodeVideo(
+          Multimodal.withVideoPayload(Tables.documents(s, dir), codec = "jpeg"))
+        .select(col("doc_id"), col("decoded"), col("n_frames"), col("n_sampled"))
+        .orderBy(col("doc_id"))),
+
     // every-3rd 32-byte frame sampled from the payload; head-frame digest
     "llm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleStub(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -5572,6 +5584,20 @@ object SparkEntry {
         |  coalesce(agg.b3, 0) AS b3
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // MJPEG sibling: codec-independent columns only (JPEG is lossy; the
+    // pixel-sum columns are PNG-row territory). n_frames/n_sampled are pure
+    // integer functions of the text length, and the Spark side only reaches
+    // them by demuxing the AVI and successfully JPEG-decoding every sampled
+    // frame.
+    "llm_decode_video_mjpeg" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS decoded,
+        |  CAST((length(text) + 63) // 64 AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN (length(text) + 63) // 64 = 0 THEN 0
+        |    ELSE ((length(text) + 63) // 64 - 1) // 3 + 1 END AS BIGINT)
+        |    AS n_sampled
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // image dHash near-dedup: the decoded pixel grid is the text's byte
     // grid (w = len%13+3, zero-padded), so the 9x8 nearest-neighbor sample

@@ -17,13 +17,18 @@ import org.apache.spark.sql.types._
   * 16-bit PCM files (`javax.sound.sampled`, also JVM-builtin) and
   * [[decodeAudio]] parses the container and features the actual decoded
   * samples, with the same degrade-don't-fail fallback.
-  * VIDEO is real at the CONTAINER level: [[withVideoPayload]] writes an
-  * actual RIFF/AVI bytestream (headers, `movi` chunk list, `idx1` index)
-  * and [[decodeVideo]] genuinely demuxes it and decodes the sampled
-  * frames — with the honest caveat that the per-frame codec is PNG
-  * (Motion-PNG fourcc), because the JVM ships no MJPEG/H.264 codec and
-  * this container has no native ones. `frameSampleStub` remains as the
-  * byte-stream pseudo-sampler the raw-payload row exercises.
+  * VIDEO is real at the CONTAINER level and, for MJPEG, at the CODEC
+  * level: [[withVideoPayload]] writes an actual RIFF/AVI bytestream
+  * (headers, `movi` chunk list, `idx1` index) whose frames are either
+  * lossless PNG (fourcc `MPNG` — what lets the DuckDB oracle state exact
+  * pixels) or real ImageIO-encoded JPEG (fourcc `MJPG` — the real-world
+  * compressed codec, decodable with the JVM-builtin JPEG reader; its
+  * oracle asserts the codec-independent columns exactly and a spec pins
+  * pixel fidelity, since JPEG is lossy). H.264 stays out of scope — no
+  * JVM builtin. [[decodeVideo]] genuinely demuxes the container and
+  * decodes sampled frames through per-codec cached readers dispatched on
+  * the payload magic. `frameSampleStub` remains as the byte-stream
+  * pseudo-sampler the raw-payload row exercises.
   */
 object Multimodal {
 
@@ -568,30 +573,67 @@ object Multimodal {
 
   /** Attach a REAL VIDEO payload to each document: an actual RIFF/AVI
     * container (`avih`/`strh`/`strf` headers, `movi` chunk list, `idx1`
-    * index — the structure any AVI demuxer reads) whose frames are
-    * PNG-encoded 8×8 grayscale tiles of consecutive 64-byte text slices,
-    * fourcc `MPNG` (the Motion-PNG variant of MJPEG). Stated honestly:
-    * the JVM ships no MJPEG/H.264 codec, so the per-frame codec is PNG —
-    * lossless, which is also what lets the DuckDB oracle state the decoded
-    * pixels — but the CONTAINER is a real AVI bytestream and
-    * [[decodeVideo]] earns its frames by genuinely demuxing it.
+    * index — the structure any AVI demuxer reads) whose frames are 8×8
+    * grayscale tiles of consecutive 64-byte text slices, encoded per
+    * `codec`:
+    *
+    *  - `"png"` (default, fourcc `MPNG`): lossless — what lets the DuckDB
+    *    oracle state the decoded pixels exactly (`llm_decode_video`).
+    *  - `"jpeg"` (fourcc `MJPG`): REAL Motion-JPEG, each frame encoded by
+    *    the JVM-builtin ImageIO JPEG writer — the real-world compressed
+    *    codec shape, with zero new dependencies. Lossy, so its oracle row
+    *    (`llm_decode_video_mjpeg`) asserts the codec-independent columns
+    *    (decoded/n_frames/n_sampled — n_sampled still proves every sampled
+    *    frame DECODED) and a spec pins pixel fidelity bounds.
+    *
+    * H.264 stays out of scope: no JVM-builtin codec. Either way the
+    * CONTAINER is a real AVI bytestream and [[decodeVideo]] earns its
+    * frames by genuinely demuxing it.
     */
   def withVideoPayload(docs: DataFrame, frameW: Int = 8,
-                       frameH: Int = 8): DataFrame = {
+                       frameH: Int = 8, codec: String = "png"): DataFrame = {
+    require(codec == "png" || codec == "jpeg", s"unsupported codec $codec")
     val spark = docs.sparkSession
     import spark.implicits._
     val in: Dataset[(Long, Array[Byte])] = docs
       .select(col("doc_id"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
     val (fw, fh) = (frameW, frameH)
+    val useJpeg = codec == "jpeg"
+    val fourcc = if (useJpeg) "MJPG" else "MPNG"
     in.mapPartitions { rows =>
       // one encoder per partition: reused row/deflate buffers and ONE
       // reset-between-frames Deflater (see [[PngEncoder]] for why the
       // ImageIO.write path was unusable at 5+ frames per document); its
-      // native zlib state is released at task end, not left to the cleaner
-      val enc = new Multimodal.PngEncoder(fw, fh)
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => enc.close()))
+      // native zlib state is released at task end, not left to the cleaner.
+      // The MJPEG variant reuses one ImageWriter + BufferedImage + output
+      // buffer per partition for the same reason (the cost of the
+      // convenience ImageIO.write path is per-call writer lookup and stream
+      // construction, not the DCT).
+      val enc: Array[Byte] => Array[Byte] = if (useJpeg) {
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        val img = new java.awt.image.BufferedImage(fw, fh,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val buf = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val baos = new java.io.ByteArrayOutputStream(1024)
+        gray => {
+          System.arraycopy(gray, 0, buf, 0, fw * fh)
+          baos.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          try { writer.setOutput(ios); writer.write(img); ios.flush() }
+          finally ios.close()
+          baos.toByteArray
+        }
+      } else {
+        val png = new Multimodal.PngEncoder(fw, fh)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => png.close()))
+        png.encode
+      }
       val gray = new Array[Byte](fw * fh)
       rows.map { case (id, bytes) =>
         val frameBytes = fw * fh
@@ -603,9 +645,9 @@ object Multimodal {
             gray(i) = if (src < bytes.length) bytes(src) else 0
             i += 1
           }
-          enc.encode(gray)
+          enc(gray)
         }
-        (id, Multimodal.buildAvi(frames, fw, fh), nFrames)
+        (id, Multimodal.buildAvi(frames, fw, fh, fourcc), nFrames)
       }
     }.toDF("doc_id", "media", "n_frames")
       .withColumn("media_meta", struct(
@@ -691,7 +733,9 @@ object Multimodal {
     * byte padded, per RIFF), `idx1` keyframe index. Little-endian
     * throughout, sizes exact — a strict RIFF walker parses it.
     */
-  private[graft] def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+  private[graft] def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                              fourcc4: String = "MPNG"): Array[Byte] = {
+    require(fourcc4.length == 4, s"fourcc must be 4 chars: $fourcc4")
     val out = new java.io.ByteArrayOutputStream(
       frames.map(_.length + 16).sum + 512)
     def u32(v: Long): Unit = {
@@ -713,12 +757,12 @@ object Multimodal {
     u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
     fcc("LIST"); u32(4 + (8 + 56) + (8 + 40)); fcc("strl")
     fcc("strh"); u32(56)
-    fcc("vids"); fcc("MPNG"); u32(0); u32(0); u32(0)
+    fcc("vids"); fcc(fourcc4); u32(0); u32(0); u32(0)
     u32(1); u32(30); u32(0); u32(frames.length); u32(maxFrame)
     u32(0xFFFFFFFFL /*quality: default*/); u32(0); u32(0); u32(0)
     fcc("strf"); u32(40)
     u32(40); u32(w); u32(h); out.write(1); out.write(0); out.write(8); out.write(0)
-    fcc("MPNG"); u32(w * h); u32(0); u32(0); u32(0); u32(0)
+    fcc(fourcc4); u32(w * h); u32(0); u32(0); u32(0); u32(0)
     fcc("LIST"); u32(moviSize); fcc("movi")
     val offsets = new Array[Int](frames.length)
     var moviPos = 4 // offset within movi data, from after 'movi' fourcc
@@ -758,19 +802,36 @@ object Multimodal {
     val k = every
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      // one cached PNG reader per partition (the encode-side rationale in
-      // [[withVideoPayload]] applies symmetrically); a frame the cached
-      // reader rejects falls back to the generic ImageIO.read probe before
-      // the per-frame skip, so foreign codecs still degrade, not fail
-      val reader = javax.imageio.ImageIO
+      // one cached reader PER CODEC per partition (the encode-side rationale
+      // in [[withVideoPayload]] applies symmetrically), dispatched on the
+      // frame payload's magic bytes — PNG signature or JPEG SOI — so both
+      // the Motion-PNG and the MJPEG container pay zero per-frame reader
+      // lookups and zero exception-driven dispatch; an unrecognized magic
+      // falls back to the generic ImageIO.read probe before the per-frame
+      // skip, so foreign codecs still degrade, not fail
+      val pngReader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
+      val jpegReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
       Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+        .foreach(_.addTaskCompletionListener[Unit] { _ =>
+          pngReader.dispose(); jpegReader.dispose()
+        })
       def readFrame(payload: Array[Byte]): java.awt.image.BufferedImage =
         try {
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          val reader =
+            if (payload.length >= 2 &&
+              (payload(0) & 0xff) == 0x89 && payload(1) == 'P') pngReader
+            else if (payload.length >= 2 &&
+              (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) jpegReader
+            else null
+          if (reader == null)
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          else {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          }
         } catch {
           case scala.util.control.NonFatal(_) =>
             try javax.imageio.ImageIO.read(

@@ -266,6 +266,48 @@ class LlmOpsSpec extends AnyFunSuite {
       s"corrupt frame must drop from n_sampled: $g")
   }
 
+  test("MJPEG video: frames are real JPEGs through the same demux; fidelity bounded; decode row exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    // 200 chars -> 4 frames; varied content so fidelity checks have signal
+    val text = ("the quick brown fox jumps over the lazy dog 0123 " * 4).take(200)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.withVideoPayload(docs, codec = "jpeg")
+    val bytes = media.select(col("media")).head().getAs[Array[Byte]](0)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    // the stream headers carry the MJPG fourcc
+    assert(new String(bytes, "ISO-8859-1").contains("MJPG"))
+    val frames = Multimodal.demuxAvi(bytes)
+    assert(frames.length == 4)
+    val t = text.getBytes("UTF-8")
+    def tile(f: Int): Array[Int] = (0 until 64)
+      .map(i => if (f * 64 + i < t.length) t(f * 64 + i) & 0xff else 0).toArray
+    def mae(a: Array[Int], b: Array[Int]): Double =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum / 64.0
+    frames.zipWithIndex.foreach { case (f, i) =>
+      // every frame is a genuine JPEG bytestream (SOI marker) the JVM
+      // decodes at the right geometry
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, s"frame $i not JPEG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      val px = new Array[Int](64)
+      img.getRaster.getSamples(0, 0, 8, 8, 0, px)
+      // lossy but bounded: decoded pixels track the source tile...
+      assert(mae(px, tile(i)) < 24.0, s"frame $i MAE ${mae(px, tile(i))}")
+      // ...and track IT, not some other tile (content flows through the DCT)
+      if (i < 3)
+        assert(mae(px, tile(i)) < mae(px, tile(i + 1)),
+          s"frame $i closer to a foreign tile")
+    }
+    // end-to-end: decode demuxes and JPEG-decodes every sampled frame, and
+    // the codec-independent columns match the oracle arithmetic exactly
+    val r = Multimodal.decodeVideo(media)
+      .select(col("doc_id"), col("decoded"), col("n_frames"), col("n_sampled"))
+      .head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L && r.getLong(3) == 2L, s"$r")
+  }
+
   test("LSH index append preserves content; compaction bounds part files and survives readers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
