@@ -125,11 +125,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // a FAILED anchor run returns its time-to-failure, which would silently
+    // corrupt every anchor-normalized number — if anchor_cpu failed in the
+    // timed pass, emit null for the mean and omit queries_norm_cpu entirely
+    // so a broken anchor can't masquerade as a valid normalization baseline
+    val anchorOk = !failed.contains("anchor_cpu")
     val cpuMean = (anchorsPre ++ anchorsPost).filter(_._1 == "anchor_cpu")
       .map(_._2).sum / 2d
     val anchorJson = (anchorsPre.map { case (k, v) => "\"" + k + "_pre\":" + v } ++
       anchorsPost.map { case (k, v) => "\"" + k + "_post\":" + v } ++
-      Seq("\"anchor_cpu_mean\":" + cpuMean)).mkString("{", ",", "}")
+      Seq("\"anchor_cpu_mean\":" + (if (anchorOk) cpuMean.toString else "null")))
+      .mkString("{", ",", "}")
     // stdout is captured tail-first downstream (last ~2000 chars survive), so
     // the headline value/errors go LAST on the line; the full per-query map
     // is also written to a file next to the run for durable inspection.
@@ -139,10 +145,15 @@ object Bench {
     println(line)
     // the detail file additionally carries the anchor-normalized map —
     // cross-round comparisons should be made on THESE numbers, not seconds
-    val qsNorm = results.map { case (k, v) =>
-      "\"" + k + "\":" + (math.round(v / cpuMean * 1000d) / 1000d) }
-      .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"anchors":$anchorJson,"queries":$qs,"queries_norm_cpu":$qsNorm,"errors":$errs,"value":$total}"""
+    val qsNormField =
+      if (!anchorOk) ""
+      else {
+        val qsNorm = results.map { case (k, v) =>
+          "\"" + k + "\":" + (math.round(v / cpuMean * 1000d) / 1000d) }
+          .mkString("{", ",", "}")
+        s""""queries_norm_cpu":$qsNorm,"""
+      }
+    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"anchors":$anchorJson,"queries":$qs,$qsNormField"errors":$errs,"value":$total}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }

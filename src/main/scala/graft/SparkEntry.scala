@@ -2138,6 +2138,36 @@ object SparkEntry {
         .orderBy(col("entity"))
     }),
 
+    // -- BOTH IDEA sides from ONE parse (the combined consumer shape): a
+    //    caller that needs sources AND targets of the same stream must not
+    //    pay two from_json passes over every message. explodeAll parses
+    //    once and discriminates by side; the per-entity roll-up is ONE
+    //    conditional aggregation (a join of two per-side summaries would
+    //    re-execute the parse per branch) --
+    "nerd_idea_both" -> ((s, dir) => {
+      import graft.ingest.IdeaParser
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val msgs = Tables.eventsFanned(s, dir).select(col("event_id"),
+        concat(lit("""{"Source":[{"IP4":["""), col("user_id"),
+          lit("""]}],"Target":[{"IP4":["""), (col("user_id") + 3) % 150,
+          lit("""],"Port":["""), k % 1024,
+          lit("""]}],"Category":["Test."""), col("event_type"),
+          lit(""""]}""")).as("msg"))
+      val isSrc = col("side") === "src"
+      val isTgt = col("side") === "tgt"
+      IdeaParser.explodeAll(msgs).groupBy(col("entity")).agg(
+        sum(when(isSrc, 1L).otherwise(0L)).as("src_refs"),
+        countDistinct(when(isSrc, col("event_id"))).as("src_events"),
+        array_join(sort_array(collect_set(when(isSrc, col("cat")))), ",")
+          .as("src_cats"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("tgt_refs"),
+        countDistinct(when(isTgt, col("event_id"))).as("tgt_events"),
+        array_join(
+          transform(sort_array(array_distinct(flatten(collect_set(col("ports"))))),
+            x => x.cast("string")), ",").as("ports"))
+        .orderBy(col("entity"))
+    }),
+
     // -- periodic re-evaluation scheduler (updater.py:96-138, SURVEY §3.3):
     //    fetch entities whose next-regular-update stamp is due, issue the weak
     //    check task, reschedule via the next_step arithmetic --
@@ -5942,6 +5972,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
         |  array_to_string(list_sort(list(DISTINCT cat)), ',') AS cats,
         |  array_to_string(list_sort(list(DISTINCT port)), ',') AS ports
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "nerd_idea_both" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, 'src' AS side, user_id AS entity,
+        |         replace('Test.' || event_type, '.', '') AS cat,
+        |         CAST(NULL AS BIGINT) AS port FROM e
+        |  UNION ALL
+        |  SELECT event_id, 'tgt', (user_id + 3) % 150,
+        |         replace('Test.' || event_type, '.', ''), k % 1024 FROM e)
+        |SELECT entity,
+        |  CAST(count(*) FILTER (WHERE side = 'src') AS BIGINT) AS src_refs,
+        |  CAST(count(DISTINCT event_id) FILTER (WHERE side = 'src') AS BIGINT) AS src_events,
+        |  coalesce(array_to_string(list_sort(list(DISTINCT cat) FILTER (WHERE side = 'src')), ','), '') AS src_cats,
+        |  CAST(count(*) FILTER (WHERE side = 'tgt') AS BIGINT) AS tgt_refs,
+        |  CAST(count(DISTINCT event_id) FILTER (WHERE side = 'tgt') AS BIGINT) AS tgt_events,
+        |  coalesce(array_to_string(list_sort(list(DISTINCT port) FILTER (WHERE side = 'tgt')), ','), '') AS ports
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "nerd_nru_schedule" ->

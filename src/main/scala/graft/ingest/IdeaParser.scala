@@ -65,6 +65,56 @@ object IdeaParser {
       countDistinct(col("event_id")).as("n_events"),
       array_join(sort_array(collect_set(col("cat"))), ",").as("cats"))
 
+  /** BOTH sides from ONE parse — for a consumer that needs sources AND
+    * targets of the same message stream. The per-side entry points
+    * ([[explodeSources]]/[[explodeTargets]]) each carry their own pruned
+    * schema, which is right when a query reads one side; a caller that
+    * reads both would parse every message TWICE (the plans don't share the
+    * `from_json` across two scans). Here one `from_json` of the full
+    * [[IdeaSchema]] feeds one generator over the concatenation of both
+    * sides' (side, ips, ports) structs — one parse, one explode, and the
+    * `side` discriminator splits downstream. Rows: (event_id, side
+    * 'src'|'tgt', entity, cat, ports) with `ports` null on the source side.
+    *
+    * Each side's array is coalesced to empty BEFORE concat: a message with
+    * only targets must still emit its target rows (`concat(null, x)` is
+    * null, which would drop the whole event).
+    */
+  def explodeAll(msgs: DataFrame, msgCol: String = "msg"): DataFrame = {
+    val sideT = "array<struct<side:string,ips:array<bigint>,ports:array<bigint>>>"
+    val noPorts = lit(null).cast("array<bigint>")
+    msgs
+      .withColumn("idea", from_json(col(msgCol), IdeaSchema, Map.empty[String, String]))
+      .select(col("event_id"),
+        graft.functions.Funcs.normalizeCategories(col("idea.Category")).as("cat"),
+        explode(concat(
+          coalesce(transform(col("idea.Source"),
+            s => struct(lit("src").as("side"),
+              s.getField("IP4").as("ips"), noPorts.as("ports"))),
+            array().cast(sideT)),
+          coalesce(transform(col("idea.Target"),
+            t => struct(lit("tgt").as("side"),
+              t.getField("IP4").as("ips"), t.getField("Port").as("ports"))),
+            array().cast(sideT)))).as("ent"))
+      .select(col("event_id"), col("ent.side").as("side"),
+        explode(col("ent.ips")).as("entity"),
+        col("cat"), col("ent.ports").as("ports"))
+  }
+
+  /** The source-side rows of [[explodeAll]], in [[explodeSources]]' exact
+    * schema — [[sourceSummary]] consumes either interchangeably.
+    */
+  def sourcesOf(all: DataFrame): DataFrame =
+    all.filter(col("side") === "src")
+      .select(col("event_id"), col("entity"), col("cat"))
+
+  /** The target-side rows of [[explodeAll]], in [[explodeTargets]]' exact
+    * schema — [[targetSummary]] consumes either interchangeably.
+    */
+  def targetsOf(all: DataFrame): DataFrame =
+    all.filter(col("side") === "tgt")
+      .select(col("event_id"), col("entity"), col("cat"), col("ports"))
+
   /** The `events_targets` side (`install/create_warden_db.sql:28–36`): one
     * row per (event, TARGET ip) from `$.Target[*].IP4[*]`, carrying the
     * target's port list — same generator-in-scan shape as the source side.

@@ -839,37 +839,39 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => null }
         }
       rows.map { case (id, bytes) =>
-        val frames = Multimodal.demuxAvi(bytes)
-        if (frames != null) {
+        // sampled demux: only every k-th frame's payload is even copied
+        // out of the container (via idx1 when present), so per-doc cost
+        // tracks n_sampled, not n_frames
+        val demuxed = Multimodal.demuxAviSampled(bytes, k)
+        if (demuxed != null) {
+          val (nFrames, frames) = demuxed
           var nSampled = 0L
           var sum = 0L
           val hist = new Array[Long](4)
           var f = 0
           while (f < frames.length) {
-            if (f % k == 0) {
-              val img = readFrame(frames(f))
-              if (img != null) {
-                nSampled += 1L
-                val (w, h) = (img.getWidth, img.getHeight)
-                val raster = img.getRaster
-                val row = new Array[Int](w)
-                var y = 0
-                while (y < h) {
-                  raster.getSamples(0, y, w, 1, 0, row)
-                  var x = 0
-                  while (x < w) {
-                    val px = math.min(255, row(x))
-                    sum += px
-                    hist(px >> 6) += 1L
-                    x += 1
-                  }
-                  y += 1
+            val img = readFrame(frames(f))
+            if (img != null) {
+              nSampled += 1L
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                raster.getSamples(0, y, w, 1, 0, row)
+                var x = 0
+                while (x < w) {
+                  val px = math.min(255, row(x))
+                  sum += px
+                  hist(px >> 6) += 1L
+                  x += 1
                 }
+                y += 1
               }
             }
             f += 1
           }
-          (id, 1L, frames.length.toLong, nSampled, sum,
+          (id, 1L, nFrames.toLong, nSampled, sum,
             hist(0), hist(1), hist(2), hist(3))
         } else {
           var sum = 0L
@@ -926,6 +928,94 @@ object Multimodal {
       q += 8 + sz + (sz & 1)
     }
     frames.toArray
+  }
+
+  /** Sampled demux: the frame payloads at stride `every`, plus the TOTAL
+    * frame count, WITHOUT copying unsampled frames. When the container
+    * carries an `idx1` index (ours always does; real capture AVIs almost
+    * always do), the index gives both the count and each sampled chunk's
+    * offset directly — per-document demux cost is then bounded by
+    * `n_sampled`, not `n_frames`, which is what keeps the sampled-decode
+    * contract honest at scale (a 10 000-frame video with stride 3 must not
+    * pay 10 000 payload copies to decode 3 334). Without an index the
+    * `movi` walk still runs (header-skip sequential scan, no seek
+    * alternative exists) but only sampled chunks are copied.
+    *
+    * Every idx1 entry is validated against the chunk it points at (fourcc
+    * + size match, in-bounds); ANY mismatch discards the index and falls
+    * back to the walk — a stale or lying index must not silently drop
+    * frames. Returns null when the container is unparsable (same contract
+    * as [[demuxAvi]]).
+    */
+  private[graft] def demuxAviSampled(bytes: Array[Byte], every: Int): (Int, Array[Array[Byte]]) = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return null
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4))
+    var p = 12L
+    var moviStart = -1L // first byte AFTER the 'movi' fourcc
+    var moviEnd = -1L
+    var idxStart = -1L
+    var idxEnd = -1L
+    while (p + 8 <= riffEnd && (moviStart < 0 || idxStart < 0)) {
+      val id = fcc(p.toInt)
+      val sz = u32(p.toInt + 4)
+      if (id == "LIST" && p + 12 <= riffEnd && fcc(p.toInt + 8) == "movi") {
+        moviStart = p + 12
+        moviEnd = math.min(riffEnd, p + 8 + sz)
+      } else if (id == "idx1") {
+        idxStart = p + 8
+        idxEnd = math.min(riffEnd, p + 8 + sz)
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (moviStart < 0) return null
+    if (idxStart >= 0) {
+      // idx1 path: offsets are relative to the 'movi' fourcc position
+      val moviFcc = moviStart - 4
+      val nEntries = ((idxEnd - idxStart) / 16).toInt
+      val sampled = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var frameIdx = 0
+      var e = 0
+      var valid = true
+      while (e < nEntries && valid) {
+        val off = idxStart + e.toLong * 16
+        if (fcc(off.toInt) == "00dc") {
+          if (frameIdx % every == 0) {
+            val chunk = moviFcc + u32(off.toInt + 8)
+            val len = u32(off.toInt + 12)
+            // the entry must point at a matching in-bounds 00dc chunk
+            if (chunk + 8 + len > moviEnd || chunk < moviStart - 4 ||
+              fcc(chunk.toInt) != "00dc" || u32(chunk.toInt + 4) != len)
+              valid = false
+            else sampled += java.util.Arrays.copyOfRange(bytes,
+              (chunk + 8).toInt, (chunk + 8 + len).toInt)
+          }
+          frameIdx += 1
+        }
+        e += 1
+      }
+      if (valid) return (frameIdx, sampled.toArray)
+    }
+    // no (trustworthy) index: sequential movi walk, copying only sampled
+    val sampled = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var q = moviStart
+    var frameIdx = 0
+    while (q + 8 <= moviEnd) {
+      val id = fcc(q.toInt)
+      val sz = u32(q.toInt + 4)
+      if (q + 8 + sz > moviEnd) return null // truncated chunk
+      if (id == "00dc") {
+        if (frameIdx % every == 0)
+          sampled += java.util.Arrays.copyOfRange(bytes, (q + 8).toInt,
+            (q + 8 + sz).toInt)
+        frameIdx += 1
+      }
+      q += 8 + sz + (sz & 1)
+    }
+    (frameIdx, sampled.toArray)
   }
 
   /** The multimodal pipeline end-to-end: payload → batch decode → flat

@@ -487,11 +487,18 @@ object SmokeProbes {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // coalesce every aggregate: on a degenerate corpus (zero buckets /
+    // zero candidate pairs) max/percentile_approx/sum return null and the
+    // getSeq/getLong reads would NPE — a smoke probe must degrade to
+    // zeros, not crash the battery (ADVICE r12)
     val hist = buckets.agg(
       count(lit(1)).as("n_buckets"),
-      max(col("m")).as("max_bucket"),
-      expr("percentile_approx(m, array(0.5, 0.9, 0.99, 0.999), 10000)").as("pcts"),
-      sum(col("m") * (col("m") - 1) / 2).cast("long").as("raw_collisions"))
+      coalesce(max(col("m")), lit(0L)).as("max_bucket"),
+      coalesce(
+        expr("percentile_approx(m, array(0.5, 0.9, 0.99, 0.999), 10000)"),
+        array(lit(0L), lit(0L), lit(0L), lit(0L))).as("pcts"),
+      coalesce(sum(col("m") * (col("m") - 1) / 2), lit(0d))
+        .cast("long").as("raw_collisions"))
       .head()
     val pcts = hist.getSeq[Long](2)
     def massAbove(cap: Int): Long = buckets.filter(col("m") > cap)
@@ -526,12 +533,14 @@ object SmokeProbes {
       cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
         .select((matches.cast("double") / 64.0).as("e"))
         .agg(
-          sum(when(col("e") < 0.25, 1L).otherwise(0L)).as("below_4sigma_bar"),
-          sum(when(col("e") >= 0.25 && col("e") < 0.375, 1L).otherwise(0L))
-            .as("between_4sigma_and_2sigma"),
-          sum(when(col("e") >= 0.375 && col("e") < 0.5, 1L).otherwise(0L))
-            .as("within_2sigma_below"),
-          sum(when(col("e") >= 0.5, 1L).otherwise(0L)).as("at_or_above"))
+          coalesce(sum(when(col("e") < 0.25, 1L).otherwise(0L)), lit(0L))
+            .as("below_4sigma_bar"),
+          coalesce(sum(when(col("e") >= 0.25 && col("e") < 0.375, 1L)
+            .otherwise(0L)), lit(0L)).as("between_4sigma_and_2sigma"),
+          coalesce(sum(when(col("e") >= 0.375 && col("e") < 0.5, 1L)
+            .otherwise(0L)), lit(0L)).as("within_2sigma_below"),
+          coalesce(sum(when(col("e") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("at_or_above"))
         .head()
     }
     Seq(sh, sig, buckets, cands).foreach(_.unpersist())

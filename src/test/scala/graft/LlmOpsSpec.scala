@@ -266,6 +266,41 @@ class LlmOpsSpec extends AnyFunSuite {
       s"corrupt frame must drop from n_sampled: $g")
   }
 
+  test("sampled demux reads only sampled frames via idx1; a lying index falls back to the walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val text = ("sampled demux fixture content 0123456789 " * 12).take(460)
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val bytes = Multimodal.withVideoPayload(docs, codec = "jpeg")
+      .select(col("media")).head().getAs[Array[Byte]](0)
+    val all = Multimodal.demuxAvi(bytes) // 460/64 -> 8 frames
+    assert(all.length == 8)
+    // idx1 path: total count is ALL frames, payloads are frames 0,3,6
+    val (n, sampled) = Multimodal.demuxAviSampled(bytes, 3)
+    assert(n == 8 && sampled.length == 3)
+    sampled.zip(Seq(0, 3, 6)).foreach { case (f, i) =>
+      assert(java.util.Arrays.equals(f, all(i)), s"sampled frame $i differs")
+    }
+    // corrupt the index (garble entry 0's offset): validation must detect
+    // the mismatch and the movi walk must produce the identical result —
+    // a lying index silently dropping frames would be worse than no index
+    val garbled = bytes.clone()
+    val idxPos = new String(bytes, "ISO-8859-1").indexOf("idx1")
+    garbled(idxPos + 16) = 0x77 // entry 0 offset field
+    val (n2, sampled2) = Multimodal.demuxAviSampled(garbled, 3)
+    assert(n2 == 8 && sampled2.length == 3)
+    sampled2.zip(sampled).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // stride 1 through the index == the full demux
+    val (n3, everyFrame) = Multimodal.demuxAviSampled(bytes, 1)
+    assert(n3 == 8 && everyFrame.length == 8)
+    everyFrame.zip(all).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
   test("MJPEG video: frames are real JPEGs through the same demux; fidelity bounded; decode row exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

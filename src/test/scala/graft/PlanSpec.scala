@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
 
+  test("idea both-sides consumer parses each message exactly once") {
+    // the combined entry point's whole value: one from_json over the full
+    // schema instead of a per-side parse pair — and still one aggregation
+    // exchange (conditional agg, not a join of per-side summaries that
+    // would re-execute the parse per branch)
+    val p = plan("nerd_idea_both")
+    assert("from_json".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("paged search folds offset+limit into TakeOrderedAndProject") {
     val p = plan("nerd_search_page")
     assert(p.contains("TakeOrderedAndProject") && p.contains("offset=5"), p)
