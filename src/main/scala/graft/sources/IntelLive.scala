@@ -1,0 +1,269 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LIVE threat-intel receivers — the MISP and OTX pollers (reference
+  * `NERDd/misp_receiver.py:265–345`, `NERDd/otx_receiver.py:152–174`)
+  * as env-gated [[EnrichmentSource]] connectors in the established
+  * taxonomy ([[HttpBlacklistSource]]): the transport lives inside the
+  * connector, the fetched feed is feed-sized (one poll returns the whole
+  * recent attribute/pulse set, so the fetch is driver-side and bounded,
+  * and the feed ships to executors as a broadcast), a MISCONFIGURATION
+  * throws (bad URL scheme — it will never succeed on retry), a TRANSIENT
+  * failure (network, HTTP status, timeout, over-limit body) degrades to
+  * the `fallback` fixture with a warn, and gated-off never opens a
+  * connection.
+  *
+  * The ENGINE surface each feed row drives is unchanged: a MISP attribute
+  * row is the `array_upsert misp_events {misp_instance, event_id}` analog
+  * and an OTX (entity, pulse_id) row the `array_upsert otx_pulses
+  * {pulse_id}` analog — [[Intel.threatIntelSummary]] consumes either the
+  * live feeds or the fixtures identically.
+  */
+object IntelLive {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Validate scheme OUTSIDE the degrade path (throws — permanent error),
+    * then fetch the body; None on transient failure. `post` carries the
+    * request body for MISP's restSearch (GET when None).
+    */
+  private[graft] def fetchJson(url: String, headers: Seq[(String, String)],
+                                 post: Option[String], timeoutMs: Int,
+                                 maxBytes: Int): Option[String] = {
+    val uri = new java.net.URI(url)
+    uri.getScheme match {
+      case "http" | "https" => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported intel URL scheme '$other' in $url")
+    }
+    try {
+      val conn = uri.toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      try {
+        post.foreach { body =>
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.getOutputStream.write(b)
+        }
+        val code = conn.getResponseCode
+        if (code != 200) {
+          log.warn(s"intel fetch from $url failed (HTTP $code); serving fallback")
+          return None
+        }
+        // a JSON body can't be line-truncated like a blacklist feed — an
+        // over-limit response is unusable as a whole and degrades
+        val bytes = conn.getInputStream.readNBytes(maxBytes + 1)
+        if (bytes.length > maxBytes) {
+          log.warn(s"intel fetch from $url exceeded $maxBytes bytes; serving fallback")
+          None
+        } else Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } finally conn.disconnect()
+    } catch {
+      case e: java.io.IOException =>
+        log.warn(s"intel fetch from $url failed (${e.getMessage}); serving fallback")
+        None
+    }
+  }
+
+  /** The reference's attribute→ip extraction (`misp_receiver.py:229–242`
+    * `get_ip_address`): `domain|ip` values carry the ip AFTER the pipe,
+    * `ip-src|port`/`ip-dst|port` BEFORE it. Returns None on a value that
+    * isn't a parseable IPv4 (skip the row, like the blacklist line parser
+    * skips garbage).
+    */
+  private[graft] def attributeIp(attrType: String, value: String): Option[Long] = {
+    val raw =
+      if (attrType.startsWith("domain")) value.split('|').lift(1).getOrElse("")
+      else value.split('|').head
+    val parts = raw.trim.split('.')
+    if (parts.length != 4) return None
+    try {
+      val octets = parts.map(_.toInt)
+      if (octets.exists(o => o < 0 || o > 255)) None
+      else Some(octets.foldLeft(0L)((acc, o) => (acc << 8) | o))
+    } catch { case _: NumberFormatException => None }
+  }
+}
+
+/** LIVE MISP receiver: polls the instance's REST attribute search
+  * (`POST {url}/attributes/restSearch`, the documented MISP API the
+  * reference's PyMISP `search(controller='attributes')` call wraps) for
+  * recent ip attributes, mapping each to one feed row
+  * (entity, pulse_id = event_id, day) — the `misp_events` upsert stream.
+  * Sighting multiplicity rides row multiplicity, exactly how the fixture
+  * feed expresses it ([[Intel.threatIntelSummary]] counts rows as
+  * `n_sightings`).
+  *
+  * Gated off by default (`GRAFT_LIVE_MISP=1`); the `fallback` fixture
+  * serves unchanged when gated, on transient failure, or on a response
+  * that isn't the documented shape.
+  */
+final case class LiveMispSource(
+    spark: SparkSession, url: String, apiKey: String, fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_MISP").contains("1"),
+    lastDays: Int = 30, timeoutMs: Int = 10000,
+    maxBytes: Int = 64 << 20) extends EnrichmentSource {
+  val name = "misp_receiver"
+
+  /** The feed rows: (entity, pulse_id, day) — fetched when live, the
+    * fallback otherwise. The request narrows server-side to the ip
+    * attribute types and the recency window (`last`), the reference
+    * receiver's own filter set.
+    */
+  lazy val feed: DataFrame = {
+    val fetched =
+      if (!enabled) None
+      else IntelLive.fetchJson(s"$url/attributes/restSearch",
+        Seq("Authorization" -> apiKey, "Accept" -> "application/json",
+          "Content-Type" -> "application/json"),
+        Some(s"""{"returnFormat":"json","type":["ip-src","ip-dst","ip-src|port","ip-dst|port","domain|ip"],"last":"${lastDays}d"}"""),
+        timeoutMs, maxBytes)
+    fetched.flatMap(parseAttributes) match {
+      case Some(rows) =>
+        import spark.implicits._
+        rows.toDF("entity", "pulse_id", "day")
+          .withColumn("day", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.from_unixtime(
+              org.apache.spark.sql.functions.col("day"))))
+      case None => fallback
+    }
+  }
+
+  /** `{"response":{"Attribute":[{event_id, type, value, timestamp}]}}` →
+    * (ip, event_id, epoch) rows; deleted attributes are skipped (the
+    * reference checks `attrib['deleted']`), unparseable values are
+    * skipped, a response without the documented envelope degrades (None).
+    */
+  private[graft] def parseAttributes(body: String): Option[Seq[(Long, Long, Long)]] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val attrs = root.path("response").path("Attribute")
+      if (!attrs.isArray) return None
+      import scala.jdk.CollectionConverters._
+      Some(attrs.elements().asScala.flatMap { a =>
+        if (a.path("deleted").asBoolean(false)) None
+        else IntelLive.attributeIp(a.path("type").asText(""),
+          a.path("value").asText("")).map { ip =>
+          (ip, a.path("event_id").asLong(0L), a.path("timestamp").asLong(0L))
+        }
+      }.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def feeds: Seq[DataFrame] = Seq(feed)
+
+  /** Per-entity MISP summary onto the given entity frame — the misp half
+    * of [[Intel.threatIntelSummary]], left-joined so un-sighted entities
+    * keep zero counts.
+    */
+  def enrich(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = feed.groupBy(col("entity")).agg(
+      size(collect_set(col("pulse_id"))).cast("long").as("n_misp_events"),
+      count(lit(1)).as("n_sightings"),
+      max(col("day")).as("last_misp_day"))
+    ips.join(broadcast(agg), Seq("entity"), "left")
+      .na.fill(0L, Seq("n_misp_events", "n_sightings"))
+  }
+}
+
+/** LIVE OTX receiver: polls the subscribed-pulses endpoint
+  * (`GET {url}/api/v1/pulses/subscribed`, the documented OTX API the
+  * reference's OTXv2 `getall` wraps) with the `X-OTX-API-KEY` header,
+  * follows the response's `next` pagination link (bounded by `maxPages` —
+  * an unbounded crawl of a hostile `next` chain must not hang the poll),
+  * and maps every IPv4 indicator to one (entity, pulse_id) feed row — the
+  * `otx_pulses` upsert stream.
+  *
+  * Gated off by default (`GRAFT_LIVE_OTX=1`); fallback semantics as
+  * [[LiveMispSource]].
+  */
+final case class LiveOtxSource(
+    spark: SparkSession, url: String, apiKey: String, fallback: DataFrame,
+    enabled: Boolean = sys.env.get("GRAFT_LIVE_OTX").contains("1"),
+    modifiedSince: Option[String] = None, maxPages: Int = 20,
+    timeoutMs: Int = 10000, maxBytes: Int = 64 << 20) extends EnrichmentSource {
+  val name = "otx_receiver"
+
+  lazy val feed: DataFrame = {
+    if (!enabled) fallback
+    else fetchAllPages() match {
+      case Some(rows) =>
+        import spark.implicits._
+        rows.toDF("entity", "pulse_id")
+      case None => fallback
+    }
+  }
+
+  /** Walk the pagination chain. A transient failure on ANY page degrades
+    * the whole poll (a half-fetched pulse set would under-count
+    * visibility silently); a `next` pointing off-host is refused (the
+    * chain must not be able to redirect the poller elsewhere).
+    */
+  private[graft] def fetchAllPages(): Option[Seq[(Long, Long)]] = {
+    val sinceParam = modifiedSince.map(s => "&modified_since=" +
+      java.net.URLEncoder.encode(s, "UTF-8")).getOrElse("")
+    val first = s"$url/api/v1/pulses/subscribed?limit=50$sinceParam"
+    val host = new java.net.URI(url).getHost
+    val out = Seq.newBuilder[(Long, Long)]
+    var page = Option(first)
+    var n = 0
+    while (page.isDefined && n < maxPages) {
+      val body = IntelLive.fetchJson(page.get,
+        Seq("X-OTX-API-KEY" -> apiKey, "Accept" -> "application/json"),
+        None, timeoutMs, maxBytes)
+      body.flatMap(parsePulsePage) match {
+        case None => return None
+        case Some((rows, next)) =>
+          out ++= rows
+          page = next.filter(u =>
+            try new java.net.URI(u).getHost == host
+            catch { case scala.util.control.NonFatal(_) => false })
+          n += 1
+      }
+    }
+    Some(out.result())
+  }
+
+  /** `{"results":[{id, indicators:[{type, indicator}]}], "next": url?}` →
+    * the page's (ip, pulse_id) rows + the next-page link. Only `IPv4`
+    * indicators map to entities (`otx_receiver.py:195–204` selects the
+    * IPv4 parameter); a response without `results` degrades.
+    */
+  private[graft] def parsePulsePage(body: String): Option[(Seq[(Long, Long)], Option[String])] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val results = root.path("results")
+      if (!results.isArray) return None
+      import scala.jdk.CollectionConverters._
+      val rows = results.elements().asScala.flatMap { pulse =>
+        val pid = pulse.path("id").asLong(0L)
+        pulse.path("indicators").elements().asScala.flatMap { ind =>
+          if (ind.path("type").asText("") != "IPv4") None
+          else IntelLive.attributeIp("ip-src", ind.path("indicator").asText(""))
+            .map(ip => (ip, pid))
+        }
+      }.toSeq
+      // a JSON `null` next is end-of-chain, only a non-empty string links on
+      val nextNode = root.path("next")
+      val next = if (nextNode.isTextual && nextNode.asText().nonEmpty)
+        Some(nextNode.asText()) else None
+      Some((rows, next))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def feeds: Seq[DataFrame] = Seq(feed)
+
+  /** Per-entity OTX visibility onto the given entity frame — the otx half
+    * of [[Intel.threatIntelSummary]].
+    */
+  def enrich(ips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = feed.groupBy(col("entity")).agg(
+      size(collect_set(col("pulse_id"))).cast("long").as("n_otx_pulses"))
+    ips.join(broadcast(agg), Seq("entity"), "left")
+      .na.fill(0L, Seq("n_otx_pulses"))
+  }
+}
