@@ -133,53 +133,136 @@ object Soak {
     graft.llm.Dedup.freeLocalCheckpoint(sig)
 
     // ---- 3. partitioned IVF index: n assign-to-frozen-centroid appends
-    //         with partition-local compaction bounded at 8 files/cluster ----
+    //         with partition-local compaction bounded at 8 files/cluster,
+    //         the DRIFT GATE read every trigger, live probes served every
+    //         trigger, and ONE mid-soak quantizer rebuild fired when the
+    //         gate opens — the LIVENESS receipt the crash-heal tests can't
+    //         give: probes keep answering while the swap happens, and the
+    //         ledger resets behind it.
+    //         Base = the even half of the corpus; each append is one of n
+    //         odd slices, so appendedFraction after i appends is exactly
+    //         i/(n+i) — it crosses the 1/3 gate threshold at i = n/2,
+    //         genuinely MID-soak rather than on the first append. ----
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ivfDir = s"$tmp/ivf-index"
-    graft.llm.Ann.writeIvfIndex(emb.filter(col("vec_id") % (n + 1) === 0),
+    val gateThreshold = 1.0 / 3.0
+    graft.llm.Ann.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
       clusterCol = "label", dir = ivfDir)
+    val probeQ = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint()
+    def probeIvf(): Long = {
+      val t0 = System.nanoTime()
+      val served = graft.llm.Ann.ivfTopKPruned(probeQ, ivfDir, k = 5).count()
+      require(served > 0L, "IVF probe served zero rows mid-soak")
+      (System.nanoTime() - t0) / 1000000L
+    }
     val ivfMs = scala.collection.mutable.ArrayBuffer[Long]()
     val ivfFiles = scala.collection.mutable.ArrayBuffer[Long]()
     val ivfBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    val ivfGateBp = scala.collection.mutable.ArrayBuffer[Long]()
+    val ivfGateOpen = scala.collection.mutable.ArrayBuffer[Long]()
+    val ivfProbeMs = scala.collection.mutable.ArrayBuffer[Long]()
     var ivfCompactions = 0
+    var ivfRebuildAt = -1L
+    var ivfRebuildMs = -1L
     (1 to n).foreach { i =>
-      val batch = emb.filter(col("vec_id") % (n + 1) === i)
+      val batch = emb.filter(col("vec_id") % (2 * n) === (2 * i - 1))
       val t0 = System.nanoTime()
       graft.llm.Ann.appendToIvfIndex(batch, ivfDir)
       ivfCompactions +=
         graft.llm.Ann.compactIvfIndex(spark, ivfDir, maxFilesPerCluster = 8)
       ivfMs += (System.nanoTime() - t0) / 1000000L
+      val frac = graft.llm.Ann.ivfIndexMeta(spark, ivfDir)
+        .map(_.appendedFraction).getOrElse(-1d)
+      val open = graft.llm.Ann.needsIvfRebuild(spark, ivfDir, gateThreshold)
+      ivfGateBp += math.round(frac * 10000)
+      ivfGateOpen += (if (open) 1L else 0L)
+      if (open && ivfRebuildAt < 0) {
+        // the gate's scheduled action: retrain the quantizer over the FULL
+        // current corpus (base + all appended slices) and swap the layout
+        // in; the very next probe serves from the rebuilt index
+        val r0 = System.nanoTime()
+        graft.llm.Ann.writeIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0 ||
+            col("vec_id") % (2 * n) <= (2 * i - 1)),
+          clusterCol = "label", dir = ivfDir)
+        ivfRebuildMs = (System.nanoTime() - r0) / 1000000L
+        ivfRebuildAt = i
+      }
+      ivfProbeMs += probeIvf()
       val (f, b) = dirStats(s"$ivfDir/corpus")
       ivfFiles += f
       ivfBytes += b
     }
+    val ivfLedgerAfter = graft.llm.Ann.ivfIndexMeta(spark, ivfDir).get
     val ivfRows = spark.read.parquet(s"$ivfDir/corpus").count()
     val ivf = Series(ivfMs.toSeq, ivfFiles.toSeq, ivfBytes.toSeq)
+    val ivfGateJson =
+      s""","gate_threshold":$gateThreshold,"gate_fraction_bp":${jArr(ivfGateBp.toSeq)},""" +
+        s""""gate_open":${jArr(ivfGateOpen.toSeq)},"probe_ms":${jArr(ivfProbeMs.toSeq)},""" +
+        s""""rebuild_at_batch":$ivfRebuildAt,"rebuild_ms":$ivfRebuildMs,""" +
+        s""""ledger_after_run":{"base_rows":${ivfLedgerAfter.baseRows},"appended_rows":${ivfLedgerAfter.appendedRows}}"""
 
     // ---- 3b. persisted IVFADC codes layout: n frozen-coarse +
     //          frozen-codebook appends with the shared partition-local
     //          compaction — the compressed index must stay as bounded as
     //          the full-vector one (same contract, ~100x fewer bytes) ----
     val adcDir = s"$tmp/ivfadc-index"
-    graft.llm.Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % (n + 1) === 0),
+    graft.llm.Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % 2 === 0),
       clusterCol = "label", dir = adcDir, m = 4, subDim = 16, k = 4)
+    def probeAdc(): Long = {
+      val t0 = System.nanoTime()
+      val served = graft.llm.Pq
+        .ivfAdcTopKFromIndex(probeQ, adcDir, topK = 5, nprobe = 1).count()
+      require(served > 0L, "IVFADC probe served zero rows mid-soak")
+      (System.nanoTime() - t0) / 1000000L
+    }
     val adcMs = scala.collection.mutable.ArrayBuffer[Long]()
     val adcFiles = scala.collection.mutable.ArrayBuffer[Long]()
     val adcBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    val adcGateBp = scala.collection.mutable.ArrayBuffer[Long]()
+    val adcGateOpen = scala.collection.mutable.ArrayBuffer[Long]()
+    val adcProbeMs = scala.collection.mutable.ArrayBuffer[Long]()
     var adcCompactions = 0
+    var adcRebuildAt = -1L
+    var adcRebuildMs = -1L
     (1 to n).foreach { i =>
-      val batch = emb.filter(col("vec_id") % (n + 1) === i)
+      val batch = emb.filter(col("vec_id") % (2 * n) === (2 * i - 1))
       val t0 = System.nanoTime()
       graft.llm.Pq.appendToIvfAdcIndex(batch, adcDir)
       adcCompactions +=
         graft.llm.Pq.compactIvfAdcIndex(spark, adcDir, maxFilesPerCluster = 8)
       adcMs += (System.nanoTime() - t0) / 1000000L
+      val frac = graft.llm.Ann.ivfIndexMeta(spark, adcDir)
+        .map(_.appendedFraction).getOrElse(-1d)
+      val open = graft.llm.Ann.needsIvfRebuild(spark, adcDir, gateThreshold)
+      adcGateBp += math.round(frac * 10000)
+      adcGateOpen += (if (open) 1L else 0L)
+      if (open && adcRebuildAt < 0) {
+        // quantizer + codebook refresh over the full current corpus —
+        // the compressed index's scheduled rebuild, swapped under probes
+        val r0 = System.nanoTime()
+        graft.llm.Pq.writeIvfAdcIndex(
+          emb.filter(col("vec_id") % 2 === 0 ||
+            col("vec_id") % (2 * n) <= (2 * i - 1)),
+          clusterCol = "label", dir = adcDir, m = 4, subDim = 16, k = 4)
+        adcRebuildMs = (System.nanoTime() - r0) / 1000000L
+        adcRebuildAt = i
+      }
+      adcProbeMs += probeAdc()
       val (f, b) = dirStats(s"$adcDir/codes")
       adcFiles += f
       adcBytes += b
     }
+    val adcLedgerAfter = graft.llm.Ann.ivfIndexMeta(spark, adcDir).get
     val adcRows = spark.read.parquet(s"$adcDir/codes").count()
     val adc = Series(adcMs.toSeq, adcFiles.toSeq, adcBytes.toSeq)
+    val adcGateJson =
+      s""","gate_threshold":$gateThreshold,"gate_fraction_bp":${jArr(adcGateBp.toSeq)},""" +
+        s""""gate_open":${jArr(adcGateOpen.toSeq)},"probe_ms":${jArr(adcProbeMs.toSeq)},""" +
+        s""""rebuild_at_batch":$adcRebuildAt,"rebuild_ms":$adcRebuildMs,""" +
+        s""""ledger_after_run":{"base_rows":${adcLedgerAfter.baseRows},"appended_rows":${adcLedgerAfter.appendedRows}}"""
 
     // ---- 4. keyed streaming state under event-time TTL: n TIME-ORDERED
     //         micro-batches through flatMapGroupsWithState; the state row
@@ -244,8 +327,8 @@ object Soak {
         s""""ttl_state":$ttlJson,""" +
         s""""mor":${mor.json(s""","commits":$morCommits,"entities":$morRows""")},""" +
         s""""lsh":${lsh.json(s""","rows":$lshRows""")},""" +
-        s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions""")},""" +
-        s""""ivfadc":${adc.json(s""","rows":$adcRows,"partitions_compacted":$adcCompactions""")}}"""
+        s""""ivf":${ivf.json(s""","rows":$ivfRows,"partitions_compacted":$ivfCompactions$ivfGateJson""")},""" +
+        s""""ivfadc":${adc.json(s""","rows":$adcRows,"partitions_compacted":$adcCompactions$adcGateJson""")}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
