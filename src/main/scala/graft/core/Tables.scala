@@ -26,7 +26,46 @@ object Tables {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (estimatedScanPartitions(df) < target) df.repartition(target) else df
+  }
+
+  /** Scan-side partition estimate WITHOUT converting the frame to an RDD
+    * (an `.rdd` probe plans + materializes an RDD lineage per table load —
+    * a driver-side planning wart). Reads the file-index metadata Spark's own
+    * `FilePartition` packing consumes: splittable-format partitions ≈
+    * ceil(bytes / maxPartitionBytes) summed per file. Frames that don't
+    * bottom out in a single file scan (unit-test `createDataFrame` locals)
+    * report "enough" — fanning out a test-local frame is never needed.
+    */
+  private def estimatedScanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val sqlConf = df.sparkSession.sessionState.conf
+          val files = fs.location.inputFiles
+          if (files.isEmpty) 0L
+          else {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            val lens = files.map { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(conf).getFileStatus(p).getLen
+            }
+            // FilePartition.maxSplitBytes: min(maxPartitionBytes,
+            //   max(openCostInBytes, (totalBytes + files*openCost) / cores))
+            val openCost = sqlConf.filesOpenCostInBytes
+            val bytesPerCore = (lens.sum + files.length * openCost) /
+              math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+            val maxSplit = math.max(1L, math.min(
+              sqlConf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
+            lens.map(len => (len + maxSplit - 1) / maxSplit).sum
+          }
+        case _ => Long.MaxValue
+      }
+    }
+    val total: BigInt =
+      if (scans.isEmpty) BigInt(Long.MaxValue) else scans.map(BigInt(_)).sum
+    if (total > Int.MaxValue) Int.MaxValue else total.toInt
   }
 
   /** The events table's `ts` has shipped in two physical shapes across

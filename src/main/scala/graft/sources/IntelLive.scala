@@ -109,20 +109,27 @@ final case class LiveMispSource(
     maxBytes: Int = 64 << 20) extends EnrichmentSource {
   val name = "misp_receiver"
 
+  /** One poll serves BOTH surfaces (feed rows and typed ops) — the
+    * reference receiver processes each fetched attribute once, too.
+    * `includeSightings` asks the instance to inline each attribute's
+    * `Sighting` list so the per-event sighting counters need no second
+    * round-trip.
+    */
+  private lazy val body: Option[String] =
+    if (!enabled) None
+    else IntelLive.fetchJson(s"$url/attributes/restSearch",
+      Seq("Authorization" -> apiKey, "Accept" -> "application/json",
+        "Content-Type" -> "application/json"),
+      Some(s"""{"returnFormat":"json","type":["ip-src","ip-dst","ip-src|port","ip-dst|port","domain|ip"],"last":"${lastDays}d","includeSightings":1}"""),
+      timeoutMs, maxBytes)
+
   /** The feed rows: (entity, pulse_id, day) — fetched when live, the
     * fallback otherwise. The request narrows server-side to the ip
     * attribute types and the recency window (`last`), the reference
     * receiver's own filter set.
     */
   lazy val feed: DataFrame = {
-    val fetched =
-      if (!enabled) None
-      else IntelLive.fetchJson(s"$url/attributes/restSearch",
-        Seq("Authorization" -> apiKey, "Accept" -> "application/json",
-          "Content-Type" -> "application/json"),
-        Some(s"""{"returnFormat":"json","type":["ip-src","ip-dst","ip-src|port","ip-dst|port","domain|ip"],"last":"${lastDays}d"}"""),
-        timeoutMs, maxBytes)
-    fetched.flatMap(parseAttributes) match {
+    body.flatMap(parseAttributes) match {
       case Some(rows) =>
         import spark.implicits._
         rows.toDF("entity", "pulse_id", "day")
@@ -149,6 +156,57 @@ final case class LiveMispSource(
         else IntelLive.attributeIp(a.path("type").asText(""),
           a.path("value").asText("")).map { ip =>
           (ip, a.path("event_id").asLong(0L), a.path("timestamp").asLong(0L))
+        }
+      }.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The full update-op surface of one poll, per entity ip — the exact op
+    * set the reference receiver queues (`misp_receiver.py:260–311,417–424`):
+    * a DELETED ip attribute maps to
+    * `array_remove misp_events {misp_instance, event_id}`
+    * (`remove_misp_event`), a live one to
+    * `array_upsert misp_events {misp_instance, event_id}` whose actions set
+    * the role and the per-event sighting counters — the attribute's inlined
+    * `Sighting` list counted by type (`get_sightings_for_nerd`: "0" →
+    * positive, "1" → false positive, "2" → expired attribute). Empty when
+    * gated off or degraded (the fallback FIXTURE feed has no op stream —
+    * un-consumed removals must not be invented).
+    */
+  lazy val ops: Seq[(Long, graft.ops.UpdateAlgebra.UpdateOp)] =
+    body.flatMap(parseOps).getOrElse(Seq.empty)
+
+  private[graft] def parseOps(body: String): Option[Seq[(Long, graft.ops.UpdateAlgebra.UpdateOp)]] =
+    try {
+      import graft.ops.UpdateAlgebra._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val attrs = root.path("response").path("Attribute")
+      if (!attrs.isArray) return None
+      import scala.jdk.CollectionConverters._
+      Some(attrs.elements().asScala.flatMap { a =>
+        IntelLive.attributeIp(a.path("type").asText(""),
+          a.path("value").asText("")).map { ip =>
+          val eventId = a.path("event_id").asLong(0L)
+          val query = Seq[(String, Any)]("misp_instance" -> url, "event_id" -> eventId)
+          if (a.path("deleted").asBoolean(false))
+            ip -> ArrayRemove("misp_events", query)
+          else {
+            var pos, fp, exp = 0L
+            a.path("Sighting").elements().asScala.foreach { s =>
+              s.path("type").asText("") match {
+                case "0" => pos += 1
+                case "1" => fp += 1
+                case "2" => exp += 1
+                case _ => ()
+              }
+            }
+            val sightings = newRec()
+            sightings.update("positive", pos)
+            sightings.update("false positive", fp)
+            sightings.update("expired attribute", exp)
+            val role = if (a.path("type").asText("").contains("src")) "src" else "dst"
+            ip -> ArrayUpsert("misp_events", query,
+              Seq(SetVal("role", role), SetVal("sightings", sightings)))
+          }
         }
       }.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }

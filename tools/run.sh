@@ -1,9 +1,19 @@
 #!/bin/bash
 # Run a graft main class against the compiled classes + Spark jars.
 # Usage: tools/run.sh <mainClass> [args...]   (env vars pass through)
-set -e
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx96g \
+# Heap is overridable: RUN_XMX=32g tools/run.sh ...
+set -euo pipefail
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+SPARK_JARS="${SPARK_JARS_DIR:-/opt/spark/jars}"
+shopt -s nullglob
+jars=("$SPARK_JARS"/*.jar)
+if [ ${#jars[@]} -eq 0 ]; then
+  echo "no jars found in $SPARK_JARS" >&2
+  exit 1
+fi
+CP="$REPO_ROOT/target/scala-2.13/classes"
+for j in "${jars[@]}"; do CP="$CP:$j"; done
+exec java -Xmx"${RUN_XMX:-96g}" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
