@@ -228,6 +228,34 @@ final case class LiveMispSource(
   }
 }
 
+object LiveOtxSource {
+  /** One IPv4 indicator of one pulse — the unit the reference receiver
+    * upserts (`otx_receiver.py:116–133` `create_new_pulse`). Dates are
+    * epoch seconds; None = absent or unparseable in the response.
+    */
+  final case class OtxRow(ip: Long, pulseId: Long, pulseName: String,
+                          author: String, pulseCreated: Option[Long],
+                          pulseModified: Option[Long], indCreated: Option[Long],
+                          indExpiration: Option[Long], role: String,
+                          title: String)
+
+  /** OTX date strings arrive as ISO local datetimes with optional
+    * fractional seconds and optional zone ("2017-06-15T17:22:00.000000",
+    * "2023-11-14T12:00:00Z"); absent/garbage → None. Zoneless values are
+    * UTC (the reference's naive `datetime.strptime` + utcnow comparisons
+    * assume the same).
+    */
+  private[graft] def parseEpoch(s: String): Option[Long] = {
+    if (s == null || s.isEmpty || s == "null") return None
+    try Some(java.time.OffsetDateTime.parse(s).toEpochSecond)
+    catch { case _: java.time.format.DateTimeParseException =>
+      try Some(java.time.LocalDateTime.parse(s)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+}
+
 /** LIVE OTX receiver: polls the subscribed-pulses endpoint
   * (`GET {url}/api/v1/pulses/subscribed`, the documented OTX API the
   * reference's OTXv2 `getall` wraps) with the `X-OTX-API-KEY` header,
@@ -243,16 +271,56 @@ final case class LiveOtxSource(
     spark: SparkSession, url: String, apiKey: String, fallback: DataFrame,
     enabled: Boolean = sys.env.get("GRAFT_LIVE_OTX").contains("1"),
     modifiedSince: Option[String] = None, maxPages: Int = 20,
-    timeoutMs: Int = 10000, maxBytes: Int = 64 << 20) extends EnrichmentSource {
+    timeoutMs: Int = 10000, maxBytes: Int = 64 << 20,
+    freshDays: Int = 30, inactivePulseDays: Int = 14,
+    nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000L)
+  extends EnrichmentSource {
   val name = "otx_receiver"
 
   lazy val feed: DataFrame = {
-    if (!enabled) fallback
-    else fetchAllPages() match {
+    fetchedRows match {
       case Some(rows) =>
         import spark.implicits._
-        rows.toDF("entity", "pulse_id")
+        rows.map(r => (r.ip, r.pulseId)).toDF("entity", "pulse_id")
       case None => fallback
+    }
+  }
+
+  private lazy val fetchedRows: Option[Seq[LiveOtxSource.OtxRow]] =
+    if (!enabled) None else fetchAllPages()
+
+  /** The full update-op surface of one poll, per entity ip — the task the
+    * reference receiver queues per fresh IPv4 indicator
+    * (`otx_receiver.py:136–175` `upsert_new_pulse` + `process_pulses`):
+    * `array_upsert otx_pulses {pulse_id}` setting the pulse/indicator
+    * fields, `setmax _ttl.otx` (expiration, or poll time, plus the
+    * inactive-pulse grace), `setmax last_activity`. Indicators created
+    * before the freshness cutoff (`freshDays`, reference's
+    * `time_for_upsert` = now − 30 d) are skipped — a pulse that keeps
+    * adding IPs must not re-upsert its stale ones. Empty when gated off or
+    * degraded.
+    */
+  lazy val ops: Seq[(Long, Seq[graft.ops.UpdateAlgebra.UpdateOp])] = {
+    import graft.ops.UpdateAlgebra._
+    val now = nowEpochSec()
+    val cutoff = now - freshDays * 86400L
+    fetchedRows.getOrElse(Seq.empty).collect {
+      case r if r.indCreated.forall(_ >= cutoff) =>
+        val sets = Seq.newBuilder[UpdateOp]
+        sets += SetVal("pulse_id", r.pulseId)
+        sets += SetVal("pulse_name", r.pulseName)
+        sets += SetVal("author_name", r.author)
+        r.pulseCreated.foreach(v => sets += SetVal("pulse_created", v))
+        r.pulseModified.foreach(v => sets += SetVal("pulse_modified", v))
+        r.indCreated.foreach(v => sets += SetVal("indicator_created", v))
+        sets += SetVal("indicator_role", r.role)
+        sets += SetVal("indicator_title", r.title)
+        r.indExpiration.foreach(v => sets += SetVal("indicator_expiration", v))
+        val liveTill = r.indExpiration.getOrElse(now) + inactivePulseDays * 86400L
+        r.ip -> Seq[UpdateOp](
+          ArrayUpsert("otx_pulses", Seq("pulse_id" -> r.pulseId), sets.result()),
+          SetMax("_ttl.otx", liveTill),
+          SetMax("last_activity", now))
     }
   }
 
@@ -261,12 +329,12 @@ final case class LiveOtxSource(
     * visibility silently); a `next` pointing off-host is refused (the
     * chain must not be able to redirect the poller elsewhere).
     */
-  private[graft] def fetchAllPages(): Option[Seq[(Long, Long)]] = {
+  private[graft] def fetchAllPages(): Option[Seq[LiveOtxSource.OtxRow]] = {
     val sinceParam = modifiedSince.map(s => "&modified_since=" +
       java.net.URLEncoder.encode(s, "UTF-8")).getOrElse("")
     val first = s"$url/api/v1/pulses/subscribed?limit=50$sinceParam"
     val host = new java.net.URI(url).getHost
-    val out = Seq.newBuilder[(Long, Long)]
+    val out = Seq.newBuilder[LiveOtxSource.OtxRow]
     var page = Option(first)
     var n = 0
     while (page.isDefined && n < maxPages) {
@@ -286,12 +354,17 @@ final case class LiveOtxSource(
     Some(out.result())
   }
 
-  /** `{"results":[{id, indicators:[{type, indicator}]}], "next": url?}` →
-    * the page's (ip, pulse_id) rows + the next-page link. Only `IPv4`
-    * indicators map to entities (`otx_receiver.py:195–204` selects the
-    * IPv4 parameter); a response without `results` degrades.
+  /** `{"results":[{id, name, author_name, created, modified, indicators:
+    * [{type, indicator, created, expiration, role, title}]}], "next":
+    * url?}` → the page's rows + the next-page link. Only `IPv4` indicators
+    * map to entities (`otx_receiver.py:195–204` selects the IPv4
+    * parameter); a response without `results` degrades. Missing/garbage
+    * dates parse to None (the op builder treats an unparseable
+    * indicator-created as fresh, like the reference's KeyError-free dict
+    * access treats the field as present-or-crash — we degrade per-field,
+    * not per-poll).
     */
-  private[graft] def parsePulsePage(body: String): Option[(Seq[(Long, Long)], Option[String])] =
+  private[graft] def parsePulsePage(body: String): Option[(Seq[LiveOtxSource.OtxRow], Option[String])] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
       val results = root.path("results")
@@ -299,10 +372,18 @@ final case class LiveOtxSource(
       import scala.jdk.CollectionConverters._
       val rows = results.elements().asScala.flatMap { pulse =>
         val pid = pulse.path("id").asLong(0L)
+        val pName = pulse.path("name").asText("")
+        val pAuthor = pulse.path("author_name").asText("")
+        val pCreated = LiveOtxSource.parseEpoch(pulse.path("created").asText(""))
+        val pModified = LiveOtxSource.parseEpoch(pulse.path("modified").asText(""))
         pulse.path("indicators").elements().asScala.flatMap { ind =>
           if (ind.path("type").asText("") != "IPv4") None
           else IntelLive.attributeIp("ip-src", ind.path("indicator").asText(""))
-            .map(ip => (ip, pid))
+            .map(ip => LiveOtxSource.OtxRow(ip, pid, pName, pAuthor,
+              pCreated, pModified,
+              LiveOtxSource.parseEpoch(ind.path("created").asText("")),
+              LiveOtxSource.parseEpoch(ind.path("expiration").asText("")),
+              ind.path("role").asText(""), ind.path("title").asText("")))
         }
       }.toSeq
       // a JSON `null` next is end-of-chain, only a non-empty string links on

@@ -257,10 +257,14 @@ class EnrichmentSpec extends AnyFunSuite {
     val port = server.getAddress.getPort
     val page2Url = s"http://127.0.0.1:$port/api/v1/pulses/subscribed?page=2"
     val page1 =
-      s"""{"results":[{"id":201,"indicators":[
-         |{"type":"IPv4","indicator":"10.1.0.1"},
+      s"""{"results":[{"id":201,"name":"Botnet C2","author_name":"alice",
+         |"created":"2023-11-01T00:00:00","modified":"2023-11-10T00:00:00",
+         |"indicators":[
+         |{"type":"IPv4","indicator":"10.1.0.1","created":"2023-11-09T00:00:00",
+         | "expiration":"2023-12-01T00:00:00","role":"scanner","title":"t1"},
          |{"type":"domain","indicator":"x.example"},
-         |{"type":"IPv4","indicator":"garbage"}]}],
+         |{"type":"IPv4","indicator":"garbage"},
+         |{"type":"IPv4","indicator":"10.1.0.9","created":"2023-01-01T00:00:00"}]}],
          |"next":"$page2Url"}""".stripMargin
     val page2 =
       """{"results":[{"id":202,"indicators":[
@@ -281,8 +285,48 @@ class EnrichmentSpec extends AnyFunSuite {
       val rows = live.feed.orderBy($"entity").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       // both pages walked; non-IPv4 + garbage indicators skipped
-      assert(rows.toSeq == Seq((0x0A010001L, 201L), (0x0A010002L, 202L)))
+      assert(rows.toSeq == Seq((0x0A010001L, 201L), (0x0A010002L, 202L),
+        (0x0A010009L, 201L)))
       assert(gotKey == "otx-key")
+      // typed op surface: per fresh IPv4 indicator, the reference's task
+      // (otx_receiver.py:136-175): array_upsert otx_pulses {pulse_id} +
+      // setmax _ttl.otx + setmax last_activity; stale indicators skipped
+      locally {
+        import graft.ops.UpdateAlgebra._
+        val now = LiveOtxSource.parseEpoch("2023-11-14T00:00:00").get
+        val opsLive = LiveOtxSource(spark, url, "otx-key", fallback,
+          enabled = true, nowEpochSec = () => now)
+        val ops = opsLive.ops
+        // 10.1.0.9 created 2023-01-01 is past the 30-day freshness cutoff;
+        // 10.1.0.2 has no created date -> treated fresh
+        assert(ops.map(_._1).sorted == Seq(0x0A010001L, 0x0A010002L))
+        val task1 = ops.find(_._1 == 0x0A010001L).get._2
+        val up = task1.collectFirst { case u: ArrayUpsert => u }.get
+        assert(up.key == "otx_pulses" && up.query == Seq("pulse_id" -> 201L))
+        val fields = up.actions.collect { case SetVal(k, v, _) => k -> v }.toMap
+        assert(fields("pulse_name") == "Botnet C2" &&
+          fields("author_name") == "alice" &&
+          fields("indicator_role") == "scanner" &&
+          fields("indicator_title") == "t1")
+        val exp = LiveOtxSource.parseEpoch("2023-12-01T00:00:00").get
+        assert(task1.collectFirst { case SetMax("_ttl.otx", v, _) => v }
+          .contains(exp + 14 * 86400L))
+        assert(task1.collectFirst { case SetMax("last_activity", v, _) => v }
+          .contains(now))
+        // an expiration-less indicator's ttl anchors at the poll time
+        val task2 = ops.find(_._1 == 0x0A010002L).get._2
+        assert(task2.collectFirst { case SetMax("_ttl.otx", v, _) => v }
+          .contains(now + 14 * 86400L))
+        // the ops round-trip through the fold: upsert lands the pulse
+        val (rec, _, _) = applyTask(None, task1, now = 1L, eid = "10.1.0.1")
+        val pulses = rec.get("otx_pulses").asInstanceOf[collection.Seq[Any]]
+        assert(pulses.length == 1)
+        // dotted keys descend: _ttl.otx lands as rec("_ttl")("otx")
+        assert(rec.get("_ttl").asInstanceOf[Rec]("otx") == exp + 14 * 86400L)
+        // gated: no op stream
+        assert(LiveOtxSource(spark, "http://127.0.0.1:1", "k", fallback,
+          enabled = false).ops.isEmpty)
+      }
       // maxPages bounds a next-chain that never ends (self-linking page)
       val loopBody =
         s"""{"results":[{"id":300,"indicators":[{"type":"IPv4","indicator":"10.2.0.1"}]}],
