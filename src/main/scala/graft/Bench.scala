@@ -112,7 +112,23 @@ object Bench {
     failed.clear() // only the timed pass decides the reported error set
     // anchors bracket the suite: pre/post disagreement IS the in-sweep drift
     val anchorsPre = anchors.map { case (n, f) => System.gc(); n -> runOne(n, f) }
-    val results = ordered.map { case (n, f) =>
+    // TIME-RESOLVED anchors (r13 post-mortem: the box drifted MID-RUN and a
+    // mean anchor cannot correct drift that arrives partway through a
+    // sorted-order sweep — it lands on whichever alphabetical tail runs
+    // last). Re-time the pure-CPU anchor every `anchorEvery` queries and
+    // normalize each query by its SEGMENT's anchor: a slowdown that hits
+    // minutes 5–10 of the run divides out of exactly the queries it
+    // distorted. Segment anchors are ADDITIVE — `queries_norm_cpu` keeps
+    // its mean-anchor definition for cross-round comparability with r12.
+    val anchorEvery = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_EVERY", "20").toInt
+    val segAnchors = scala.collection.mutable.ArrayBuffer[Double]()
+    val segOf = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val results = ordered.zipWithIndex.map { case ((n, f), i) =>
+      if (i % anchorEvery == 0) {
+        System.gc()
+        segAnchors += runOne("anchor_cpu", anchors.head._2)
+      }
+      segOf(n) = segAnchors.length - 1
       // park cross-query garbage (broadcast blocks, codegen classes, shuffle
       // buffers from the previous query) OUTSIDE the next timed region — a
       // full-suite run otherwise lands a multi-second GC pause on whichever
@@ -151,7 +167,17 @@ object Bench {
         val qsNorm = results.map { case (k, v) =>
           "\"" + k + "\":" + (math.round(v / cpuMean * 1000d) / 1000d) }
           .mkString("{", ",", "}")
-        s""""queries_norm_cpu":$qsNorm,"""
+        // segment-local normalization: divide by the nearest-in-time anchor
+        // instead of the run mean, so mid-run box drift divides out of the
+        // queries it actually hit
+        val segArr = segAnchors.map(v => math.round(v * 1000d) / 1000d)
+          .mkString("[", ",", "]")
+        val qsNormLocal = results.map { case (k, v) =>
+          val a = segAnchors(segOf(k))
+          "\"" + k + "\":" + (math.round(v / math.max(a, 1e-9) * 1000d) / 1000d) }
+          .mkString("{", ",", "}")
+        s""""queries_norm_cpu":$qsNorm,"anchor_cpu_segments":$segArr,""" +
+          s""""anchor_every":$anchorEvery,"queries_norm_cpu_local":$qsNormLocal,"""
       }
     val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","gc_between_queries":true,"anchors":$anchorJson,"queries":$qs,$qsNormField"errors":$errs,"value":$total}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
