@@ -1844,6 +1844,14 @@ object SparkEntry {
       TextStats.chunkDedup(Tables.documents(s, dir))
         .orderBy(col("chunk_digest"))),
 
+    // corpus-frequency boilerplate SCRUB: the CCNet-style rewrite — drop
+    // every grid chunk seen in >2 docs, reassemble each document in order
+    // (TextStats.boilerplateScrub); fully-scrubbed docs survive as ""
+    "llm_boilerplate_scrub" -> ((s, dir) =>
+      TextStats.boilerplateScrub(Tables.documents(s, dir), chunkToks = 4,
+          maxDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -4967,6 +4975,33 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM ch GROUP BY chunk_digest HAVING count(DISTINCT doc_id) > 1
         |ORDER BY chunk_digest""".stripMargin,
+
+    // the non-overlapping grid replayed, hot digests (>2 docs) scrubbed,
+    // surviving chunks re-joined in grid order
+    "llm_boilerplate_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, greatest(n - 1, 0), 4)) AS s
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, s,
+        |    array_to_string(list_slice(w, s + 1, s + 4), ' ') AS chunk_text,
+        |    md5(array_to_string(list_slice(w, s + 1, s + 4), ' ')) AS dg
+        |  FROM st),
+        |hot AS (
+        |  SELECT dg FROM ch GROUP BY dg HAVING count(DISTINCT doc_id) > 2)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN dg NOT IN (SELECT dg FROM hot)
+        |    THEN chunk_text END, ' ' ORDER BY s), '') AS clean_text,
+        |  CAST(count(CASE WHEN dg NOT IN (SELECT dg FROM hot) THEN 1 END)
+        |    AS BIGINT) AS n_chunks_kept,
+        |  CAST(count(CASE WHEN dg IN (SELECT dg FROM hot) THEN 1 END)
+        |    AS BIGINT) AS n_chunks_dropped
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_embed_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

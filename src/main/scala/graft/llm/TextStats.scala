@@ -527,4 +527,59 @@ object TextStats {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") > 1)
+
+  /** Corpus-frequency boilerplate SCRUB — the rewrite step [[chunkDedup]]
+    * only detects: drop from every document each fixed-grid chunk whose
+    * digest appears in MORE THAN `maxDocs` distinct documents (license
+    * headers, navigation text, syndicated passages), and reassemble the
+    * surviving chunks in order. The CCNet/RefinedWeb "remove lines seen
+    * too often across the corpus" filter, at token-grid granularity
+    * (this corpus has no line structure). Unlike a quality FILTER, the
+    * output keeps every doc_id — a fully-boilerplate document survives as
+    * an empty string with `n_chunks_kept = 0`, so the scrub composes with
+    * downstream length gates instead of silently changing corpus
+    * membership.
+    *
+    * Scale shape: the grid projection is shuffle-free per doc; the hot-
+    * digest dictionary is ONE map-combinable hash aggregation, kept only
+    * above the threshold (boilerplate dictionaries are tiny relative to
+    * the corpus — CCNet's duplicated-line table is <1% of shard bytes), so
+    * it broadcasts back onto the chunk stream as a hot-flag — no
+    * corpus-sized shuffle for the scrub itself. Reassembly groups each
+    * doc's flagged chunks once: ONE corpus shuffle total, bounded
+    * document-sized state. Chunks must be NON-OVERLAPPING
+    * (stride = chunkToks) or reassembly would duplicate overlap regions —
+    * hence the grid here rather than [[ragChunks]]'s overlapped windows.
+    */
+  def boilerplateScrub(docs: DataFrame, chunkToks: Int = 64,
+                       maxDocs: Int = 2): DataFrame = {
+    require(chunkToks > 0, s"bad chunk size $chunkToks")
+    val toks = tokens
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(chunkToks))
+    val chunks = docs.select(col("doc_id"), toks.as("w"),
+        posexplode(starts).as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("s") + lit(1), lit(chunkToks)))
+          .as("chunk_text"))
+      .withColumn("chunk_digest", md5(col("chunk_text").cast("binary")))
+    val hot = chunks.groupBy(col("chunk_digest"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("chunk_digest"), lit(true).as("is_hot"))
+    // flag-then-rebuild in ONE corpus shuffle: a left_anti + re-join of the
+    // rebuilt frame onto docs would shuffle the corpus twice and lose
+    // fully-scrubbed documents; flagging keeps every doc's chunk rows in
+    // the single groupBy (each doc has >= 1 chunk, even empty text)
+    val flagged = chunks.join(broadcast(hot), Seq("chunk_digest"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(filter(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"),
+            col("is_hot")))),
+          x => !x("is_hot")), x => x("chunk_text")), " ").as("clean_text"),
+        sum(when(col("is_hot"), 0L).otherwise(1L)).as("n_chunks_kept"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_chunks_dropped"))
+  }
 }

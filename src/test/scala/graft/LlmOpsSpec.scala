@@ -18,6 +18,37 @@ class LlmOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("boilerplateScrub drops corpus-frequent chunks, keeps order, preserves membership") {
+    import spark.implicits._
+    // "HDR1 HDR2" is a 2-token license header shared by docs 1-3 (> maxDocs
+    // = 2); each doc's body is unique. Doc 4 is PURE boilerplate; doc 5
+    // shares nothing.
+    val docs = Seq(
+      (1L, "HDR1 HDR2 a1 b1 c1 d1"),
+      (2L, "HDR1 HDR2 a2 b2 c2 d2"),
+      (3L, "x3 y3 HDR1 HDR2 c3 d3"),
+      (4L, "HDR1 HDR2"),
+      (5L, "p5 q5 r5 s5")
+    ).toDF("doc_id", "text")
+    val out = TextStats.boilerplateScrub(docs, chunkToks = 2, maxDocs = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a1 b1 c1 d1", 2L, 1L), // header chunk dropped, body intact
+      (2L, "a2 b2 c2 d2", 2L, 1L),
+      (3L, "x3 y3 c3 d3", 2L, 1L), // mid-document header: order preserved
+      (4L, "", 0L, 1L),            // fully-boilerplate doc SURVIVES, empty
+      (5L, "p5 q5 r5 s5", 2L, 0L)  // untouched doc round-trips verbatim
+    ))
+    // the scrub is one corpus shuffle: the hot dictionary broadcasts back
+    // as a flag, so the plan has no sort-merge join and no second exchange
+    // over the chunk stream after the flag join
+    val plan = TextStats.boilerplateScrub(docs, chunkToks = 2, maxDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("maxShingleDf skew guard drops stop-shingles but keeps rare-shingle pairs") {
     import spark.implicits._
     // "a b c" appears in EVERY doc (a stop-shingle); docs 1/2 also share the
