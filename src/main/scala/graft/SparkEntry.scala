@@ -1852,6 +1852,25 @@ object SparkEntry {
           maxDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // The boilerplate dictionary's OWN lifecycle: four crawl batches
+    // (doc_id % 4, in order) each APPEND their per-digest partial counts
+    // to the persisted dictionary (bounded append + compaction, the LSH
+    // index's lifecycle machinery), then scrub THEMSELVES against the
+    // accumulated state — a chunk only starts being dropped from the
+    // batch where its cumulative distinct-doc count crosses the
+    // threshold; earlier batches' output is never retroactively changed.
+    "llm_incr_boilerplate" -> ((s, dir) => {
+      val dictDir = scratchDir("graft-bpdict") + "/dict"
+      val docs = Tables.documents(s, dir)
+      (0 until 4).map { g =>
+        val batch = docs.filter(col("doc_id") % 4 === g).localCheckpoint()
+        TextStats.appendToBoilerplateDict(dictDir,
+          TextStats.boilerplateDictRows(batch, chunkToks = 4), maxFiles = 4)
+        TextStats.scrubWithDict(batch, s, dictDir, chunkToks = 4, maxDocs = 2)
+          .withColumn("batch", lit(g.toLong)).localCheckpoint()
+      }.reduce(_ unionByName _).orderBy(col("doc_id"))
+    }),
+
     // -- MISP/OTX receivers (SURVEY §2.1, misp_receiver.py / otx_receiver.py) --
     "nerd_misp_otx" -> ((s, dir) => {
       import graft.sources.Intel
@@ -4975,6 +4994,45 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM ch GROUP BY chunk_digest HAVING count(DISTINCT doc_id) > 1
         |ORDER BY chunk_digest""".stripMargin,
+
+    // the incremental lifecycle replayed set-algebraically: each doc_id%4
+    // batch scrubs against the CUMULATIVE distinct-doc count through its
+    // own batch (batches partition doc_ids, so the cumulative distinct is
+    // a running sum of per-batch distinct counts)
+    "llm_incr_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS batch, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, batch, w,
+        |    unnest(generate_series(0, greatest(n - 1, 0), 4)) AS s
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, batch, s,
+        |    array_to_string(list_slice(w, s + 1, s + 4), ' ') AS chunk_text,
+        |    md5(array_to_string(list_slice(w, s + 1, s + 4), ' ')) AS dg
+        |  FROM st),
+        |bc AS (
+        |  SELECT dg, batch, count(DISTINCT doc_id) AS nd
+        |  FROM ch GROUP BY dg, batch),
+        |cum AS (
+        |  SELECT dg, batch,
+        |    sum(nd) OVER (PARTITION BY dg ORDER BY batch) AS cnd
+        |  FROM bc),
+        |fl AS (
+        |  SELECT ch.doc_id, ch.batch, ch.s, ch.chunk_text,
+        |    (cum.cnd > 2) AS is_hot
+        |  FROM ch JOIN cum ON ch.dg = cum.dg AND ch.batch = cum.batch)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk_text END,
+        |    ' ' ORDER BY s), '') AS clean_text,
+        |  CAST(count(CASE WHEN NOT is_hot THEN 1 END) AS BIGINT)
+        |    AS n_chunks_kept,
+        |  CAST(count(CASE WHEN is_hot THEN 1 END) AS BIGINT)
+        |    AS n_chunks_dropped,
+        |  CAST(min(batch) AS BIGINT) AS batch
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the non-overlapping grid replayed, hot digests (>2 docs) scrubbed,
     // surviving chunks re-joined in grid order

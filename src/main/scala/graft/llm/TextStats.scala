@@ -553,25 +553,44 @@ object TextStats {
     */
   def boilerplateScrub(docs: DataFrame, chunkToks: Int = 64,
                        maxDocs: Int = 2): DataFrame = {
+    val chunks = gridChunks(docs, chunkToks)
+    val hot = chunks.groupBy(col("chunk_digest"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("chunk_digest"))
+    scrubAgainstHotSet(chunks, hot)
+  }
+
+  /** The scrub's non-overlapping chunk grid: (doc_id, chunk_idx,
+    * chunk_text, chunk_digest), one row per `chunkToks`-token window.
+    * Shared by the one-shot [[boilerplateScrub]], the dictionary builder
+    * ([[boilerplateDictRows]]), and the incremental scrub
+    * ([[scrubWithDict]]).
+    */
+  private[graft] def gridChunks(docs: DataFrame, chunkToks: Int): DataFrame = {
     require(chunkToks > 0, s"bad chunk size $chunkToks")
     val toks = tokens
     val n = size(toks)
     val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(chunkToks))
-    val chunks = docs.select(col("doc_id"), toks.as("w"),
+    docs.select(col("doc_id"), toks.as("w"),
         posexplode(starts).as(Seq("chunk_idx", "s")))
       .select(col("doc_id"), col("chunk_idx"),
         concat_ws(" ", slice(col("w"), col("s") + lit(1), lit(chunkToks)))
           .as("chunk_text"))
       .withColumn("chunk_digest", md5(col("chunk_text").cast("binary")))
-    val hot = chunks.groupBy(col("chunk_digest"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > maxDocs)
-      .select(col("chunk_digest"), lit(true).as("is_hot"))
-    // flag-then-rebuild in ONE corpus shuffle: a left_anti + re-join of the
-    // rebuilt frame onto docs would shuffle the corpus twice and lose
-    // fully-scrubbed documents; flagging keeps every doc's chunk rows in
-    // the single groupBy (each doc has >= 1 chunk, even empty text)
-    val flagged = chunks.join(broadcast(hot), Seq("chunk_digest"), "left")
+  }
+
+  /** Scrub a chunk grid against a given hot-digest set (one
+    * `chunk_digest` column). Flag-then-rebuild in ONE corpus shuffle: a
+    * left_anti + re-join of the rebuilt frame onto docs would shuffle the
+    * corpus twice and lose fully-scrubbed documents; flagging keeps every
+    * doc's chunk rows in the single groupBy (each doc has >= 1 chunk, even
+    * empty text).
+    */
+  private def scrubAgainstHotSet(chunks: DataFrame, hot: DataFrame): DataFrame = {
+    val flagged = chunks.join(
+        broadcast(hot.select(col("chunk_digest"), lit(true).as("is_hot"))),
+        Seq("chunk_digest"), "left")
       .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
     flagged.groupBy(col("doc_id"))
       .agg(
@@ -582,4 +601,59 @@ object TextStats {
         sum(when(col("is_hot"), 0L).otherwise(1L)).as("n_chunks_kept"),
         sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_chunks_dropped"))
   }
+
+  /** One batch's contribution to the PERSISTED boilerplate dictionary:
+    * per-digest distinct-doc partial counts, to be appended to the
+    * dictionary directory (`Dedup.appendToLshIndex` — the same bounded
+    * append + coalesce-compaction + crash-healing swap lifecycle the LSH
+    * index uses; coalesce-only compaction keeps partial rows, which is
+    * correct because [[readBoilerplateDict]] re-aggregates on read).
+    * Partials from different batches sum to the true cumulative distinct
+    * count PROVIDED each doc_id arrives in exactly one appended batch —
+    * the same exactly-once contract the MOR snapshot's batch-id ledger
+    * enforces for events; replaying a batch into the dictionary
+    * double-counts it.
+    */
+  def boilerplateDictRows(docs: DataFrame, chunkToks: Int = 64): DataFrame =
+    gridChunks(docs, chunkToks)
+      .groupBy(col("chunk_digest"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
+
+  /** Append one batch's partial counts to the persisted dictionary —
+    * delegates to the LSH index's maintenance (bounded append, coalesce
+    * compaction past `maxFiles`, crash-healing rename dance): the
+    * dictionary is just another small parquet side-index with the same
+    * lifecycle needs, and the self-heal path is already crash-tested
+    * there.
+    */
+  def appendToBoilerplateDict(dictDir: String, dictRows: DataFrame,
+                              maxFiles: Int = 64): Unit =
+    Dedup.appendToLshIndex(dictDir, dictRows, maxFiles)
+
+  /** The dictionary's current hot set: re-aggregate the appended partials
+    * (one map-combinable pass over the dictionary — digest-distinct rows,
+    * far smaller than the corpus) and keep digests above `maxDocs`. Reads
+    * through [[Dedup.readLshIndex]] for the crashed-compaction self-heal.
+    */
+  def readBoilerplateDict(spark: org.apache.spark.sql.SparkSession,
+                          dictDir: String, maxDocs: Int): DataFrame =
+    Dedup.readLshIndex(spark, dictDir)
+      .groupBy(col("chunk_digest"))
+      .agg(sum(col("n_docs")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("chunk_digest"))
+
+  /** INCREMENTAL scrub: clean one batch against the persisted dictionary
+    * (which must already include the batch's own partials — append first,
+    * then scrub, so a chunk that crosses the threshold WITHIN a batch is
+    * scrubbed from it, matching the one-shot [[boilerplateScrub]] on the
+    * union of all batches so far for chunks whose history is
+    * single-batch). A growing corpus pays one grid pass + one bounded
+    * dictionary append per batch — never a recount of history.
+    */
+  def scrubWithDict(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                    dictDir: String, chunkToks: Int = 64,
+                    maxDocs: Int = 2): DataFrame =
+    scrubAgainstHotSet(gridChunks(batch, chunkToks),
+      readBoilerplateDict(spark, dictDir, maxDocs))
 }

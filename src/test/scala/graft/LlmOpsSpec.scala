@@ -49,6 +49,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("incremental boilerplate dictionary: threshold crossing is batch-local, compaction bounds files") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dictDir = Files.createTempDirectory("graft-bpdict-spec").toString + "/dict"
+    // "HDR HDR" arrives in one doc per batch; maxDocs = 2 means it turns
+    // hot in batch 3 — batches 1-2 keep it (cumulative count 1, 2), batch
+    // 3+ scrub it. Dictionary state accumulates; batch output is final.
+    def batch(id: Long) = Seq((id, s"HDR HDR b$id x$id")).toDF("doc_id", "text")
+    val outs = (1L to 4L).map { i =>
+      val b = batch(i)
+      TextStats.appendToBoilerplateDict(dictDir,
+        TextStats.boilerplateDictRows(b, chunkToks = 2), maxFiles = 2)
+      val r = TextStats.scrubWithDict(b, spark, dictDir, chunkToks = 2,
+        maxDocs = 2).collect().head
+      (r.getLong(0), r.getString(1), r.getLong(3))
+    }
+    assert(outs == Seq(
+      (1L, "HDR HDR b1 x1", 0L), // count 1: kept
+      (2L, "HDR HDR b2 x2", 0L), // count 2: still <= maxDocs
+      (3L, "b3 x3", 1L),         // count 3 > 2: hot from ITS OWN batch on
+      (4L, "b4 x4", 1L)))
+    // compaction kept the layout bounded across 4 appends (maxFiles = 2)
+    val fs = new org.apache.hadoop.fs.Path(dictDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dictDir))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(parts <= 2, s"dictionary layout not compacted: $parts part files")
+    // the re-aggregated hot set survives compaction: partial rows merged
+    val hot = TextStats.readBoilerplateDict(spark, dictDir, maxDocs = 2)
+      .collect().map(_.getString(0))
+    assert(hot.length == 1) // only the header digest is corpus-hot
+  }
+
   test("maxShingleDf skew guard drops stop-shingles but keeps rare-shingle pairs") {
     import spark.implicits._
     // "a b c" appears in EVERY doc (a stop-shingle); docs 1/2 also share the
