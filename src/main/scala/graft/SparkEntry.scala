@@ -1852,6 +1852,45 @@ object SparkEntry {
           maxDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // -- the SAME dictionary lifecycle driven by Structured Streaming:
+    //    crawl documents arrive as a two-batch file stream (doc_id%3==1,
+    //    then %3==2) over a dictionary pre-seeded with the standing
+    //    corpus (%3==0); each micro-batch appends its partial counts and
+    //    scrubs ITSELF against the refreshed state before the next
+    //    trigger — a standing crawl keeps its boilerplate dictionary
+    //    current with no batch scheduler. Oracle = the identical
+    //    cumulative set-algebraic replay the batch lifecycle row uses. --
+    "llm_stream_boilerplate" -> ((s, dir) => {
+      val dictDir = scratchDir("graft-sbp") + "/dict"
+      val docs = Tables.documents(s, dir)
+      TextStats.appendToBoilerplateDict(dictDir,
+        TextStats.boilerplateDictRows(docs.filter(col("doc_id") % 3 === 0),
+          chunkToks = 4), maxFiles = 4)
+      val src = slshSourceDir(s, dir)
+      val sink = scratchDir("graft-sbp-sink")
+      val q = s.readStream.schema(slshSourceSchema(s, dir))
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .option("checkpointLocation", scratchDir("graft-sbp-ck"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // ONE materialization per trigger: the dictionary append and the
+          // scrub both consume the batch; checkpointing also satisfies the
+          // append contract (results pinned before the layout mutates)
+          val b = batch.localCheckpoint()
+          TextStats.appendToBoilerplateDict(dictDir,
+            TextStats.boilerplateDictRows(b, chunkToks = 4), maxFiles = 4)
+          TextStats.scrubWithDict(b, s, dictDir, chunkToks = 4, maxDocs = 2)
+            .withColumn("batch", lit(bid + 1))
+            .write.mode("append").parquet(sink)
+          Dedup.freeLocalCheckpoint(b)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy(col("doc_id"))
+    }),
+
     // The boilerplate dictionary's OWN lifecycle: four crawl batches
     // (doc_id % 4, in order) each APPEND their per-digest partial counts
     // to the persisted dictionary (bounded append + compaction, the LSH
@@ -5024,6 +5063,45 @@ object SparkEntry {
         |  SELECT ch.doc_id, ch.batch, ch.s, ch.chunk_text,
         |    (cum.cnd > 2) AS is_hot
         |  FROM ch JOIN cum ON ch.dg = cum.dg AND ch.batch = cum.batch)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk_text END,
+        |    ' ' ORDER BY s), '') AS clean_text,
+        |  CAST(count(CASE WHEN NOT is_hot THEN 1 END) AS BIGINT)
+        |    AS n_chunks_kept,
+        |  CAST(count(CASE WHEN is_hot THEN 1 END) AS BIGINT)
+        |    AS n_chunks_dropped,
+        |  CAST(min(batch) AS BIGINT) AS batch
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the STREAMING lifecycle replayed with the %3 split: seed batch 0
+    // counts first, then each streamed batch scrubs against the
+    // cumulative state through itself (only streamed batches emit)
+    "llm_stream_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS batch, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, batch, w,
+        |    unnest(generate_series(0, greatest(n - 1, 0), 4)) AS s
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, batch, s,
+        |    array_to_string(list_slice(w, s + 1, s + 4), ' ') AS chunk_text,
+        |    md5(array_to_string(list_slice(w, s + 1, s + 4), ' ')) AS dg
+        |  FROM st),
+        |bc AS (
+        |  SELECT dg, batch, count(DISTINCT doc_id) AS nd
+        |  FROM ch GROUP BY dg, batch),
+        |cum AS (
+        |  SELECT dg, batch,
+        |    sum(nd) OVER (PARTITION BY dg ORDER BY batch) AS cnd
+        |  FROM bc),
+        |fl AS (
+        |  SELECT ch.doc_id, ch.batch, ch.s, ch.chunk_text,
+        |    (cum.cnd > 2) AS is_hot
+        |  FROM ch JOIN cum ON ch.dg = cum.dg AND ch.batch = cum.batch
+        |  WHERE ch.batch > 0)
         |SELECT doc_id,
         |  coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk_text END,
         |    ' ' ORDER BY s), '') AS clean_text,
