@@ -37,6 +37,36 @@ class ReceiptsSpec extends AnyFunSuite {
       s"current receipts that are not valid JSON: ${unparseable.mkString(", ")}")
   }
 
+  test("the current soak receipt's structural claims hold (gate fires once per lane, ledger resets, probes live)") {
+    val bold = """\*\*`(SOAK_[A-Za-z0-9_.-]+\.json)`\*\*""".r
+    val soakFile = bold.findFirstMatchIn(receipts).map(_.group(1))
+    assert(soakFile.isDefined, "RECEIPTS.md names no current soak receipt")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(soakFile.get))
+    for (lane <- Seq("ivf", "ivfadc")) {
+      val l = root.path(lane)
+      assert(!l.isMissingNode, s"soak receipt has no '$lane' lane")
+      import scala.jdk.CollectionConverters._
+      val gateOpens = l.path("gate_open").elements().asScala.map(_.asInt()).sum
+      assert(gateOpens == 1,
+        s"$lane: drift gate must open exactly once mid-soak, opened $gateOpens times")
+      assert(l.path("rebuild_at_batch").asInt(-1) > 0 &&
+        l.path("rebuild_ms").asLong(-1) > 0,
+        s"$lane: gate opened but no rebuild was recorded")
+      // ledger reset behind the swap: the post-run appended fraction must
+      // sit BELOW the gate threshold again
+      val base = l.path("ledger_after_run").path("base_rows").asDouble(0)
+      val app = l.path("ledger_after_run").path("appended_rows").asDouble(0)
+      val thr = l.path("gate_threshold").asDouble(1.0 / 3)
+      assert(base > 0 && app / (base + app) < thr,
+        s"$lane: ledger did not reset behind the rebuild (base=$base appended=$app)")
+      // probes answered on every trigger, including through the swap
+      val probes = l.path("probe_ms").elements().asScala.map(_.asLong()).toSeq
+      assert(probes.nonEmpty && probes.forall(_ > 0),
+        s"$lane: probe stream has dead triggers")
+    }
+  }
+
   test("RECEIPTS.md has no unfilled placeholder comments") {
     val placeholder = """<!--\s*R\d+_[A-Z_]+\s*-->""".r
     val found = placeholder.findAllIn(receipts).toSeq

@@ -20,7 +20,10 @@ def load(path):
     a = d["anchors"]
     drift = max(a["anchor_cpu_post"] / a["anchor_cpu_pre"],
                 a["anchor_cpu_pre"] / a["anchor_cpu_post"])
-    return d["queries_norm_cpu"], drift, d
+    # prefer segment-local norms (time-resolved anchors, r14+) when present:
+    # they divide mid-run drift out of exactly the queries it hit
+    norms = d.get("queries_norm_cpu_local", d["queries_norm_cpu"])
+    return norms, drift, d
 
 
 def main():
