@@ -1183,6 +1183,42 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // TARGETED DELETION from the partitioned IVF layout (right-to-be-
+    // forgotten): vec_id%10==3 rows are deleted by rewriting ONLY the
+    // cluster partitions that hold them (compaction's swap discipline);
+    // centroids and ledger untouched, probe excludes every deleted vector
+    "llm_ann_ivf_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-ivfdel") + "/index"
+      Ann.writeIvfIndex(emb, clusterCol = "label", dir = idx)
+      Ann.deleteFromIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ann.ivfTopKPruned(q, idx, k = 5, nprobe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("probe_cluster", col("probe_cluster").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // TARGETED DELETION from the flat LSH band index — LSM tombstones:
+    // corpus = even doc_ids' band rows persisted, doc_id%4==0 tombstoned
+    // (O(request) now, physical at next compaction), the odd-doc crawl
+    // probes the masked index — no pair may name a tombstoned corpus doc
+    "llm_lsh_delete" -> ((s, dir) => {
+      val idx = scratchDir("graft-lshdel") + "/index"
+      val sig = signatureTable(s, dir)
+      Dedup.lshBandRows(sig.filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(idx)
+      Dedup.deleteFromLshIndex(idx,
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+          .select("doc_id"))
+      val crawl = Dedup.lshBandRows(sig.filter(col("doc_id") % 2 === 1))
+      Dedup.incrementalNearDups(crawl, Dedup.readLshIndex(s, idx),
+          shingleTable(s, dir), threshold = 0.5)
+        .orderBy(col("crawl_doc"), col("corpus_doc"))
+    }),
+
     // -- IVF index MAINTENANCE: the corpus (vec_id % 5 != 4) is written as
     //    the partitioned layout keyed by its fixture clusters, the remaining
     //    20% arrives later as a crawl batch appended THROUGH the frozen
@@ -4100,6 +4136,59 @@ object SparkEntry {
          | AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
          |WHERE j.jaccard >= 0.5
          |ORDER BY n.crawl_doc, n.corpus_doc""".stripMargin,
+
+    // the incremental probe replayed with the tombstoned corpus docs
+    // (doc_id%4==0) masked out — a deleted doc must not appear in any pair
+    "llm_lsh_delete" ->
+      s"""WITH $SHINGLES,
+         |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |base AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |          min((h * (2 * i + 1) + i * 2654435761) % 2147483647) AS mh
+         |        FROM base, idx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT w.doc_id AS crawl_doc, c.doc_id AS corpus_doc
+         |  FROM bands w JOIN bands c ON w.band = c.band AND w.bh = c.bh
+         |  WHERE w.doc_id % 2 = 1 AND c.doc_id % 2 = 0 AND c.doc_id % 4 <> 0)
+         |SELECT n.crawl_doc, n.corpus_doc, j.jaccard
+         |FROM cands n JOIN jac j
+         |  ON j.d1 = least(n.crawl_doc, n.corpus_doc)
+         | AND j.d2 = greatest(n.crawl_doc, n.corpus_doc)
+         |WHERE j.jaccard >= 0.5
+         |ORDER BY n.crawl_doc, n.corpus_doc""".stripMargin,
+
+    // the label-cluster IVF probe replayed over the surviving corpus:
+    // centroids stay those of the FULL build (deletion must not retrain),
+    // only the scan side loses the deleted vectors
+    "llm_ann_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, e.vec_id, ${COS("p.qe", "e.emb")} AS cos
+         |  FROM e JOIN probe p ON e.label = p.probe_cluster AND e.vec_id != p.qid
+         |  WHERE e.vec_id % 10 <> 3),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // two-batch index lifecycle: dup1 = batch1 (id%3=1) vs corpus (id%3=0);
     // survivors of batch 1 enter the index; dup2 = batch2 (id%3=2) vs

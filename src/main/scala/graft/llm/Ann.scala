@@ -287,6 +287,55 @@ object Ann {
                       indexDir: String, maxFilesPerCluster: Int = 16): Int =
     compactClusterData(spark, indexDir, "corpus", maxFilesPerCluster)
 
+  /** TARGETED DELETION from the partitioned layout — the
+    * right-to-be-forgotten path a production index must serve without a
+    * rebuild: rewrite ONLY the cluster partitions that hold deleted
+    * vec_ids, using the compaction's own tmp/aside swap discipline (so its
+    * crash self-heal covers an interrupted delete too). The touched-cluster
+    * list is an explicit bounded driver-side action (≤ |ids| clusters — a
+    * deletion request is a legal artifact of bounded size, the same
+    * documented boundary as the MOR touched-bucket manifest and the probe
+    * router). Centroids and the drift ledger are deliberately NOT touched:
+    * deletion does not change which quantizer assigned the surviving rows,
+    * so retraining/ledger-resetting here would falsify the drift exposure.
+    * Returns the number of partitions rewritten.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, ids: DataFrame): Int = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val corpusPath = s"$indexDir/corpus"
+    val idSet = bcast(ids.select(col("vec_id")).distinct())
+    // partition discovery may type `cluster` as int or long depending on
+    // the directory values — normalize before the bounded collect
+    val touched = spark.read.parquet(corpusPath)
+      .join(idSet, Seq("vec_id"), "left_semi")
+      .select(col("cluster").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    touched.foreach { c =>
+      val part = new org.apache.hadoop.fs.Path(s"$corpusPath/cluster=$c")
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact-cluster=$c")
+      val old = new org.apache.hadoop.fs.Path(root, s".old-cluster=$c")
+      spark.read.parquet(part.toString)
+        .join(idSet, Seq("vec_id"), "left_anti")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(part, old), s"IVF delete aside-rename failed for $part")
+      require(fs.rename(tmp, part), s"IVF delete swap failed for $part " +
+        s"(previous partition preserved at $old)")
+      fs.delete(old, true)
+      n += 1
+    }
+    if (n > 0) {
+      log.info(s"deleted rows from $n IVF cluster partitions in $indexDir")
+      spark.catalog.refreshByPath(corpusPath)
+    }
+    n
+  }
+
   /** The compaction body shared by the full-vector layout (`corpus/`) and
     * the IVFADC codes layout (`codes/`, via [[Pq.compactIvfAdcIndex]]) —
     * identical swap discipline, self-heal, and partition-local cost bound;

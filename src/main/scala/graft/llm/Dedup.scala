@@ -789,7 +789,17 @@ object Dedup {
       .count(_.getPath.getName.startsWith("part-"))
     if (nParts > maxFiles) {
       val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
-      spark.read.parquet(indexDir)
+      // compact THROUGH the tombstone mask: pending deletes
+      // ([[deleteFromLshIndex]]) are applied physically here, then cleared
+      // after the swap (idempotent if a crash re-applies them)
+      val del = new org.apache.hadoop.fs.Path(indexDir + ".deletes")
+      val masked =
+        if (fs.exists(del))
+          spark.read.parquet(indexDir).join(
+            broadcast(spark.read.parquet(del.toString).distinct()),
+            Seq("doc_id"), "left_anti")
+        else spark.read.parquet(indexDir)
+      masked
         .coalesce(math.max(1, maxFiles / 2))
         .write.mode("overwrite").parquet(tmp.toString)
       // rename-aside → rename-in → delete-aside, NOT delete-then-rename: a
@@ -806,6 +816,10 @@ object Dedup {
       require(fs.rename(tmp, path), s"compaction swap failed for $indexDir " +
         s"(previous index preserved at $old)")
       fs.delete(old, true)
+      // tombstones are now physically applied; clearing AFTER the swap is
+      // the crash-safe order (a crash here leaves redundant tombstones
+      // whose re-application is a no-op, never a resurrection)
+      fs.delete(del, true)
       log.info(s"compacted LSH index $indexDir: $nParts part files -> " +
         s"${math.max(1, maxFiles / 2)}")
     }
@@ -836,8 +850,31 @@ object Dedup {
         spark.catalog.refreshByPath(indexDir)
       }
     }
-    spark.read.parquet(indexDir)
+    val raw = spark.read.parquet(indexDir)
+    // tombstone mask: deleted doc_ids filter out of every read until the
+    // next compaction applies them physically ([[deleteFromLshIndex]])
+    val del = new org.apache.hadoop.fs.Path(indexDir + ".deletes")
+    if (fs.exists(del))
+      raw.join(broadcast(spark.read.parquet(del.toString).distinct()),
+        Seq("doc_id"), "left_anti")
+    else raw
   }
+
+  /** TARGETED DELETION from the flat band index — LSM-style tombstones,
+    * the right shape for an UNPARTITIONED index where a physical rewrite
+    * would be O(index) per request: the deleted doc_ids append to a
+    * side-list (`<indexDir>.deletes`, O(|request|) now), every
+    * [[readLshIndex]] masks them with a broadcast anti-join, and the next
+    * [[appendToLshIndex]] compaction applies them PHYSICALLY and clears
+    * the list — clearing after the swap is crash-safe because re-applying
+    * a tombstone to an already-filtered index is a no-op (idempotent
+    * doc_id filter). Contrast [[Ann.deleteFromIvfIndex]]: the partitioned
+    * layout makes immediate surgical rewrite cheap there; here deferral
+    * to the compaction the index already schedules is the bounded path.
+    */
+  def deleteFromLshIndex(indexDir: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(indexDir + ".deletes")
 
   def incrementalNearDups(crawlBands: DataFrame, indexBands: DataFrame,
                           sh: DataFrame, threshold: Double = 0.5): DataFrame = {

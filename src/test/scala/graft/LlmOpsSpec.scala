@@ -82,6 +82,71 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hot.length == 1) // only the header digest is corpus-hot
   }
 
+  test("LSH tombstone deletion: masked reads now, physical at compaction, idempotent clear") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-lshdel-spec").toString + "/index"
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBandRows(
+      Dedup.minhashSignaturesWide(Dedup.shingles(docs, 3), 64))
+    bands.write.parquet(idx)
+    Dedup.deleteFromLshIndex(idx, Seq(2L).toDF("doc_id"))
+    // masked immediately: reads never see the tombstoned doc
+    assert(!Dedup.readLshIndex(spark, idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).contains(2L))
+    // tombstones survive as a side-list until compaction
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".deletes")))
+    // an append that trips maxFiles applies tombstones PHYSICALLY and
+    // clears the side-list
+    Dedup.appendToLshIndex(idx,
+      Dedup.lshBandRows(Dedup.minhashSignaturesWide(
+        Dedup.shingles(Seq((5L, "p q r s t u")).toDF("doc_id", "text"), 3), 64)),
+      maxFiles = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".deletes")),
+      "compaction must clear applied tombstones")
+    val raw = spark.read.parquet(idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 3L, 5L), s"physical rows after compaction: $raw")
+    // re-deleting an already-gone doc is a harmless no-op (idempotence)
+    Dedup.deleteFromLshIndex(idx, Seq(2L).toDF("doc_id"))
+    assert(Dedup.readLshIndex(spark, idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+  }
+
+  test("IVF targeted deletion rewrites only the touched cluster partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel-spec").toString + "/index"
+    val emb = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)), (2L, 0L, Seq(0.9f, 0.1f)),
+      (3L, 1L, Seq(0.0f, 1.0f)), (4L, 1L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "label", "embedding")
+    graft.llm.Ann.writeIvfIndex(emb, clusterCol = "label", dir = dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(c: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/corpus/cluster=$c"))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+    val beforeC1 = partFiles(1L)
+    val n = graft.llm.Ann.deleteFromIvfIndex(spark, dir,
+      Seq(2L).toDF("vec_id"))
+    assert(n == 1, s"vec 2 lives in one cluster; rewrote $n partitions")
+    // untouched cluster's files are byte-for-byte the same objects
+    assert(partFiles(1L) == beforeC1, "untouched partition was rewritten")
+    // the deleted vector is gone from the layout and from the probe
+    val left = spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 3L, 4L))
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("qid", "qe")
+    val probed = graft.llm.Ann.ivfTopKPruned(q, dir, k = 3, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!probed.contains(2L), s"probe returned a deleted vector: $probed")
+    // centroids are NOT retrained by deletion
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")))
+  }
+
   test("maxShingleDf skew guard drops stop-shingles but keeps rare-shingle pairs") {
     import spark.implicits._
     // "a b c" appears in EVERY doc (a stop-shingle); docs 1/2 also share the
