@@ -147,6 +147,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")))
   }
 
+  test("a crashed IVF delete swap self-heals through the shared compaction machinery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel-crash").toString + "/index"
+    val emb = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)), (2L, 0L, Seq(0.9f, 0.1f)),
+      (3L, 1L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    graft.llm.Ann.writeIvfIndex(emb, clusterCol = "label", dir = dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a delete that crashed between aside-rename and swap-in: the
+    // partition is GONE, the pre-delete copy sits at the aside name the
+    // deletion shares with compaction
+    val part = new org.apache.hadoop.fs.Path(s"$dir/corpus/cluster=0")
+    val aside = new org.apache.hadoop.fs.Path(dir, ".old-cluster=0")
+    require(fs.rename(part, aside))
+    assert(!fs.exists(part))
+    // the next maintenance pass (compaction's self-heal sweep) restores it
+    graft.llm.Ann.compactIvfIndex(spark, dir, maxFilesPerCluster = 16)
+    assert(fs.exists(part), "crashed delete swap was not healed")
+    spark.catalog.refreshByPath(s"$dir/corpus")
+    val ids = spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"healed layout lost rows: $ids")
+    // and a RE-ISSUED delete completes normally after the heal
+    assert(graft.llm.Ann.deleteFromIvfIndex(spark, dir,
+      Seq(2L).toDF("vec_id")) == 1)
+    val after = spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L))
+  }
+
   test("maxShingleDf skew guard drops stop-shingles but keeps rare-shingle pairs") {
     import spark.implicits._
     // "a b c" appears in EVERY doc (a stop-shingle); docs 1/2 also share the
