@@ -1014,6 +1014,26 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // TARGETED DELETION from the persisted SRP signature index —
+    // right-to-be-forgotten must hit EVERY persisted projection of a
+    // vector, and the signature table is one: the flat layout reuses the
+    // band index's LSM tombstones (deleteFromLshIndex keyed on vec_id,
+    // O(request) now, physical at the next compaction), and the probe
+    // over the masked index may never surface a deleted id as a candidate
+    "llm_ann_srp_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = srpBits(s, dir)
+      val idx = scratchDir("graft-srp-del") + "/index"
+      Ann.srpSignatures(emb, tables = 16, bits)
+        .write.mode("overwrite").parquet(idx)
+      Dedup.deleteFromLshIndex(idx,
+        emb.filter(col("vec_id") % 4 === 2).select("vec_id"),
+        keyCol = "vec_id")
+      Ann.srpProbe(emb, Dedup.readLshIndex(s, idx), queryMaxId = 5, k = 10,
+          tables = 16, bits = bits)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // embedding-cosine near-dup: sign-LSH bucket join with a CORPUS-
     // PROPORTIONAL bucket space (bits grows with log n, buckets hold ~256
     // vectors at any scale — pair work ~n·256, never n²/2^const; same
@@ -1296,6 +1316,26 @@ object SparkEntry {
       Pq.writeIvfAdcIndex(emb.filter(col("vec_id") % 5 =!= 4),
         clusterCol = "label", dir = idx, m = 4, subDim = 16, k = 4)
       Pq.appendToIvfAdcIndex(emb.filter(col("vec_id") % 5 === 4), idx)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Pq.ivfAdcTopKFromIndex(q, idx, topK = 10, nprobe = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // TARGETED DELETION from the IVFADC CODES layout — the PQ codes are a
+    // persisted (lossy) projection of each vector, so right-to-be-
+    // forgotten must rewrite them too: surgical rewrite of only the
+    // touched cluster partitions (the IVF delete's shared body), codebooks
+    // /centroids/ledger untouched, and the ADC probe may never rank a
+    // deleted vector again
+    "llm_ann_ivfadc_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-adcdel")
+      Pq.writeIvfAdcIndex(emb, clusterCol = "label", dir = idx,
+        m = 4, subDim = 16, k = 4)
+      Pq.deleteFromIvfAdcIndex(s, idx,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Pq.ivfAdcTopKFromIndex(q, idx, topK = 10, nprobe = 1)
@@ -1728,12 +1768,18 @@ object SparkEntry {
           val dups = Dedup.incrementalNearDups(bands,
               Dedup.readLshIndex(s, idxDir), sh, threshold = 0.5)
             .localCheckpoint()
-          dups.withColumn("batch", lit(bid + 1))
-            .write.mode("append").parquet(sink)
+          // every side-effect below is batch-id-ledgered (SideIndexLedger):
+          // foreachBatch is at-least-once, and a replayed micro-batch must
+          // neither duplicate sink rows nor re-append the survivors
+          graft.streaming.SideIndexLedger.publishOnce(
+            s, sink + ".ledger", sink, bid) { staging =>
+            dups.withColumn("batch", lit(bid + 1))
+              .write.mode("overwrite").parquet(staging)
+          }
           val surv = bands.join(
             dups.select(col("crawl_doc").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-          Dedup.appendToLshIndex(idxDir, surv, maxFiles = 2)
+          Dedup.appendToLshIndexOnce(idxDir, surv, bid, maxFiles = 2)
           // free BOTH per-trigger checkpoints — a standing crawl otherwise
           // leaks one cached RDD per micro-batch for the session lifetime
           Dedup.freeLocalCheckpoint(bands)
@@ -1770,17 +1816,26 @@ object SparkEntry {
         .writeStream
         .option("checkpointLocation", scratchDir("graft-sann-ck"))
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          Pq.appendToIvfAdcIndex(batch, idx)
+          // batch-id-ledgered side-effects (SideIndexLedger): foreachBatch
+          // is at-least-once, and a replayed micro-batch must not duplicate
+          // index rows, double-advance the drift ledger, or re-emit the
+          // probe rows — the exact replay hazard the MOR event path's
+          // TransactionalSnapshotStore already guards (r14 ask #1)
+          Pq.appendToIvfAdcIndexOnce(batch, idx, bid)
           Pq.compactIvfAdcIndex(s, idx, maxFilesPerCluster = 2)
           val meta = Ann.ivfIndexMeta(s, idx).get
           val qs = emb.filter(col("vec_id") < 5)
             .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          Pq.ivfAdcTopKFromIndex(qs, idx, topK = 10, nprobe = 1)
-            .withColumn("batch", lit(bid + 1))
-            .withColumn("appended_rows", lit(meta.appendedRows))
-            .withColumn("gate",
-              lit(if (Ann.needsIvfRebuild(s, idx, threshold = 0.6)) 1L else 0L))
-            .write.mode("append").parquet(sink)
+          graft.streaming.SideIndexLedger.publishOnce(
+            s, sink + ".ledger", sink, bid) { staging =>
+            Pq.ivfAdcTopKFromIndex(qs, idx, topK = 10, nprobe = 1)
+              .withColumn("batch", lit(bid + 1))
+              .withColumn("appended_rows", lit(meta.appendedRows))
+              .withColumn("gate",
+                lit(if (Ann.needsIvfRebuild(s, idx, threshold = 0.6)) 1L else 0L))
+              .write.mode("overwrite").parquet(staging)
+          }
+          ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -1913,11 +1968,19 @@ object SparkEntry {
           // scrub both consume the batch; checkpointing also satisfies the
           // append contract (results pinned before the layout mutates)
           val b = batch.localCheckpoint()
-          TextStats.appendToBoilerplateDict(dictDir,
-            TextStats.boilerplateDictRows(b, chunkToks = 4), maxFiles = 4)
-          TextStats.scrubWithDict(b, s, dictDir, chunkToks = 4, maxDocs = 2)
-            .withColumn("batch", lit(bid + 1))
-            .write.mode("append").parquet(sink)
+          // batch-id-ledgered side-effects: a replayed micro-batch must not
+          // double-count the dictionary's digest partials (over-counted
+          // partials over-scrub documents) nor duplicate sink rows — the
+          // contract appendToBoilerplateDict's doc states, ENFORCED here
+          // through SideIndexLedger (r14 ask #1)
+          TextStats.appendToBoilerplateDictOnce(dictDir,
+            TextStats.boilerplateDictRows(b, chunkToks = 4), bid, maxFiles = 4)
+          graft.streaming.SideIndexLedger.publishOnce(
+            s, sink + ".ledger", sink, bid) { staging =>
+            TextStats.scrubWithDict(b, s, dictDir, chunkToks = 4, maxDocs = 2)
+              .withColumn("batch", lit(bid + 1))
+              .write.mode("overwrite").parquet(staging)
+          }
           Dedup.freeLocalCheckpoint(b)
           ()
         }
@@ -3145,7 +3208,13 @@ object SparkEntry {
     * `ranked(qid, vec_id, cos, rank, n_cand)`; shared by the llm_ann_srp
     * and llm_ann_srp_recall oracles.
     */
-  private lazy val SRP_CTE: String =
+  private lazy val SRP_CTE: String = srpCteWhere("TRUE")
+
+  /** [[SRP_CTE]] with a corpus-side candidate predicate — the deletion
+    * oracle replays the identical probe over the index minus the
+    * tombstoned ids (`llm_ann_srp_delete`); `TRUE` recovers the full CTE.
+    */
+  private def srpCteWhere(corpusPred: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |bb AS (SELECT CAST(LEAST(16, GREATEST(4,
        |         CASE WHEN (count(*) + 255) // 256 <= 1 THEN 0
@@ -3161,7 +3230,8 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS vec_id
        |  FROM sig cs JOIN sig qs ON cs.t = qs.t AND cs.bucket = qs.bucket
-       |  WHERE qs.vec_id < 5 AND cs.vec_id <> qs.vec_id),
+       |  WHERE qs.vec_id < 5 AND cs.vec_id <> qs.vec_id
+       |    AND ($corpusPred)),
        |scored AS (
        |  SELECT c.qid, c.vec_id, ${COS("qe.emb", "ce.emb")} AS cos
        |  FROM cand c JOIN e ce ON ce.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.qid),
@@ -4395,6 +4465,14 @@ object SparkEntry {
          |SELECT qid, vec_id, cos, rank, n_cand
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
+    // identical SRP replay with the tombstoned ids excluded from the
+    // corpus side of the candidate join — a masked row that still surfaced
+    // as a candidate (or a surviving row that vanished) breaks the hash
+    "llm_ann_srp_delete" ->
+      s"""WITH ${srpCteWhere("cs.vec_id % 4 <> 2")}
+         |SELECT qid, vec_id, cos, rank, n_cand
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "llm_ann_srp_recall" ->
       s"""WITH $SRP_CTE,
          |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
@@ -5359,6 +5437,42 @@ object SparkEntry {
          |  FROM merged mg
          |  JOIN probe p ON mg.cluster = p.probe_cluster AND mg.vec_id != p.qid
          |  JOIN rv ON rv.vec_id = mg.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(probe_cluster AS BIGINT) AS probe_cluster, vec_id, adc, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // full-corpus ADC replay with the deleted ids excluded from the scored
+    // set: codebooks/centroids trained on the FULL corpus (deletion leaves
+    // the trained geometry untouched — only row membership changes), so a
+    // deleted vector still ranked (codes not rewritten) or a surviving one
+    // lost (over-rewrite) breaks the hash
+    "llm_ann_ivfadc_delete" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$PQ_BODY,
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+         |cx AS (
+         |  SELECT label AS cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+         |  FROM e),
+         |cm AS (SELECT cluster, pos, avg(x) AS m FROM cx GROUP BY 1, 2),
+         |cents AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+         |probe0 AS (
+         |  SELECT qid, qe, cluster, ${COS("qe", "centroid")} AS ccos
+         |  FROM q, cents),
+         |probe AS (
+         |  SELECT qid, qe, cluster AS probe_cluster
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cluster) AS crank
+         |        FROM probe0)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT p.qid, p.probe_cluster, ee.vec_id,
+         |    round(list_distance(p.qe, rv.rvec), 6) AS adc
+         |  FROM e ee
+         |  JOIN probe p ON CAST(ee.label AS BIGINT) = CAST(p.probe_cluster AS BIGINT)
+         |    AND ee.vec_id != p.qid
+         |  JOIN rv ON rv.vec_id = ee.vec_id
+         |  WHERE ee.vec_id % 10 <> 3),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
          |  FROM scored)

@@ -243,7 +243,28 @@ object Ann {
     * `ivf_drift` smoke probe rather than guessed.
     */
   def appendToIvfIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    appendIvf(newVectors, indexDir, batchId = None); ()
+  }
+
+  /** [[appendToIvfIndex]] with batch-id replay protection — the form a
+    * `foreachBatch` caller MUST use (at-least-once delivery: a replayed
+    * micro-batch through the raw append duplicates corpus rows — duplicate
+    * top-k candidates — and double-advances the drift ledger). Publishes
+    * the assigned batch through [[graft.streaming.SideIndexLedger]]
+    * (`<indexDir>.ledger`): a committed `batchId` returns without touching
+    * storage or the ledger meta; a crashed half-publish is swept and
+    * redone. Returns true iff this call published.
+    */
+  def appendToIvfIndexOnce(newVectors: DataFrame, indexDir: String,
+                           batchId: Long): Boolean =
+    appendIvf(newVectors, indexDir, Some(batchId))
+
+  private def appendIvf(newVectors: DataFrame, indexDir: String,
+                        batchId: Option[Long]): Boolean = {
     val spark = newVectors.sparkSession
+    val ledger = indexDir + ".ledger"
+    if (batchId.exists(graft.streaming.SideIndexLedger.committed(spark, ledger, _)))
+      return false
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val e = asDouble(newVectors, "embedding")
     val assigned = e.join(broadcast(cents), lit(true))
@@ -253,16 +274,27 @@ object Ann {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
       .cache() // written AND counted for the ledger — one assignment pass
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+    batchId match {
+      case None =>
+        assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+      case Some(bid) =>
+        graft.streaming.SideIndexLedger.publishOnce(spark, ledger,
+          s"$indexDir/corpus", bid) { staging =>
+          assigned.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+        }
+    }
     // advance the drift ledger (O(batch) count). Crash honesty: dying
     // between the corpus append and this write under-counts drift by that
     // one batch — the ledger schedules rebuilds, it is not a correctness
-    // surface, and the probe/query results never depend on it being exact
+    // surface, and the probe/query results never depend on it being exact.
+    // (On a replayed batch the ledger skip above means the meta is never
+    // advanced twice — the replay-inflated drift the r14 verdict flagged.)
     ivfIndexMeta(spark, indexDir).foreach { m =>
       writeIvfMeta(spark, indexDir,
         m.copy(appendedRows = m.appendedRows + assigned.count()))
     }
     assigned.unpersist()
+    true
   }
 
   /** Bounded PARTITION-LOCAL compaction of an IVF layout: each
@@ -301,9 +333,20 @@ object Ann {
     * Returns the number of partitions rewritten.
     */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String, ids: DataFrame): Int = {
+                         indexDir: String, ids: DataFrame): Int =
+    deleteFromClusterData(spark, indexDir, "corpus", ids)
+
+  /** The deletion body shared by the full-vector layout (`corpus/`, via
+    * [[deleteFromIvfIndex]]) and the IVFADC codes layout (`codes/`, via
+    * [[Pq.deleteFromIvfAdcIndex]]) — right-to-be-forgotten must reach
+    * EVERY persisted projection of a vector, and both layouts share the
+    * cluster-partitioned shape, so they share one surgical rewrite.
+    */
+  private[llm] def deleteFromClusterData(spark: org.apache.spark.sql.SparkSession,
+                                         indexDir: String, sub: String,
+                                         ids: DataFrame): Int = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
-    val corpusPath = s"$indexDir/corpus"
+    val corpusPath = s"$indexDir/$sub"
     val idSet = bcast(ids.select(col("vec_id")).distinct())
     // partition discovery may type `cluster` as int or long depending on
     // the directory values — normalize before the bounded collect

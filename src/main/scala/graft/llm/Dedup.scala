@@ -762,79 +762,274 @@ object Dedup {
     * are same-sized, so the plan here keeps the neutral keyed join.
     * Output: (crawl_doc, corpus_doc, jaccard).
     */
+  /** Total bytes of data files under `dir` (0 when absent) — the job-free
+    * size bound the broadcast guards use: file lengths come from the
+    * filesystem listing, so deciding broadcast-vs-shuffle costs no Spark
+    * job and no second execution of whatever produced the frame.
+    */
+  private[graft] def dirBytes(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else {
+      val it = fs.listFiles(path, true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+      }
+      bytes
+    }
+  }
+
+  /** Broadcast `df` only when `bytes` (a KNOWN on-disk bound for its
+    * contents) fits the session's broadcast threshold; above it — or when
+    * the user disabled broadcasting (threshold <= 0) — return the frame
+    * unhinted so the join degrades to a shuffle instead of an OOM'd
+    * broadcast build (r14: the hot-set and tombstone masks forced
+    * `broadcast(...)` unconditionally on a documented-but-unenforced
+    * smallness assumption).
+    */
+  private[graft] def maybeBroadcast(df: DataFrame, bytes: Long): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && bytes <= thr) broadcast(df)
+    else {
+      log.info(s"mask/hot-set of $bytes bytes exceeds broadcast threshold " +
+        s"$thr — joining without a broadcast hint (graceful shuffle fallback)")
+      df
+    }
+  }
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Count data files (non-hidden, non-marker) directly under `path`. The
+    * compaction trigger counts THESE, not just `part-*`: ledger-published
+    * appends land as `b<batchId>-part-*` ([[appendToLshIndexOnce]]) and
+    * fragment the layout exactly like plain appends do.
+    */
+  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  private def deletesPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir + ".deletes")
+
+  /** Self-heal an interrupted tombstone-set rewrite ([[clearTombstonesFor]]
+    * swaps `.deletes` through a tmp/aside dance like the index compaction
+    * does). Direction matters: roll FORWARD to a COMPLETE `.deletes.tmp`
+    * (job-committed, `_SUCCESS` present) when the crash landed between the
+    * two renames — the tmp is the newer state, and rolling back would
+    * resurrect tombstones for ids a completed append already re-introduced
+    * (silent loss of the re-add); only without a complete tmp does the
+    * `.old` aside roll back.
+    */
+  private def healDeletes(fs: org.apache.hadoop.fs.FileSystem,
+                          indexDir: String): Unit = {
+    val del = deletesPath(indexDir)
+    if (fs.exists(del)) return
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".deletes.tmp")
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".deletes.old")
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, del), s"tombstone self-heal failed: $tmp -> $del")
+      fs.delete(old, true)
+      log.warn(s"self-healed interrupted tombstone rewrite for $indexDir " +
+        "(rolled forward to the completed .deletes.tmp)")
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, del), s"tombstone self-heal failed: $old -> $del")
+      fs.delete(tmp, true)
+      log.warn(s"self-healed interrupted tombstone rewrite for $indexDir " +
+        "(rolled back to the .deletes.old aside)")
+    }
+  }
+
+  /** LSM sequencing for re-added ids (r14 advice): tombstones here are NOT
+    * sequence-ordered, so band rows appended for an id AFTER
+    * [[deleteFromLshIndex]] would be masked by the still-pending tombstone
+    * and physically dropped at the next compaction — re-ingesting a
+    * previously deleted document would silently lose it. Every append
+    * therefore first CLEARS pending tombstones matching the incoming
+    * batch's ids: rewrite `.deletes` minus the batch (O(mask) + O(batch)
+    * work, only when a mask exists at all), swapped through tmp/aside with
+    * [[healDeletes]] covering a crash at any point. Clearing runs BEFORE
+    * the rows land, so the worst crash outcome is "tombstone cleared, rows
+    * not yet visible" — the at-least-once retry re-appends; never a lost
+    * re-add.
+    *
+    * Stated honestly: tombstones are per-id, not per-epoch, so the clear
+    * also unmasks the id's EARLIER index rows (the ones the tombstone was
+    * deleting). For the probe pipelines this is benign — candidate pairs
+    * are `distinct()`-ed and then EXACT-verified against the current
+    * shingle/vector tables, so stale band rows cost extra candidates,
+    * never wrong answers. A caller that needs clean replacement (changed
+    * content under the same id) should delete → [[compactLshIndex]] →
+    * re-append; full per-epoch LSM sequencing isn't worth a seq column on
+    * every index row here.
+    */
+  private def clearTombstonesFor(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, batch: DataFrame): Unit = {
+    val fs = indexFs(spark, indexDir)
+    healDeletes(fs, indexDir)
+    val del = deletesPath(indexDir)
+    if (!fs.exists(del)) return
+    val delDf = spark.read.parquet(del.toString)
+    val keys = delDf.columns.toSeq
+    if (!keys.forall(batch.columns.contains)) return
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".deletes.tmp")
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".deletes.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    delDf.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (spark.read.parquet(tmp.toString).isEmpty) {
+      // the batch re-introduced every pending id — drop the mask entirely
+      fs.delete(del, true)
+      fs.delete(tmp, true)
+    } else {
+      require(fs.rename(del, old), s"tombstone aside-rename failed for $indexDir")
+      require(fs.rename(tmp, del), s"tombstone swap failed for $indexDir " +
+        s"(previous tombstones preserved at $old)")
+      fs.delete(old, true)
+    }
+    spark.catalog.refreshByPath(del.toString)
+  }
+
   /** Maintain a persisted banded-LSH index ([[lshBandRows]] written as a
     * parquet directory): APPEND a batch's band rows (the deduped survivors
     * of the batch — duplicates must not enter the index, or every later
     * batch re-matches them), then COMPACT when the append history has
-    * fragmented the layout past `maxFiles` part files — consolidated
-    * rewrite to a side directory, then an atomic-as-the-filesystem-allows
-    * swap. This is the index's own lifecycle next to the probe
-    * ([[incrementalNearDups]]): a dedup campaign's index takes one
-    * append per crawl batch forever, and an append-only layout degrades
-    * scans with O(batches) small files.
+    * fragmented the layout past `maxFiles` part files
+    * ([[compactLshIndex]]). Appends also clear pending tombstones for ids
+    * the batch re-introduces ([[clearTombstonesFor]] — LSM sequencing).
     *
     * The caller must MATERIALIZE any result computed against the
     * pre-append index before calling this (plans are lazy; compaction
     * deletes the files a lazy plan would read), and re-`read.parquet` the
     * directory afterwards to see the appended rows — file listings are
-    * pinned at DataFrame creation.
+    * pinned at DataFrame creation. When tombstones are pending, `bands` is
+    * consumed twice (tombstone clear + append) — a `foreachBatch` caller
+    * already holds it checkpointed per the same contract.
+    *
+    * This raw append is AT-LEAST-ONCE: a caller that may redeliver the
+    * same batch (foreachBatch replay after a crash) must use
+    * [[appendToLshIndexOnce]] instead, or duplicates enter the index.
     */
   def appendToLshIndex(indexDir: String, bands: DataFrame,
                        maxFiles: Int = 64): Unit = {
-    bands.write.mode("append").parquet(indexDir)
     val spark = bands.sparkSession
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nParts = fs.listStatus(path)
-      .count(_.getPath.getName.startsWith("part-"))
-    if (nParts > maxFiles) {
-      val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
-      // compact THROUGH the tombstone mask: pending deletes
-      // ([[deleteFromLshIndex]]) are applied physically here, then cleared
-      // after the swap (idempotent if a crash re-applies them)
-      val del = new org.apache.hadoop.fs.Path(indexDir + ".deletes")
-      val masked =
-        if (fs.exists(del))
-          spark.read.parquet(indexDir).join(
-            broadcast(spark.read.parquet(del.toString).distinct()),
-            Seq("doc_id"), "left_anti")
-        else spark.read.parquet(indexDir)
-      masked
-        .coalesce(math.max(1, maxFiles / 2))
-        .write.mode("overwrite").parquet(tmp.toString)
-      // rename-aside → rename-in → delete-aside, NOT delete-then-rename: a
-      // crash at any point loses NO data (both full copies exist on disk
-      // until the final delete-aside). Stated honestly: between the two
-      // renames the published path briefly does not exist — a reader
-      // listing it in that window (or after a crash inside it) misses; that
-      // is what [[readLshIndex]]'s `.old` fallback covers, turning both the
-      // window and the crashed-swap state into a self-healing read instead
-      // of a 404.
-      val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-      fs.delete(old, true) // clear any leftover from a prior crashed swap
-      require(fs.rename(path, old), s"compaction aside-rename failed for $indexDir")
-      require(fs.rename(tmp, path), s"compaction swap failed for $indexDir " +
-        s"(previous index preserved at $old)")
-      fs.delete(old, true)
-      // tombstones are now physically applied; clearing AFTER the swap is
-      // the crash-safe order (a crash here leaves redundant tombstones
-      // whose re-application is a no-op, never a resurrection)
-      fs.delete(del, true)
-      log.info(s"compacted LSH index $indexDir: $nParts part files -> " +
-        s"${math.max(1, maxFiles / 2)}")
-    }
+    clearTombstonesFor(spark, indexDir, bands)
+    bands.write.mode("append").parquet(indexDir)
+    maybeCompact(spark, indexDir, maxFiles)
     // the session's shared FileStatusCache pins path listings forever by
     // default — without this, a reader created after the append/compact
     // still resolves the PRE-mutation file set and dies on the deleted parts
     spark.catalog.refreshByPath(indexDir)
   }
 
+  /** [[appendToLshIndex]] with batch-id replay protection — the EXACTLY-
+    * ONCE append a `foreachBatch` caller needs (at-least-once delivery:
+    * a driver crash between the side-effect and the streaming checkpoint
+    * commit redelivers the batch). The publish routes through
+    * [[graft.streaming.SideIndexLedger]]: a committed `batchId` returns
+    * without touching storage, a crashed half-publish is swept and redone
+    * byte-identically. Returns true iff this call published. Same
+    * reference contract as the MOR snapshot's batch-id ledger
+    * (ack-after-processing, `update_manager.py:442–457`).
+    */
+  def appendToLshIndexOnce(indexDir: String, bands: DataFrame, batchId: Long,
+                           maxFiles: Int = 64): Boolean = {
+    val spark = bands.sparkSession
+    val ledger = indexDir + ".ledger"
+    if (graft.streaming.SideIndexLedger.committed(spark, ledger, batchId))
+      return false
+    clearTombstonesFor(spark, indexDir, bands)
+    val published = graft.streaming.SideIndexLedger
+      .publishOnce(spark, ledger, indexDir, batchId) { staging =>
+        bands.write.mode("overwrite").parquet(staging)
+      }
+    if (published) maybeCompact(spark, indexDir, maxFiles)
+    spark.catalog.refreshByPath(indexDir)
+    published
+  }
+
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, maxFiles: Int): Unit = {
+    val nParts = dataFileCount(indexFs(spark, indexDir),
+      new org.apache.hadoop.fs.Path(indexDir))
+    if (nParts > maxFiles)
+      compactLshIndex(spark, indexDir, math.max(1, maxFiles / 2))
+  }
+
+  /** Consolidate a fragmented banded-index layout NOW: rewrite to
+    * `targetFiles` part files THROUGH the tombstone mask — pending deletes
+    * ([[deleteFromLshIndex]]) are applied physically here, then cleared
+    * after the swap (idempotent if a crash re-applies them). Standalone
+    * (not only inside the append path) so tombstone GC can fire WITHOUT
+    * append pressure: a delete-heavy, append-quiet index would otherwise
+    * re-read and re-apply an ever-growing `.deletes` mask forever (r14
+    * gap #3).
+    *
+    * Swap: rename-aside -> rename-in -> delete-aside, NOT
+    * delete-then-rename — a crash at any point loses NO data (both full
+    * copies exist on disk until the final delete-aside). Stated honestly:
+    * between the two renames the published path briefly does not exist —
+    * a reader listing it in that window (or after a crash inside it)
+    * misses; that is what [[readLshIndex]]'s `.old` fallback covers,
+    * turning both the window and the crashed-swap state into a
+    * self-healing read instead of a 404.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, targetFiles: Int = 32): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexFs(spark, indexDir)
+    healDeletes(fs, indexDir)
+    val nParts = dataFileCount(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact")
+    val del = deletesPath(indexDir)
+    val masked =
+      if (fs.exists(del)) {
+        val delDf = spark.read.parquet(del.toString).distinct()
+        val keys = delDf.columns.toSeq
+        spark.read.parquet(indexDir).join(
+          maybeBroadcast(delDf, dirBytes(spark, del.toString)),
+          keys, "left_anti")
+      } else spark.read.parquet(indexDir)
+    masked
+      .coalesce(math.max(1, targetFiles))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(path, old), s"compaction aside-rename failed for $indexDir")
+    require(fs.rename(tmp, path), s"compaction swap failed for $indexDir " +
+      s"(previous index preserved at $old)")
+    fs.delete(old, true)
+    // tombstones are now physically applied; clearing AFTER the swap is
+    // the crash-safe order (a crash here leaves redundant tombstones
+    // whose re-application is a no-op, never a resurrection)
+    fs.delete(del, true)
+    log.info(s"compacted LSH index $indexDir: $nParts part files -> " +
+      s"${math.max(1, targetFiles)}")
+    spark.catalog.refreshByPath(indexDir)
+  }
+
   /** Read a persisted banded-LSH index directory, SELF-HEALING a crashed
-    * [[appendToLshIndex]] compaction swap: if the published path is missing
-    * but the `.old` aside from an interrupted rename-aside → rename-in
-    * sequence exists, the aside is renamed back into place before reading —
-    * so a crash inside the swap window degrades to "the compaction didn't
-    * happen" instead of an unreadable index needing manual recovery.
+    * [[compactLshIndex]] swap: if the published path is missing but the
+    * `.old` aside from an interrupted rename-aside -> rename-in sequence
+    * exists, the aside is renamed back into place before reading — so a
+    * crash inside the swap window degrades to "the compaction didn't
+    * happen" instead of an unreadable index needing manual recovery. The
+    * tombstone mask joins on the DELETES' OWN columns (doc_id for the
+    * band index, vec_id for an SRP signature index — [[deleteFromLshIndex]]
+    * records whatever key the caller deletes by), and is broadcast only
+    * while its on-disk bytes fit the session threshold
+    * ([[maybeBroadcast]]).
     */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): DataFrame = {
@@ -850,31 +1045,56 @@ object Dedup {
         spark.catalog.refreshByPath(indexDir)
       }
     }
+    healDeletes(fs, indexDir)
     val raw = spark.read.parquet(indexDir)
-    // tombstone mask: deleted doc_ids filter out of every read until the
-    // next compaction applies them physically ([[deleteFromLshIndex]])
-    val del = new org.apache.hadoop.fs.Path(indexDir + ".deletes")
-    if (fs.exists(del))
-      raw.join(broadcast(spark.read.parquet(del.toString).distinct()),
-        Seq("doc_id"), "left_anti")
-    else raw
+    // tombstone mask: deleted ids filter out of every read until the next
+    // compaction applies them physically ([[deleteFromLshIndex]])
+    val del = deletesPath(indexDir)
+    if (fs.exists(del)) {
+      val delDf = spark.read.parquet(del.toString).distinct()
+      raw.join(maybeBroadcast(delDf, dirBytes(spark, del.toString)),
+        delDf.columns.toSeq, "left_anti")
+    } else raw
   }
 
   /** TARGETED DELETION from the flat band index — LSM-style tombstones,
     * the right shape for an UNPARTITIONED index where a physical rewrite
-    * would be O(index) per request: the deleted doc_ids append to a
-    * side-list (`<indexDir>.deletes`, O(|request|) now), every
-    * [[readLshIndex]] masks them with a broadcast anti-join, and the next
-    * [[appendToLshIndex]] compaction applies them PHYSICALLY and clears
-    * the list — clearing after the swap is crash-safe because re-applying
-    * a tombstone to an already-filtered index is a no-op (idempotent
-    * doc_id filter). Contrast [[Ann.deleteFromIvfIndex]]: the partitioned
-    * layout makes immediate surgical rewrite cheap there; here deferral
-    * to the compaction the index already schedules is the bounded path.
+    * would be O(index) per request: the deleted ids append to a side-list
+    * (`<indexDir>.deletes`, O(|request|) now), every [[readLshIndex]]
+    * masks them with a size-guarded anti-join, and the next compaction
+    * applies them PHYSICALLY and clears the list — clearing after the
+    * swap is crash-safe because re-applying a tombstone to an
+    * already-filtered index is a no-op (idempotent id filter). Contrast
+    * [[Ann.deleteFromIvfIndex]]: the partitioned layout makes immediate
+    * surgical rewrite cheap there; here deferral to a scheduled compaction
+    * is the bounded path.
+    *
+    * `keyCol` names the id column (doc_id for the band index, vec_id for
+    * an SRP signature index) — the mask joins on the recorded column, so
+    * one tombstone mechanism serves every flat side-index layout.
+    *
+    * Tombstone GC decoupled from append pressure (r14 gap #3): when the
+    * mask itself fragments past `gcMaxDeleteFiles` part files, a
+    * compaction fires HERE — so N delete calls with zero appends still
+    * converge to an empty `.deletes` instead of re-broadcasting an
+    * ever-growing mask on every read. (The ordinary path remains "applied
+    * at the next append-triggered compaction"; this is the backstop for
+    * delete-heavy, append-quiet indexes.)
     */
-  def deleteFromLshIndex(indexDir: String, docIds: DataFrame): Unit =
-    docIds.select(col("doc_id")).distinct()
+  def deleteFromLshIndex(indexDir: String, docIds: DataFrame,
+                         keyCol: String = "doc_id",
+                         gcMaxDeleteFiles: Int = 8): Unit = {
+    val spark = docIds.sparkSession
+    val fs = indexFs(spark, indexDir)
+    healDeletes(fs, indexDir)
+    docIds.select(col(keyCol)).distinct()
       .write.mode("append").parquet(indexDir + ".deletes")
+    spark.catalog.refreshByPath(indexDir + ".deletes")
+    if (dataFileCount(fs, deletesPath(indexDir)) > gcMaxDeleteFiles) {
+      val nIndex = dataFileCount(fs, new org.apache.hadoop.fs.Path(indexDir))
+      compactLshIndex(spark, indexDir, math.max(1, math.min(32, nIndex)))
+    }
+  }
 
   def incrementalNearDups(crawlBands: DataFrame, indexBands: DataFrame,
                           sh: DataFrame, threshold: Double = 0.5): DataFrame = {

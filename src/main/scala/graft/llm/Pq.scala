@@ -276,8 +276,30 @@ object Pq {
     * cannot desync the geometry.
     */
   def appendToIvfAdcIndex(newVectors: DataFrame, indexDir: String): Unit = {
+    appendIvfAdc(newVectors, indexDir, batchId = None); ()
+  }
+
+  /** [[appendToIvfAdcIndex]] with batch-id replay protection — the form a
+    * `foreachBatch` caller MUST use (at-least-once delivery: a replayed
+    * micro-batch through the raw append duplicates code rows — duplicate
+    * top-k candidates — and double-advances the drift ledger). Publishes
+    * through [[graft.streaming.SideIndexLedger]] (`<indexDir>.ledger`):
+    * a committed `batchId` is a metadata-only no-op, a crashed
+    * half-publish is swept and redone. Returns true iff this call
+    * published. Same reference contract as the MOR snapshot's batch-id
+    * ledger (ack-after-processing, `update_manager.py:442–457`).
+    */
+  def appendToIvfAdcIndexOnce(newVectors: DataFrame, indexDir: String,
+                              batchId: Long): Boolean =
+    appendIvfAdc(newVectors, indexDir, Some(batchId))
+
+  private def appendIvfAdc(newVectors: DataFrame, indexDir: String,
+                           batchId: Option[Long]): Boolean = {
     val spark = newVectors.sparkSession
     graft.GraftExtensions.register(spark)
+    val ledger = indexDir + ".ledger"
+    if (batchId.exists(graft.streaming.SideIndexLedger.committed(spark, ledger, _)))
+      return false
     val e = asDouble(newVectors, "embedding")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
@@ -296,15 +318,26 @@ object Pq {
         .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
           x => x.getField("code")).as("codes")), Seq("vec_id"))
       .cache() // written AND counted for the ledger — one assignment pass
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
+    batchId match {
+      case None =>
+        assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
+      case Some(bid) =>
+        graft.streaming.SideIndexLedger.publishOnce(spark, ledger,
+          s"$indexDir/codes", bid) { staging =>
+          assigned.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+        }
+    }
     // same crash-honesty contract as Ann.appendToIvfIndex: dying between the
     // codes append and this write under-counts drift by one batch; the
-    // ledger schedules rebuilds, it is not a correctness surface
+    // ledger schedules rebuilds, it is not a correctness surface. (On a
+    // replayed batch the ledger skip above keeps the meta from advancing
+    // twice — the replay-inflated drift the r14 verdict flagged.)
     Ann.ivfIndexMeta(spark, indexDir).foreach { meta =>
       Ann.writeIvfMeta(spark, indexDir,
         meta.copy(appendedRows = meta.appendedRows + assigned.count()))
     }
     assigned.unpersist()
+    true
   }
 
   /** Bounded partition-local compaction of the codes layout — the same
@@ -316,6 +349,21 @@ object Pq {
   def compactIvfAdcIndex(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, maxFilesPerCluster: Int = 16): Int =
     Ann.compactClusterData(spark, indexDir, "codes", maxFilesPerCluster)
+
+  /** TARGETED DELETION from the IVFADC codes layout — right-to-be-forgotten
+    * must hit every persisted projection of a vector, and the PQ codes ARE
+    * a (lossy) projection: deleting only the full-vector index while the
+    * codes table can still rank the vector into a top-k would not be a
+    * deletion. Same surgical shape as [[Ann.deleteFromIvfIndex]] (shared
+    * body [[Ann.deleteFromClusterData]]): rewrite ONLY the ≤|ids| cluster
+    * partitions holding deleted vec_ids via the compaction's tmp/aside
+    * swap (crash self-heal included); codebooks, centroids, and the drift
+    * ledger are deliberately untouched — they encode the trained geometry,
+    * not row membership. Returns the number of partitions rewritten.
+    */
+  def deleteFromIvfAdcIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, ids: DataFrame): Int =
+    Ann.deleteFromClusterData(spark, indexDir, "codes", ids)
 
   /** IVFADC probe AGAINST the persisted layout: route each query to its
     * `nprobe` nearest stored coarse centroids, scan ONLY those clusters'

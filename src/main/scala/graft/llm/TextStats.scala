@@ -558,7 +558,7 @@ object TextStats {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > maxDocs)
       .select(col("chunk_digest"))
-    scrubAgainstHotSet(chunks, hot)
+    scrubAgainstHotSet(chunks, hot, hotBytes = None)
   }
 
   /** The scrub's non-overlapping chunk grid: (doc_id, chunk_idx,
@@ -580,17 +580,42 @@ object TextStats {
       .withColumn("chunk_digest", md5(col("chunk_text").cast("binary")))
   }
 
+  /** Conservative bytes-per-row for a broadcast hot-set estimate: a
+    * 32-char md5 hex digest plus UnsafeRow/hash-relation overhead. */
+  private val HotRowBytes = 64L
+
   /** Scrub a chunk grid against a given hot-digest set (one
     * `chunk_digest` column). Flag-then-rebuild in ONE corpus shuffle: a
     * left_anti + re-join of the rebuilt frame onto docs would shuffle the
     * corpus twice and lose fully-scrubbed documents; flagging keeps every
     * doc's chunk rows in the single groupBy (each doc has >= 1 chunk, even
     * empty text).
+    *
+    * Broadcast guard (r14 gap #2): the hot set broadcasts only while its
+    * size fits the session threshold. `hotBytes` is the caller's KNOWN
+    * on-disk bound when the hot set comes from a persisted dictionary
+    * (job-free); with no bound the hot set is persisted once, its row
+    * count measured (the digest aggregation runs exactly once — the join
+    * reuses the persisted data, so the guard costs a count over cached
+    * rows, not a second corpus pass), and a highly templated corpus whose
+    * dictionary outgrows the threshold degrades to a shuffle join instead
+    * of an OOM'd broadcast build. The persist lives for the one-shot
+    * campaign job's lifetime (freed with the session / by the context
+    * cleaner); the per-trigger streaming path always passes a bound and
+    * never persists.
     */
-  private def scrubAgainstHotSet(chunks: DataFrame, hot: DataFrame): DataFrame = {
-    val flagged = chunks.join(
-        broadcast(hot.select(col("chunk_digest"), lit(true).as("is_hot"))),
-        Seq("chunk_digest"), "left")
+  private def scrubAgainstHotSet(chunks: DataFrame, hot: DataFrame,
+                                 hotBytes: Option[Long]): DataFrame = {
+    val thr = chunks.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val hotFlag = hot.select(col("chunk_digest"), lit(true).as("is_hot"))
+    val sized = hotBytes match {
+      case Some(b) => Dedup.maybeBroadcast(hotFlag, b)
+      case None if thr <= 0 => hotFlag
+      case None =>
+        hotFlag.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.maybeBroadcast(hotFlag, hotFlag.count() * HotRowBytes)
+    }
+    val flagged = chunks.join(sized, Seq("chunk_digest"), "left")
       .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
     flagged.groupBy(col("doc_id"))
       .agg(
@@ -630,6 +655,19 @@ object TextStats {
                               maxFiles: Int = 64): Unit =
     Dedup.appendToLshIndex(dictDir, dictRows, maxFiles)
 
+  /** [[appendToBoilerplateDict]] with batch-id replay protection — the
+    * form a `foreachBatch` caller MUST use (at-least-once delivery: a
+    * replayed micro-batch through the raw append double-counts every
+    * digest partial, and an over-counted dictionary over-scrubs documents;
+    * the contract the plain append's doc states is ENFORCED here).
+    * Delegates to [[Dedup.appendToLshIndexOnce]] /
+    * [[graft.streaming.SideIndexLedger]]; a committed `batchId` is a
+    * metadata-only no-op. Returns true iff this call published.
+    */
+  def appendToBoilerplateDictOnce(dictDir: String, dictRows: DataFrame,
+                                  batchId: Long, maxFiles: Int = 64): Boolean =
+    Dedup.appendToLshIndexOnce(dictDir, dictRows, batchId, maxFiles)
+
   /** The dictionary's current hot set: re-aggregate the appended partials
     * (one map-combinable pass over the dictionary — digest-distinct rows,
     * far smaller than the corpus) and keep digests above `maxDocs`. Reads
@@ -654,6 +692,10 @@ object TextStats {
   def scrubWithDict(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
                     dictDir: String, chunkToks: Int = 64,
                     maxDocs: Int = 2): DataFrame =
+    // the dictionary's on-disk bytes bound the hot set from above (hot ⊆
+    // the dictionary's digests) — a job-free broadcast guard, no persist
+    // in the per-trigger path
     scrubAgainstHotSet(gridChunks(batch, chunkToks),
-      readBoilerplateDict(spark, dictDir, maxDocs))
+      readBoilerplateDict(spark, dictDir, maxDocs),
+      hotBytes = Some(Dedup.dirBytes(spark, dictDir)))
 }

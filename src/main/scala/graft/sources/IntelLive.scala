@@ -120,7 +120,7 @@ final case class LiveMispSource(
     else IntelLive.fetchJson(s"$url/attributes/restSearch",
       Seq("Authorization" -> apiKey, "Accept" -> "application/json",
         "Content-Type" -> "application/json"),
-      Some(s"""{"returnFormat":"json","type":["ip-src","ip-dst","ip-src|port","ip-dst|port","domain|ip"],"last":"${lastDays}d","includeSightings":1}"""),
+      Some(s"""{"returnFormat":"json","type":["ip-src","ip-dst","ip-src|port","ip-dst|port","domain|ip"],"last":"${lastDays}d","includeSightings":1,"includeContext":1}"""),
       timeoutMs, maxBytes)
 
   /** The feed rows: (entity, pulse_id, day) — fetched when live, the
@@ -160,20 +160,41 @@ final case class LiveMispSource(
       }.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** The full update-op surface of one poll, per entity ip — the exact op
-    * set the reference receiver queues (`misp_receiver.py:260–311,417–424`):
+  /** The update-op surface of one poll, per entity ip, mirroring the
+    * reference receiver's queue (`misp_receiver.py:180–214,272–311,417–424`):
     * a DELETED ip attribute maps to
     * `array_remove misp_events {misp_instance, event_id}`
-    * (`remove_misp_event`), a live one to
+    * (`remove_misp_event`); a live one to
     * `array_upsert misp_events {misp_instance, event_id}` whose actions set
-    * the role and the per-event sighting counters — the attribute's inlined
+    * the role, the per-event sighting counters — the attribute's inlined
     * `Sighting` list counted by type (`get_sightings_for_nerd`: "0" →
-    * positive, "1" → false positive, "2" → expired attribute). Empty when
-    * gated off or degraded (the fallback FIXTURE feed has no op stream —
-    * un-consumed removals must not be invented).
+    * positive, "1" → false positive, "2" → expired attribute) — and, when
+    * the poll's `includeContext` inlined the attribute's `Event`, the
+    * event-level fields `create_new_event` sets (org_created from
+    * `Orgc.name`, info, date, threat_level from `threat_level_id` via the
+    * High/Medium/Low/Undefined map, last_change from the event timestamp),
+    * PLUS the companion `setmax _ttl.misp` (event date +
+    * `record_life_length.misp`, reference default 180 d) and
+    * `setmax last_activity` (event date) that `upsert_new_event` always
+    * queues alongside the upsert. Modeled SUBSET, stated plainly: tag_list
+    * and the tlp-from-tags refinement (`misp_receiver.py:207–213`) are not
+    * fetched (restSearch context carries no Tag list; tlp defaults to
+    * "green" like the reference's initializer), and a response WITHOUT the
+    * Event context degrades those attributes to the role+sightings upsert
+    * with no setmax pair — the date the ttl anchors on simply isn't in the
+    * message. Empty when gated off or degraded (the fallback FIXTURE feed
+    * has no op stream — un-consumed removals must not be invented).
     */
   lazy val ops: Seq[(Long, graft.ops.UpdateAlgebra.UpdateOp)] =
     body.flatMap(parseOps).getOrElse(Seq.empty)
+
+  /** `record_life_length.misp` (reference default 180 d,
+    * `misp_receiver.py:74`): how long past its event date an ip stays
+    * alive in the misp TTL lane. */
+  private val inactiveIpLifetimeDays = 180L
+
+  private val threatLevels =
+    Map("1" -> "High", "2" -> "Medium", "3" -> "Low", "4" -> "Undefined")
 
   private[graft] def parseOps(body: String): Option[Seq[(Long, graft.ops.UpdateAlgebra.UpdateOp)]] =
     try {
@@ -184,11 +205,11 @@ final case class LiveMispSource(
       import scala.jdk.CollectionConverters._
       Some(attrs.elements().asScala.flatMap { a =>
         IntelLive.attributeIp(a.path("type").asText(""),
-          a.path("value").asText("")).map { ip =>
+          a.path("value").asText("")).toSeq.flatMap { ip =>
           val eventId = a.path("event_id").asLong(0L)
           val query = Seq[(String, Any)]("misp_instance" -> url, "event_id" -> eventId)
           if (a.path("deleted").asBoolean(false))
-            ip -> ArrayRemove("misp_events", query)
+            Seq(ip -> ArrayRemove("misp_events", query))
           else {
             var pos, fp, exp = 0L
             a.path("Sighting").elements().asScala.foreach { s =>
@@ -204,8 +225,38 @@ final case class LiveMispSource(
             sightings.update("false positive", fp)
             sightings.update("expired attribute", exp)
             val role = if (a.path("type").asText("").contains("src")) "src" else "dst"
-            ip -> ArrayUpsert("misp_events", query,
-              Seq(SetVal("role", role), SetVal("sightings", sightings)))
+            val sets = Seq.newBuilder[UpdateOp]
+            sets += SetVal("role", role)
+            sets += SetVal("sightings", sightings)
+            // event-level fields from the includeContext-inlined Event
+            // (create_new_event, misp_receiver.py:180–214); absent context
+            // degrades to the role+sightings subset — see the ops doc
+            val ev = a.path("Event")
+            val evDate: Option[Long] =
+              Option(ev.path("date").asText("")).filter(_.nonEmpty)
+                .flatMap(d => scala.util.Try(
+                  java.time.LocalDate.parse(d).atStartOfDay(
+                    java.time.ZoneOffset.UTC).toEpochSecond).toOption)
+            if (!ev.isMissingNode && !ev.isNull) {
+              val org = ev.path("Orgc").path("name").asText("")
+              if (org.nonEmpty) sets += SetVal("org_created", org)
+              sets += SetVal("tlp", "green")
+              val info = ev.path("info").asText("")
+              if (info.nonEmpty) sets += SetVal("info", info)
+              evDate.foreach(d => sets += SetVal("date", d))
+              threatLevels.get(ev.path("threat_level_id").asText(""))
+                .foreach(tl => sets += SetVal("threat_level", tl))
+              val ts = ev.path("timestamp").asLong(0L)
+              if (ts > 0L) sets += SetVal("last_change", ts)
+            }
+            val upsert = ip -> (ArrayUpsert("misp_events", query,
+              sets.result()): UpdateOp)
+            evDate match {
+              case Some(d) => Seq(upsert,
+                ip -> SetMax("_ttl.misp", d + inactiveIpLifetimeDays * 86400L),
+                ip -> SetMax("last_activity", d))
+              case None => Seq(upsert)
+            }
           }
         }
       }.toSeq)
@@ -272,7 +323,7 @@ final case class LiveOtxSource(
     enabled: Boolean = sys.env.get("GRAFT_LIVE_OTX").contains("1"),
     modifiedSince: Option[String] = None, maxPages: Int = 20,
     timeoutMs: Int = 10000, maxBytes: Int = 64 << 20,
-    freshDays: Int = 30, inactivePulseDays: Int = 14,
+    freshDays: Int = 30, inactivePulseDays: Int = 30,
     nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000L)
   extends EnrichmentSource {
   val name = "otx_receiver"
@@ -294,7 +345,8 @@ final case class LiveOtxSource(
     * (`otx_receiver.py:136–175` `upsert_new_pulse` + `process_pulses`):
     * `array_upsert otx_pulses {pulse_id}` setting the pulse/indicator
     * fields, `setmax _ttl.otx` (expiration, or poll time, plus the
-    * inactive-pulse grace), `setmax last_activity`. Indicators created
+    * inactive-pulse grace — `record_life_length.otx`, reference default 30 d,
+    * `otx_receiver.py:94`), `setmax last_activity`. Indicators created
     * before the freshness cutoff (`freshDays`, reference's
     * `time_for_upsert` = now − 30 d) are skipped — a pulse that keeps
     * adding IPs must not re-upsert its stale ones. Empty when gated off or

@@ -168,7 +168,8 @@ class EnrichmentSpec extends AnyFunSuite {
     val mispBody =
       """{"response":{"Attribute":[
         |{"event_id":"101","type":"ip-src","value":"10.0.0.1","timestamp":"1700000000","deleted":false,
-        | "Sighting":[{"type":"0"},{"type":"0"},{"type":"1"}]},
+        | "Sighting":[{"type":"0"},{"type":"0"},{"type":"1"}],
+        | "Event":{"id":"101","date":"2023-11-10","info":"Botnet C2 infra","threat_level_id":"2","timestamp":"1699999000","Orgc":{"name":"CIRCL"}}},
         |{"event_id":"101","type":"ip-dst|port","value":"10.0.0.2|443","timestamp":"1700086400"},
         |{"event_id":"102","type":"domain|ip","value":"evil.example|10.0.0.3","timestamp":"1700000000"},
         |{"event_id":"103","type":"ip-src","value":"not-an-ip","timestamp":"1700000000"},
@@ -204,7 +205,17 @@ class EnrichmentSpec extends AnyFunSuite {
       locally {
         import graft.ops.UpdateAlgebra._
         val ops = live.ops
-        assert(ops.length == 4) // 3 live + 1 deleted; unparseable skipped
+        // 3 live upserts + 1 deleted removal + the setmax _ttl.misp /
+        // last_activity pair for the ONE attribute whose Event context was
+        // inlined (upsert_new_event queues them alongside the upsert)
+        assert(ops.length == 6)
+        val ttl = ops.collectFirst { case (ip, SetMax("_ttl.misp", v, _)) => (ip, v) }
+        val evDate = java.time.LocalDate.parse("2023-11-10")
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+        assert(ttl.contains((0x0A000001L, evDate + 180L * 86400L)),
+          s"_ttl.misp must anchor at event date + record_life_length.misp: $ttl")
+        assert(ops.collectFirst { case (ip, SetMax("last_activity", v, _)) => (ip, v) }
+          .contains((0x0A000001L, evDate)))
         val removals = ops.collect { case (ip, r: ArrayRemove) => (ip, r) }
         assert(removals.map(_._1) == Seq(0x0A000009L))
         assert(removals.head._2.key == "misp_events" &&
@@ -215,6 +226,18 @@ class EnrichmentSpec extends AnyFunSuite {
           case SetVal("sightings", v: Rec @unchecked, _) => v }.get
         assert(sightings("positive") == 2L && sightings("false positive") == 1L
           && sightings("expired attribute") == 0L)
+        // event-level fields from the inlined context (create_new_event)
+        val evFields = up1.actions.collect { case SetVal(k, v, _) => k -> v }.toMap
+        assert(evFields("org_created") == "CIRCL" &&
+          evFields("info") == "Botnet C2 infra" &&
+          evFields("threat_level") == "Medium" &&
+          evFields("tlp") == "green" &&
+          evFields("date") == evDate &&
+          evFields("last_change") == 1699999000L, evFields.toString)
+        // context-less attributes degrade to the role+sightings subset
+        val up2 = ops.collect { case (ip, u: ArrayUpsert) if ip == 0x0A000002L => u }.head
+        assert(up2.actions.collect { case SetVal(k, _, _) => k }.toSet ==
+          Set("role", "sightings"))
         // round-trip THROUGH the fold: the upsert lands the event, the
         // removal for the same (instance, event_id) takes it back out
         val rmQuery = Seq[(String, Any)]("misp_instance" -> url, "event_id" -> 101L)
@@ -310,19 +333,19 @@ class EnrichmentSpec extends AnyFunSuite {
           fields("indicator_title") == "t1")
         val exp = LiveOtxSource.parseEpoch("2023-12-01T00:00:00").get
         assert(task1.collectFirst { case SetMax("_ttl.otx", v, _) => v }
-          .contains(exp + 14 * 86400L))
+          .contains(exp + 30 * 86400L))
         assert(task1.collectFirst { case SetMax("last_activity", v, _) => v }
           .contains(now))
         // an expiration-less indicator's ttl anchors at the poll time
         val task2 = ops.find(_._1 == 0x0A010002L).get._2
         assert(task2.collectFirst { case SetMax("_ttl.otx", v, _) => v }
-          .contains(now + 14 * 86400L))
+          .contains(now + 30 * 86400L))
         // the ops round-trip through the fold: upsert lands the pulse
         val (rec, _, _) = applyTask(None, task1, now = 1L, eid = "10.1.0.1")
         val pulses = rec.get("otx_pulses").asInstanceOf[collection.Seq[Any]]
         assert(pulses.length == 1)
         // dotted keys descend: _ttl.otx lands as rec("_ttl")("otx")
-        assert(rec.get("_ttl").asInstanceOf[Rec]("otx") == exp + 14 * 86400L)
+        assert(rec.get("_ttl").asInstanceOf[Rec]("otx") == exp + 30 * 86400L)
         // gated: no op stream
         assert(LiveOtxSource(spark, "http://127.0.0.1:1", "k", fallback,
           enabled = false).ops.isEmpty)

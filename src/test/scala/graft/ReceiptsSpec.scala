@@ -67,6 +67,27 @@ class ReceiptsSpec extends AnyFunSuite {
     }
   }
 
+  test("every bold round-suffixed receipt is the HIGHEST round of its family at HEAD (no stale current-pointers)") {
+    // r14 gap #4: the index once kept naming BENCH_r13/CORRECTNESS_r13 as
+    // current while the driver's r14 files sat at HEAD — existence checks
+    // can't catch that. Rule: for every family the index marks current,
+    // no higher-numbered instance may exist in the repo root.
+    val bold = """\*\*`([A-Za-z0-9_.-]+\.json)`\*\*""".r
+    val suffixed = """^([A-Za-z0-9_]+?)_r(\d+)\.json$""".r
+    val named = bold.findAllMatchIn(receipts).map(_.group(1)).toSeq.distinct
+    val current = named.collect { case suffixed(fam, r) => (fam, r.toInt) }
+    assert(current.nonEmpty, "RECEIPTS.md names no round-suffixed receipts")
+    val repoFiles = new java.io.File(".").listFiles().map(_.getName)
+    val stale = current.flatMap { case (fam, r) =>
+      val famRe = (java.util.regex.Pattern.quote(fam) + """_r(\d+)\.json""").r
+      val maxPresent = repoFiles.collect { case famRe(n) => n.toInt }.max
+      if (maxPresent > r)
+        Some(s"$fam: index marks r$r current but ${fam}_r$maxPresent.json exists at HEAD")
+      else None
+    }
+    assert(stale.isEmpty, s"stale current-pointers in RECEIPTS.md: ${stale.mkString("; ")}")
+  }
+
   test("RECEIPTS.md has no unfilled placeholder comments") {
     val placeholder = """<!--\s*R\d+_[A-Z_]+\s*-->""".r
     val found = placeholder.findAllIn(receipts).toSeq

@@ -47,9 +47,9 @@ def main():
     movers_up = sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
     movers_dn = sorted(ratios.items(), key=lambda kv: kv[1])[:5]
     print(f"- Top regressions (normalized {args.new_label}/{args.old_label}): "
-          + ", ".join(f"{q} {r:.2f}x" for q, r in movers_up if r > 1.2) or "none >1.2x")
+          + (", ".join(f"{q} {r:.2f}x" for q, r in movers_up if r > 1.2) or "none >1.2x"))
     print("- Top improvements: "
-          + ", ".join(f"{q} {r:.2f}x" for q, r in movers_dn if r < 0.8))
+          + (", ".join(f"{q} {r:.2f}x" for q, r in movers_dn if r < 0.8) or "none <0.8x"))
     watch = [q for q in args.watch.split(",") if q]
     if watch:
         print(f"- Watch-list adjudication ({args.old_label}->{args.new_label}, "
