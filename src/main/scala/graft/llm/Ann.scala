@@ -118,8 +118,14 @@ object Ann {
     */
   def writeIvfIndex(embeddings: DataFrame, clusterCol: String, dir: String): Unit = {
     val e = asDouble(embeddings, "embedding")
+    // baseRows rides the corpus write as an observed metric (r15, guide
+    // §1/§2.4): the previous separate `e.count()` re-ran the whole source
+    // scan a third time per build — at any corpus size the write already
+    // streams every row past this counter for free
+    val obs = org.apache.spark.sql.Observation()
     e.select(col("vec_id"), col("embedding"),
         col(clusterCol).cast("long").as("cluster"))
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
     centroids(embeddings, clusterCol)
       .withColumn("cluster", col("cluster").cast("long"))
@@ -127,7 +133,7 @@ object Ann {
     // a (re)build resets the drift ledger: everything in the layout was
     // assigned by the quantizer trained on it
     writeIvfMeta(embeddings.sparkSession, dir,
-      IvfMeta(baseRows = e.count(), appendedRows = 0L))
+      IvfMeta(baseRows = obs.get("rows").asInstanceOf[Long], appendedRows = 0L))
   }
 
   /** The IVF index's drift ledger: how many rows the quantizer was trained
@@ -267,33 +273,56 @@ object Ann {
       return false
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val e = asDouble(newVectors, "embedding")
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster"))))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
-      .cache() // written AND counted for the ledger — one assignment pass
+    // Frozen-quantizer argmax as ONE map-side projection (r15, guide
+    // §2.3/§2.4): the |clusters|-row centroid table collapses to a single
+    // cluster-sorted array row, and each batch row picks its best cluster
+    // in a per-row fold — zero exchange, zero sort. The previous shape
+    // (broadcast nested-loop × window row_number) shuffled AND sorted
+    // |batch|·|clusters| rows carrying the full embedding payload just to
+    // keep one row per vec_id. Tie-break identical by construction: the
+    // fold walks clusters ascending and only a STRICTLY greater ccos
+    // displaces the incumbent — max ccos, ties to the lower cluster, the
+    // exact (ccos DESC, cluster ASC) order of the old window.
+    val centsArr = cents.agg(sort_array(collect_list(struct(
+      col("cluster").cast("long").as("cluster"), col("centroid")))).as("cents"))
+    graft.GraftExtensions.register(spark)
+    val assigned = e.join(broadcast(centsArr), lit(true))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(Double.NegativeInfinity).as("ccos"), lit(-1L).as("cluster")),
+        (acc, c) => {
+          val d = round(call_function("cosine_sim",
+            col("embedding"), c.getField("centroid")), 6)
+          when(d > acc.getField("ccos"),
+            struct(d.as("ccos"), c.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cluster").as("cluster"))
+    // the ledger row-count rides the append as an observed metric — the
+    // previous cache()+count() held the batch's payload in block storage
+    // and ran a second action just to count what the write streamed anyway
+    val obs = org.apache.spark.sql.Observation()
+    val observed = assigned.observe(obs, count(lit(1)).as("rows"))
     batchId match {
       case None =>
-        assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
+        observed.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
       case Some(bid) =>
         graft.streaming.SideIndexLedger.publishOnce(spark, ledger,
           s"$indexDir/corpus", bid) { staging =>
-          assigned.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+          observed.write.mode("overwrite").partitionBy("cluster").parquet(staging)
         }
     }
-    // advance the drift ledger (O(batch) count). Crash honesty: dying
-    // between the corpus append and this write under-counts drift by that
-    // one batch — the ledger schedules rebuilds, it is not a correctness
-    // surface, and the probe/query results never depend on it being exact.
-    // (On a replayed batch the ledger skip above means the meta is never
-    // advanced twice — the replay-inflated drift the r14 verdict flagged.)
+    // advance the drift ledger (the count observed on the append itself).
+    // Crash honesty: dying between the corpus append and this write
+    // under-counts drift by that one batch — the ledger schedules rebuilds,
+    // it is not a correctness surface, and the probe/query results never
+    // depend on it being exact. (On a replayed batch the ledger skip above
+    // means the meta is never advanced twice — the replay-inflated drift
+    // the r14 verdict flagged.)
     ivfIndexMeta(spark, indexDir).foreach { m =>
       writeIvfMeta(spark, indexDir,
-        m.copy(appendedRows = m.appendedRows + assigned.count()))
+        m.copy(appendedRows = m.appendedRows + obs.get("rows").asInstanceOf[Long]))
     }
-    assigned.unpersist()
     true
   }
 
@@ -336,6 +365,34 @@ object Ann {
                          indexDir: String, ids: DataFrame): Int =
     deleteFromClusterData(spark, indexDir, "corpus", ids)
 
+  /** Run independent per-partition rewrite jobs a few at a time (guide
+    * §2.6: Spark happily runs several jobs at once inside one application;
+    * actions are only sequential because driver code calls them
+    * sequentially). Each item's body runs whole on one pool thread — its
+    * write→rename choreography stays internally sequential, so the swap /
+    * self-heal contract is untouched; only DIFFERENT partitions overlap.
+    * Returns the item count. Failures propagate (first exception rethrown)
+    * after all in-flight bodies finish, so a crashed rewrite never strands
+    * a sibling's half-written tmp silently.
+    */
+  private def parallelizeRewrites[T](items: Seq[T], slots: Int = 4)(body: T => Unit): Int = {
+    if (items.isEmpty) return 0
+    if (items.size == 1) { body(items.head); return 1 }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(slots, items.size))
+    try {
+      val futures = items.map(i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = body(i)
+        }))
+      // drain every future first (each get() blocks until that body ends),
+      // THEN rethrow — no sibling is abandoned mid-rename
+      val errs = futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+    items.size
+  }
+
   /** The deletion body shared by the full-vector layout (`corpus/`, via
     * [[deleteFromIvfIndex]]) and the IVFADC codes layout (`codes/`, via
     * [[Pq.deleteFromIvfAdcIndex]]) — right-to-be-forgotten must reach
@@ -356,8 +413,15 @@ object Ann {
       .collect().map(_.getLong(0)).sorted
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var n = 0
-    touched.foreach { c =>
+    // Per-partition rewrites are independent (disjoint directories, disjoint
+    // swap paths) — overlap a few so the next rewrite's tasks back-fill the
+    // executor freed by the current one's single-file tail (r15, guide
+    // §2.6: each rewrite ends in a coalesce(1) straggler that would
+    // otherwise leave the whole executor idle). FIFO scheduling keeps the
+    // earlier job's resources first; 4 in flight is enough to fill tails
+    // without thrashing. Rename choreography stays per-partition-sequential
+    // inside each task, so the crash self-heal contract is unchanged.
+    val n = parallelizeRewrites(touched.toSeq) { c =>
       val part = new org.apache.hadoop.fs.Path(s"$corpusPath/cluster=$c")
       val tmp = new org.apache.hadoop.fs.Path(root, s".compact-cluster=$c")
       val old = new org.apache.hadoop.fs.Path(root, s".old-cluster=$c")
@@ -370,7 +434,6 @@ object Ann {
       require(fs.rename(tmp, part), s"IVF delete swap failed for $part " +
         s"(previous partition preserved at $old)")
       fs.delete(old, true)
-      n += 1
     }
     if (n > 0) {
       log.info(s"deleted rows from $n IVF cluster partitions in $indexDir")
@@ -414,28 +477,28 @@ object Ann {
         log.warn(s"removing orphaned compaction tmp $tmp (crashed rewrite)")
         fs.delete(tmp, true)
       }
-    var n = 0
-    fs.listStatus(corpus).filter(_.isDirectory).map(_.getPath)
+    val fragmented = fs.listStatus(corpus).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("cluster="))
-      .foreach { part =>
-        val files = fs.listStatus(part)
-          .count(_.getPath.getName.startsWith("part-"))
-        if (files > maxFilesPerCluster) {
-          val tmp = new org.apache.hadoop.fs.Path(root,
-            s".compact-${part.getName}")
-          // rows inside a partition dir carry no `cluster` column (the
-          // value lives in the dir name) — rewrite preserves that shape
-          spark.read.parquet(part.toString).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val old = new org.apache.hadoop.fs.Path(root, s".old-${part.getName}")
-          fs.delete(old, true)
-          require(fs.rename(part, old), s"IVF compaction aside-rename failed for $part")
-          require(fs.rename(tmp, part), s"IVF compaction swap failed for $part " +
-            s"(previous partition preserved at $old)")
-          fs.delete(old, true)
-          n += 1
-        }
-      }
+      .filter(part => fs.listStatus(part)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerCluster)
+    // independent partition rewrites overlapped, same rationale and bound
+    // as deleteFromClusterData (r15, guide §2.6): each rewrite tails into
+    // a coalesce(1) single task; running a few concurrently back-fills the
+    // idle executor instead of serializing the tails
+    val n = parallelizeRewrites(fragmented.toSeq) { part =>
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".compact-${part.getName}")
+      // rows inside a partition dir carry no `cluster` column (the
+      // value lives in the dir name) — rewrite preserves that shape
+      spark.read.parquet(part.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(root, s".old-${part.getName}")
+      fs.delete(old, true)
+      require(fs.rename(part, old), s"IVF compaction aside-rename failed for $part")
+      require(fs.rename(tmp, part), s"IVF compaction swap failed for $part " +
+        s"(previous partition preserved at $old)")
+      fs.delete(old, true)
+    }
     if (n > 0) {
       log.info(s"compacted $n IVF cluster partitions in $indexDir/$sub")
       spark.catalog.refreshByPath(s"$indexDir/$sub")

@@ -56,6 +56,44 @@ object Pq {
     round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, v) => acc + v)), 6)
 
+  /** The m·k-row codebook table collapsed to ONE nested-array row
+    * (`cb[sub][code] = centroid`, both levels ascending) — the broadcast
+    * shape [[codesExpr]] / the ADC decode index into per row. Two tiny
+    * aggregations over m·k rows; the result replaces a broadcast JOIN plus
+    * regroup with a per-row array lookup (r15, guide §2.4).
+    */
+  private def codebookArray(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("code"), col("centroid")))).as("bc"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("bc")))).as("sc"))
+      .select(transform(col("sc"), s =>
+        transform(s.getField("bc"), c => c.getField("centroid"))).as("cb"))
+
+  /** Per-row PQ encode against the nested codebook array: for each subspace
+    * (ascending — the `sort_array(collect_list(struct(sub, …)))` order the
+    * regroup shape produced), the code of the L2-nearest centroid, ties to
+    * the LOWER code. Identical decision rule to [[assign]]'s
+    * `min(struct(d, code))`: the fold walks codes ascending and only a
+    * STRICTLY smaller distance displaces the incumbent. Geometry (m,
+    * subDim) is read off the array itself, so callers cannot desync it.
+    * One projection — no explode, no broadcast join, no regroup shuffle.
+    */
+  private def codesExpr(cbCol: Column, embedding: Column): Column = {
+    val subDim = size(element_at(element_at(cbCol, 1), 1))
+    transform(sequence(lit(0), size(cbCol) - 1), s => {
+      val sub = slice(embedding, s * subDim + 1, subDim)
+      val cents = element_at(cbCol, s + 1)
+      aggregate(sequence(lit(0), size(cents) - 1),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("code")),
+        (acc, c) => {
+          val d = l2(sub, element_at(cents, c + 1))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.cast("int").as("code"))).otherwise(acc)
+        },
+        a => a.getField("code"))
+    })
+  }
+
   /** One corpus scan exploded to (sub, vec_id, v): subvector s covers dims
     * [s·subDim, (s+1)·subDim). A single generator, not m scans.
     */
@@ -251,17 +289,24 @@ object Pq {
     train(embeddings, m, subDim, k, iters)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     val cb = spark.read.parquet(s"$dir/codebooks")
-    val codes = assign(subvectors(e, m, subDim), cb)
-      .groupBy(col("vec_id"))
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
-    e.select(col("vec_id"), col(clusterCol).cast("long").as("cluster"))
-      .join(codes, Seq("vec_id"))
+    // Encode as ONE per-row projection against the 1-row nested codebook
+    // array (r15, guide §2.3/§2.4): the previous shape exploded the corpus
+    // m-ways, broadcast-joined the codebook, regrouped by vec_id (one
+    // corpus-sized exchange), and re-joined the cluster column (a second
+    // exchange). [[codesExpr]] reproduces assign()'s exact argmin/tie rule
+    // per row — zero exchanges between scan and write. baseRows rides the
+    // write as an observed metric instead of a third full source pass.
+    val obs = org.apache.spark.sql.Observation()
+    e.join(broadcast(codebookArray(cb)), lit(true))
+      .select(col("vec_id"), col(clusterCol).cast("long").as("cluster"),
+        codesExpr(col("cb"), col("embedding")).as("codes"))
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
     Ann.centroids(embeddings, clusterCol)
       .withColumn("cluster", col("cluster").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    Ann.writeIvfMeta(spark, dir, Ann.IvfMeta(baseRows = e.count(), appendedRows = 0L))
+    Ann.writeIvfMeta(spark, dir,
+      Ann.IvfMeta(baseRows = obs.get("rows").asInstanceOf[Long], appendedRows = 0L))
   }
 
   /** Append a batch into an EXISTING IVFADC layout without a rebuild: the
@@ -303,28 +348,42 @@ object Pq {
     val e = asDouble(newVectors, "embedding")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
-    val m = cb.agg(max(col("sub"))).head().getInt(0) + 1
-    val subDim = cb.select(size(col("centroid"))).head().getInt(0)
-    val coarse = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos",
-        round(call_function("cosine_sim", col("embedding"), col("centroid")), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cluster"))))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
-    val assigned = coarse.select(col("vec_id"), col("cluster"))
-      .join(assign(subvectors(e, m, subDim), cb)
-        .groupBy(col("vec_id"))
-        .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
-          x => x.getField("code")).as("codes")), Seq("vec_id"))
-      .cache() // written AND counted for the ledger — one assignment pass
+    // The whole append — coarse routing AND PQ encode — as ONE zero-shuffle
+    // projection (r15, guide §2.3/§2.4). Previous shape per batch: a
+    // broadcast nested-loop × window row_number for the coarse argmax
+    // (|batch|·|clusters| payload rows shuffled AND sorted), two driver
+    // head() jobs for m/subDim, an m-way explode + broadcast join +
+    // regroup for the codes, a vec_id join to marry the two, and a
+    // cache()+count() for the ledger. Now: the centroid table and codebook
+    // collapse to two 1-row broadcast arrays; each batch row folds over
+    // them for its cluster (max ccos, ties to the lower cluster — the old
+    // window's exact (ccos DESC, cluster ASC)) and codes ([[codesExpr]],
+    // assign()'s exact argmin/tie rule); geometry is read off the array
+    // sizes; the ledger count rides the write as an observed metric.
+    val centsArr = cents.agg(sort_array(collect_list(struct(
+      col("cluster").cast("long").as("cluster"), col("centroid")))).as("cents"))
+    val assigned = e.join(broadcast(centsArr), lit(true))
+      .join(broadcast(codebookArray(cb)), lit(true))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(Double.NegativeInfinity).as("ccos"), lit(-1L).as("cluster")),
+        (acc, c) => {
+          val d = round(call_function("cosine_sim",
+            col("embedding"), c.getField("centroid")), 6)
+          when(d > acc.getField("ccos"),
+            struct(d.as("ccos"), c.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
+        codesExpr(col("cb"), col("embedding")).as("codes"))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = assigned.observe(obs, count(lit(1)).as("rows"))
     batchId match {
       case None =>
-        assigned.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
+        observed.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
       case Some(bid) =>
         graft.streaming.SideIndexLedger.publishOnce(spark, ledger,
           s"$indexDir/codes", bid) { staging =>
-          assigned.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+          observed.write.mode("overwrite").partitionBy("cluster").parquet(staging)
         }
     }
     // same crash-honesty contract as Ann.appendToIvfIndex: dying between the
@@ -334,9 +393,8 @@ object Pq {
     // twice — the replay-inflated drift the r14 verdict flagged.)
     Ann.ivfIndexMeta(spark, indexDir).foreach { meta =>
       Ann.writeIvfMeta(spark, indexDir,
-        meta.copy(appendedRows = meta.appendedRows + assigned.count()))
+        meta.copy(appendedRows = meta.appendedRows + obs.get("rows").asInstanceOf[Long]))
     }
-    assigned.unpersist()
     true
   }
 
@@ -396,15 +454,18 @@ object Pq {
     // boundary exactly like Ann.ivfTopKPruned's
     val probedClusters = probe.select(col("probe_cluster")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // Decode per row against the 1-row nested codebook array (r15, guide
+    // §2.4): `rvec = flatten(codes[s] -> cb[s][code])` in subspace order —
+    // the previous posexplode → broadcast join → regroup paid one exchange
+    // of the probed candidates on the SERVING path for what is a pure
+    // array lookup. Zero shuffles between the pruned codes scan and the
+    // ADC ranking window.
     val rv = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cluster").isin(probedClusters.map(Long.box): _*))
+      .join(broadcast(codebookArray(cb)), lit(true))
       .select(col("vec_id"), col("cluster"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(cb), Seq("sub", "code"))
-      .groupBy(col("vec_id"), col("cluster"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("sub"), col("centroid")))),
-        x => x.getField("centroid"))).as("rvec"))
+        flatten(transform(col("codes"), (c, s) =>
+          element_at(element_at(col("cb"), s + 1), c + 1))).as("rvec"))
     rv.join(broadcast(probe),
         col("cluster") === col("probe_cluster") && col("vec_id") =!= col("qid"))
       .withColumn("adc", l2(col("qe"), col("rvec")))
