@@ -1964,24 +1964,26 @@ object SparkEntry {
         .writeStream
         .option("checkpointLocation", scratchDir("graft-sbp-ck"))
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          // ONE materialization per trigger: the dictionary append and the
-          // scrub both consume the batch; checkpointing also satisfies the
-          // append contract (results pinned before the layout mutates)
-          val b = batch.localCheckpoint()
+          // ONE materialization per trigger — of the CHUNK GRID, not the
+          // raw batch: the dictionary append and the scrub both consume the
+          // grid, and checkpointing it (r15) runs the tokenize+digest pass
+          // once per trigger instead of twice. Checkpointing also satisfies
+          // the append contract (results pinned before the layout mutates).
+          val chunks = TextStats.gridChunks(batch, chunkToks = 4).localCheckpoint()
           // batch-id-ledgered side-effects: a replayed micro-batch must not
           // double-count the dictionary's digest partials (over-counted
           // partials over-scrub documents) nor duplicate sink rows — the
           // contract appendToBoilerplateDict's doc states, ENFORCED here
           // through SideIndexLedger (r14 ask #1)
           TextStats.appendToBoilerplateDictOnce(dictDir,
-            TextStats.boilerplateDictRows(b, chunkToks = 4), bid, maxFiles = 4)
+            TextStats.boilerplateDictRowsFromChunks(chunks), bid, maxFiles = 4)
           graft.streaming.SideIndexLedger.publishOnce(
             s, sink + ".ledger", sink, bid) { staging =>
-            TextStats.scrubWithDict(b, s, dictDir, chunkToks = 4, maxDocs = 2)
+            TextStats.scrubChunksWithDict(chunks, s, dictDir, maxDocs = 2)
               .withColumn("batch", lit(bid + 1))
               .write.mode("overwrite").parquet(staging)
           }
-          Dedup.freeLocalCheckpoint(b)
+          Dedup.freeLocalCheckpoint(chunks)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2001,11 +2003,17 @@ object SparkEntry {
       val dictDir = scratchDir("graft-bpdict") + "/dict"
       val docs = Tables.documents(s, dir)
       (0 until 4).map { g =>
-        val batch = docs.filter(col("doc_id") % 4 === g).localCheckpoint()
+        // checkpoint the CHUNK GRID, not the raw batch (r15): the dictionary
+        // append and the self-scrub both consume the grid, so the
+        // tokenize+digest pass runs once per batch instead of twice
+        val chunks = TextStats.gridChunks(
+          docs.filter(col("doc_id") % 4 === g), chunkToks = 4).localCheckpoint()
         TextStats.appendToBoilerplateDict(dictDir,
-          TextStats.boilerplateDictRows(batch, chunkToks = 4), maxFiles = 4)
-        TextStats.scrubWithDict(batch, s, dictDir, chunkToks = 4, maxDocs = 2)
+          TextStats.boilerplateDictRowsFromChunks(chunks), maxFiles = 4)
+        val out = TextStats.scrubChunksWithDict(chunks, s, dictDir, maxDocs = 2)
           .withColumn("batch", lit(g.toLong)).localCheckpoint()
+        Dedup.freeLocalCheckpoint(chunks)
+        out
       }.reduce(_ unionByName _).orderBy(col("doc_id"))
     }),
 

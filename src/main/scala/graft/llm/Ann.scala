@@ -774,10 +774,19 @@ object Ann {
                     clusterCol: String = "label"): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val cents = centroids(embeddings, clusterCol)
+    // The scored corpus `m` has THREE consumers (both self-join sides and
+    // the final keep/drop join) — left lazy, the plan re-derived the
+    // centroid aggregation and re-scanned the corpus once per consumer
+    // (12 scan nodes in the r15 before-plan). One localCheckpoint runs the
+    // scoring pass once; unlike the single-consumer case (see
+    // minhashLshFromSignatures' measured counter-example) a 3-way fan-out
+    // amortizes the materialization at every scale (r15, guide §2.4 /
+    // §5 caching: reused AND expensive to recompute).
     val m = e.join(broadcast(cents), col(clusterCol) === col("cluster"))
       .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("embedding"), col("ccos"))
+      .localCheckpoint()
     val dropped = m.as("a").join(m.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
       .filter(round(cosN(m)(col("a.embedding"), col("b.embedding")), 6) >= threshold)

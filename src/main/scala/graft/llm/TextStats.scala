@@ -164,7 +164,10 @@ object TextStats {
     * sort, and each partition holds one document's vocabulary.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count() // one scalar to the driver: the corpus size
+    // corpus size as a broadcast 1-row aggregate (the bm25TopK pattern) —
+    // the previous driver-side `docs.count()` ran a SEPARATE full corpus
+    // scan before the query even started (r15, guide §1.2: one pass)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -176,7 +179,8 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score_raw").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
-      .withColumn("score_raw", col("tf") * log((lit(n) + 1d) / (col("df") + 1d)))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_raw", col("tf") * log((col("n_docs") + 1d) / (col("df") + 1d)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
@@ -640,7 +644,16 @@ object TextStats {
     * double-counts it.
     */
   def boilerplateDictRows(docs: DataFrame, chunkToks: Int = 64): DataFrame =
-    gridChunks(docs, chunkToks)
+    boilerplateDictRowsFromChunks(gridChunks(docs, chunkToks))
+
+  /** [[boilerplateDictRows]] over an ALREADY-computed chunk grid — the
+    * incremental/streaming batch lifecycles feed the same grid to both the
+    * dictionary append and the self-scrub; sharing one materialized grid
+    * halves the per-batch tokenize+digest work (r15, guide §1.2: don't
+    * compute things twice).
+    */
+  private[graft] def boilerplateDictRowsFromChunks(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy(col("chunk_digest"))
       .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
@@ -692,10 +705,20 @@ object TextStats {
   def scrubWithDict(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
                     dictDir: String, chunkToks: Int = 64,
                     maxDocs: Int = 2): DataFrame =
+    scrubChunksWithDict(gridChunks(batch, chunkToks), spark, dictDir, maxDocs)
+
+  /** [[scrubWithDict]] over an ALREADY-computed chunk grid (see
+    * [[boilerplateDictRowsFromChunks]] — the batch lifecycles share one
+    * grid between the dictionary append and the self-scrub).
+    */
+  private[graft] def scrubChunksWithDict(chunks: DataFrame,
+                                         spark: org.apache.spark.sql.SparkSession,
+                                         dictDir: String,
+                                         maxDocs: Int = 2): DataFrame =
     // the dictionary's on-disk bytes bound the hot set from above (hot ⊆
     // the dictionary's digests) — a job-free broadcast guard, no persist
     // in the per-trigger path
-    scrubAgainstHotSet(gridChunks(batch, chunkToks),
+    scrubAgainstHotSet(chunks,
       readBoilerplateDict(spark, dictDir, maxDocs),
       hotBytes = Some(Dedup.dirBytes(spark, dictDir)))
 }
