@@ -181,15 +181,18 @@ object Pq {
                       iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val cb = train(embeddings, m, subDim, k, iters)
-    assign(subvectors(e, m, subDim), cb)
-      .join(broadcast(cb), Seq("sub", "code"))
-      .groupBy(col("vec_id"))
-      .agg(
-        transform(sort_array(collect_list(struct(col("sub"), col("code")))),
-          x => x.getField("code")).as("codes"),
-        flatten(transform(
-          sort_array(collect_list(struct(col("sub"), col("centroid")))),
-          x => x.getField("centroid"))).as("rvec"))
+    // Per-row encode + decode against the 1-row nested codebook array
+    // (r15, guide §2.4) — the previous shape exploded the corpus m-ways,
+    // broadcast-joined the codebook, and regrouped by vec_id: one
+    // corpus-sized exchange for a computation that is per-row given the
+    // broadcast codebook. codes reproduce assign()'s exact argmin/tie rule
+    // ([[codesExpr]]); rvec is the chosen centroids flattened in subspace
+    // order — the identical sort_array(collect_list)-by-sub result.
+    e.join(broadcast(codebookArray(cb)), lit(true))
+      .withColumn("codes", codesExpr(col("cb"), col("embedding")))
+      .select(col("vec_id"), col("codes"),
+        flatten(transform(col("codes"), (c, s) =>
+          element_at(element_at(col("cb"), s + 1), c + 1))).as("rvec"))
   }
 
   /** The PQ audit: every vector's codes plus its reconstruction MSE — the

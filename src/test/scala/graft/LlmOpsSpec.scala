@@ -1293,11 +1293,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val enc1 = graft.llm.Pq.encodeAudit(emb, m = 4, subDim = 16, k = 1).collect()
     val mse1 = enc1.map(_.getDouble(5)).sum / enc1.length
     assert(mse4 < mse1, s"k=4 mse $mse4 not below k=1 mse $mse1")
-    // codebook joins stay broadcast on the corpus scan
+    // r15 shape pin: the encode is a per-row projection against the
+    // broadcast 1-row codebook array — no corpus regroup shuffle (the old
+    // explode→join→groupBy(vec_id) shape would reintroduce one), and the
+    // codebook still arrives broadcast
     val plan = graft.llm.Pq.encodeWithRecon(emb, 4, 16, 4)
       .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      "PQ codebook joins lost their broadcast")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "PQ encode regained a corpus regroup shuffle")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "PQ codebook array lost its broadcast")
   }
 
   test("native l2_dist is bit-identical to the HOF sqrt-of-fold pipeline") {
