@@ -183,6 +183,15 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // COMPACT final line (additions-only, VERDICT r15 #1): the full line
+    // above is ~10 KB with 168 queries and cannot survive a ~2000-char
+    // tail-first stdout capture — its opening brace is always cut off, so
+    // downstream parses have come back null since r10. This second line
+    // carries the headline contract fields (value/errors/sf) plus a pointer
+    // to the detail file, is a few hundred bytes at any suite size, and is
+    // printed LAST so a tail capture always ends with one complete,
+    // parseable JSON object. The timed loop and the full line are untouched.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"anchor_cpu_mean":${if (anchorOk) cpuMean.toString else "null"},"detail":"$out","errors":$errs,"value":$total}""")
     spark.stop()
   }
 }
