@@ -2010,8 +2010,13 @@ object SparkEntry {
           docs.filter(col("doc_id") % 4 === g), chunkToks = 4).localCheckpoint()
         TextStats.appendToBoilerplateDict(dictDir,
           TextStats.boilerplateDictRowsFromChunks(chunks), maxFiles = 4)
-        val out = TextStats.scrubChunksWithDict(chunks, s, dictDir, maxDocs = 2)
-          .withColumn("batch", lit(g.toLong)).localCheckpoint()
+        // swapLiveCheckpoint (r16): the per-batch scrub results stay pinned
+        // until the union is consumed, so they can't be freed here — the
+        // swap frees the PREVIOUS invocation's copies instead of leaking
+        // one corpus-sized set per run (guide §5)
+        val out = Dedup.swapLiveCheckpoint(s"llm_incr_boilerplate:$g",
+          TextStats.scrubChunksWithDict(chunks, s, dictDir, maxDocs = 2)
+            .withColumn("batch", lit(g.toLong)).localCheckpoint())
         Dedup.freeLocalCheckpoint(chunks)
         out
       }.reduce(_ unionByName _).orderBy(col("doc_id"))

@@ -116,6 +116,28 @@ object Ann {
     *    quantizer was trained on vs rows frozen-appended since, read by
     *    [[needsIvfRebuild]] to schedule the quantizer refresh.
     */
+  /** Cluster-keyed shuffle in front of every `partitionBy(cluster)` write
+    * (r16, guide §6 small-files / §2.5 deterministic keys): WITHOUT it each
+    * write task emits one part file into every cluster directory it sees,
+    * so a T-task build fragments the layout to ~T files per cluster from
+    * birth — measured at sf0.1, `compactClusterData` then rewrote 10/10
+    * partitions (the ENTIRE corpus, 2× write amplification) inside every
+    * lifecycle query, and at production scale a thousand-split build would
+    * fragment past any `maxFilesPerCluster` immediately. One O(input)
+    * exchange buys exactly `filesPerCluster` files per cluster. The salt is
+    * derived from vec_id (xxhash64 — never rand(): retried map tasks must
+    * reproduce the same placement, SPARK-38388); `filesPerCluster` is
+    * scale-parameterised (env `SPARK_GRAFT_INDEX_FILES_PER_CLUSTER`,
+    * default 1 — right for any cluster whose bytes fit one healthy parquet
+    * file; at 100 TB size it to ~cluster_bytes / 512 MB so single-cluster
+    * write tasks stay bounded).
+    */
+  private[llm] def clusterKeyed(df: DataFrame): DataFrame = {
+    val f = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_FILES_PER_CLUSTER", "1").toInt)
+    df.repartition(col("cluster"), pmod(xxhash64(col("vec_id")), lit(f)))
+  }
+
   def writeIvfIndex(embeddings: DataFrame, clusterCol: String, dir: String): Unit = {
     val e = asDouble(embeddings, "embedding")
     // baseRows rides the corpus write as an observed metric (r15, guide
@@ -123,8 +145,8 @@ object Ann {
     // scan a third time per build — at any corpus size the write already
     // streams every row past this counter for free
     val obs = org.apache.spark.sql.Observation()
-    e.select(col("vec_id"), col("embedding"),
-        col(clusterCol).cast("long").as("cluster"))
+    clusterKeyed(e.select(col("vec_id"), col("embedding"),
+        col(clusterCol).cast("long").as("cluster")))
       .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
     centroids(embeddings, clusterCol)
@@ -292,7 +314,15 @@ object Ann {
         (acc, c) => {
           val d = round(call_function("cosine_sim",
             col("embedding"), c.getField("centroid")), 6)
-          when(d > acc.getField("ccos"),
+          // displace iff strictly greater under "NaN is largest" — the old
+          // window's (ccos DESC, cluster ASC) order sorts NaN FIRST, so a
+          // zero-norm/NaN embedding (every cosine NaN) lands in the LOWEST
+          // cluster, searchable like any other row; a bare `d > acc` fold
+          // left it at the -1 sentinel in an unreadable partition (r15
+          // advice)
+          when((isnan(d) && !isnan(acc.getField("ccos"))) ||
+              (!isnan(d) && !isnan(acc.getField("ccos")) &&
+                d > acc.getField("ccos")),
             struct(d.as("ccos"), c.getField("cluster").as("cluster")))
             .otherwise(acc)
         }))
@@ -300,9 +330,14 @@ object Ann {
         col("best").getField("cluster").as("cluster"))
     // the ledger row-count rides the append as an observed metric — the
     // previous cache()+count() held the batch's payload in block storage
-    // and ran a second action just to count what the write streamed anyway
+    // and ran a second action just to count what the write streamed anyway.
+    // clusterKeyed: one O(batch) exchange so the append lands as ONE file
+    // per touched cluster instead of one per (task × cluster) — without it
+    // a fanned batch added ~|tasks| files to every touched partition and
+    // each lifecycle's compaction degenerated to a full-corpus rewrite
+    // (guide §6; measured r16)
     val obs = org.apache.spark.sql.Observation()
-    val observed = assigned.observe(obs, count(lit(1)).as("rows"))
+    val observed = clusterKeyed(assigned).observe(obs, count(lit(1)).as("rows"))
     batchId match {
       case None =>
         observed.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/corpus")
@@ -386,9 +421,16 @@ object Ann {
           def call(): Unit = body(i)
         }))
       // drain every future first (each get() blocks until that body ends),
-      // THEN rethrow — no sibling is abandoned mid-rename
+      // THEN rethrow — no sibling is abandoned mid-rename. Unwrap the
+      // ExecutionException shell so the body's own message (the require()
+      // with the preserved-aside recovery hint) surfaces directly (r15
+      // advice).
       val errs = futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
-      errs.headOption.foreach(e => throw e)
+      errs.headOption.foreach {
+        case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+          throw e.getCause
+        case e => throw e
+      }
     } finally pool.shutdown()
     items.size
   }
@@ -421,7 +463,11 @@ object Ann {
     // earlier job's resources first; 4 in flight is enough to fill tails
     // without thrashing. Rename choreography stays per-partition-sequential
     // inside each task, so the crash self-heal contract is unchanged.
-    val n = parallelizeRewrites(touched.toSeq) { c =>
+    // refresh in a finally (r15 advice): a partial failure may have swapped
+    // SOME partitions before the rethrow, and the session's shared
+    // FileStatusCache would otherwise keep serving the deleted pre-swap
+    // file list for the clusters that DID complete
+    val n = try parallelizeRewrites(touched.toSeq) { c =>
       val part = new org.apache.hadoop.fs.Path(s"$corpusPath/cluster=$c")
       val tmp = new org.apache.hadoop.fs.Path(root, s".compact-cluster=$c")
       val old = new org.apache.hadoop.fs.Path(root, s".old-cluster=$c")
@@ -434,11 +480,9 @@ object Ann {
       require(fs.rename(tmp, part), s"IVF delete swap failed for $part " +
         s"(previous partition preserved at $old)")
       fs.delete(old, true)
-    }
-    if (n > 0) {
+    } finally if (touched.nonEmpty) spark.catalog.refreshByPath(corpusPath)
+    if (n > 0)
       log.info(s"deleted rows from $n IVF cluster partitions in $indexDir")
-      spark.catalog.refreshByPath(corpusPath)
-    }
     n
   }
 
@@ -485,7 +529,10 @@ object Ann {
     // as deleteFromClusterData (r15, guide §2.6): each rewrite tails into
     // a coalesce(1) single task; running a few concurrently back-fills the
     // idle executor instead of serializing the tails
-    val n = parallelizeRewrites(fragmented.toSeq) { part =>
+    // refresh in a finally, same rationale as deleteFromClusterData: a
+    // partial failure must not leave the FileStatusCache stale for the
+    // partitions whose swaps DID complete
+    val n = try parallelizeRewrites(fragmented.toSeq) { part =>
       val tmp = new org.apache.hadoop.fs.Path(root,
         s".compact-${part.getName}")
       // rows inside a partition dir carry no `cluster` column (the
@@ -498,11 +545,9 @@ object Ann {
       require(fs.rename(tmp, part), s"IVF compaction swap failed for $part " +
         s"(previous partition preserved at $old)")
       fs.delete(old, true)
-    }
-    if (n > 0) {
+    } finally if (fragmented.nonEmpty) spark.catalog.refreshByPath(s"$indexDir/$sub")
+    if (n > 0)
       log.info(s"compacted $n IVF cluster partitions in $indexDir/$sub")
-      spark.catalog.refreshByPath(s"$indexDir/$sub")
-    }
     n
   }
 
@@ -782,11 +827,17 @@ object Ann {
     // minhashLshFromSignatures' measured counter-example) a 3-way fan-out
     // amortizes the materialization at every scale (r15, guide §2.4 /
     // §5 caching: reused AND expensive to recompute).
-    val m = e.join(broadcast(cents), col(clusterCol) === col("cluster"))
-      .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        col("embedding"), col("ccos"))
-      .localCheckpoint()
+    // swapLiveCheckpoint (r16): the result below is a LAZY plan over m, so
+    // m cannot be freed inside this call — but without any release every
+    // invocation leaked m's corpus-sized blocks (embedding payloads
+    // included) for the session lifetime (r15 advice). The swap bounds the
+    // leak to one live copy: the next semanticDedup call frees this one.
+    val m = Dedup.swapLiveCheckpoint("semanticDedup",
+      e.join(broadcast(cents), col(clusterCol) === col("cluster"))
+        .withColumn("ccos", round(cosN(e)(col("embedding"), col("centroid")), 6))
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("embedding"), col("ccos"))
+        .localCheckpoint())
     val dropped = m.as("a").join(m.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
       .filter(round(cosN(m)(col("a.embedding"), col("b.embedding")), 6) >= threshold)

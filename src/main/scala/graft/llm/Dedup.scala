@@ -147,12 +147,15 @@ object Dedup {
     * jaccard).
     */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ss = shingles(docs, n)
+    // swapLiveCheckpoint (r16): the returned matrix is a lazy plan over ss,
+    // so ss cannot be freed here — the swap bounds the former
+    // session-lifetime leak to one live |distinct shingles|-sized copy
+    val ss = swapLiveCheckpoint("sourceOverlap", shingles(docs, n)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("s")).distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    ss.as("a").join(ss.as("b"),
+    val res = ss.as("a").join(ss.as("b"),
         col("a.s") === col("b.s") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("shared"))
@@ -163,6 +166,7 @@ object Dedup {
           .cast("decimal(28,10)"), 6).cast("double"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("shared"), col("jaccard"))
+    res
   }
 
   /** Default document-frequency cap for the inverted-index candidate join.
@@ -329,6 +333,26 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Bound an operator-internal `localCheckpoint` to ONE live copy per
+    * (session, operator): registering a new checkpoint frees the previous
+    * call's blocks (r16, guide §5 — unpersist when done). Operators whose
+    * RESULT must stay a lazy plan over the checkpoint (the multi-consumer
+    * fan-out shapes: [[graft.llm.Ann.semanticDedup]], [[sourceOverlap]])
+    * cannot free inside the call, and without this every invocation leaked
+    * a corpus-sized block set for the session lifetime — a full bench
+    * sweep accumulated four+ copies per operator. CONTRACT (same
+    * sequential-harness assumption the suite's memory sinks document): a
+    * caller must consume the previous invocation's result before invoking
+    * the operator again — the swap frees the blocks that result reads.
+    */
+  private val liveCkpts =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def swapLiveCheckpoint(op: String, df: DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(df.sparkSession)}:$op"
+    Option(liveCkpts.put(key, df)).foreach(freeLocalCheckpoint)
+    df
+  }
 
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
@@ -617,7 +641,8 @@ object Dedup {
     // the sample is ≤ n rows: checkpoint it once so the per-config band
     // projections and the truth path reuse the materialized rows instead of
     // re-running the top-n over the signature table per consumer
-    val ssig = calibrationSample(sig, n).localCheckpoint()
+    val ssig = swapLiveCheckpoint("lshCalibrationSampled",
+      calibrationSample(sig, n).localCheckpoint())
     val ids = ssig.select(col("doc_id"))
     val ssh = sh.join(broadcast(ids), Seq("doc_id"))
     val truth = nearDupPairsFromShingles(ssh, threshold = 0.5,

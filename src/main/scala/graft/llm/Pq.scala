@@ -66,8 +66,28 @@ object Pq {
     cb.groupBy(col("sub"))
       .agg(sort_array(collect_list(struct(col("code"), col("centroid")))).as("bc"))
       .agg(sort_array(collect_list(struct(col("sub"), col("bc")))).as("sc"))
-      .select(transform(col("sc"), s =>
-        transform(s.getField("bc"), c => c.getField("centroid"))).as("cb"))
+      .select(transform(col("sc"), (s, i) => {
+        // POSITIONAL decode is only sound if each subspace's codes are
+        // contiguous 0..k-1 and the subs are 0..m-1 — train()'s Lloyd update
+        // drops a (sub, code) row when a cluster empties, and a gap would
+        // silently remap every later code to the wrong centroid (r15 advice,
+        // medium). Codes arrive sorted ascending and unique (train groups by
+        // (sub, code)), so contiguity ⟺ first == 0 ∧ last == size − 1; the
+        // check rides the same projection (no extra action — an eager audit
+        // would re-execute the whole Lloyd lineage) and fails fast instead
+        // of misdecoding.
+        val bc = s.getField("bc")
+        val codesOk =
+          element_at(bc, 1).getField("code") === 0 &&
+            element_at(bc, size(bc)).getField("code") === size(bc) - 1 &&
+            s.getField("sub") === i
+        when(codesOk, transform(bc, c => c.getField("centroid")))
+          .otherwise(raise_error(concat(
+            lit("PQ codebook is not positionally decodable: sub "),
+            s.getField("sub").cast("string"),
+            lit(" has non-contiguous codes (a Lloyd update emptied a "),
+            lit("cluster); rebuild the codebook before encoding"))))
+      }).as("cb"))
 
   /** Per-row PQ encode against the nested codebook array: for each subspace
     * (ascending — the `sort_array(collect_list(struct(sub, …)))` order the
@@ -78,19 +98,43 @@ object Pq {
     * subDim) is read off the array itself, so callers cannot desync it.
     * One projection — no explode, no broadcast join, no regroup shuffle.
     */
-  private def codesExpr(cbCol: Column, embedding: Column): Column = {
+  private def codesExpr(cbCol: Column, embedding: Column): Column =
+    transform(codesDistExpr(cbCol, embedding), cd => cd.getField("code"))
+
+  /** Per-subspace (d, code) of the L2-nearest centroid — the fold behind
+    * [[codesExpr]], kept as a struct so [[encodeAudit]] can reuse the
+    * assignment distances without an explode→pivot round trip. Exactly
+    * [[assign]]'s `min(struct(d, code))` decision rule, INCLUDING its NaN
+    * order (r15 advice: the previous `d < acc.d` fold left a NaN-distance
+    * row at the `-1` sentinel, which decodes `element_at(cb, 0)` downstream;
+    * the old assign path sent it to code 0). Spark struct-min sorts NaN
+    * ABOVE every double, so: a NaN distance never displaces, ties keep the
+    * lower code, and the all-NaN row lands on the code-0 seed.
+    */
+  private def codesDistExpr(cbCol: Column, embedding: Column): Column = {
     val subDim = size(element_at(element_at(cbCol, 1), 1))
     transform(sequence(lit(0), size(cbCol) - 1), s => {
       val sub = slice(embedding, s * subDim + 1, subDim)
       val cents = element_at(cbCol, s + 1)
       aggregate(sequence(lit(0), size(cents) - 1),
-        struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("code")),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(0).as("code")),
         (acc, c) => {
           val d = l2(sub, element_at(cents, c + 1))
-          when(d < acc.getField("d"),
+          // displace iff strictly smaller under "NaN is largest" — the
+          // +∞/code-0 seed means an all-NaN subvector keeps code 0 with
+          // d = NaN recorded by the final rewrite below
+          when(!isnan(d) && (isnan(acc.getField("d")) || d < acc.getField("d")),
             struct(d.as("d"), c.cast("int").as("code"))).otherwise(acc)
         },
-        a => a.getField("code"))
+        a => {
+          // a row whose EVERY distance is NaN never displaced the seed:
+          // report (NaN, 0) — assign()'s min-struct answer — not (+∞, 0)
+          val allNan = a.getField("d") === lit(Double.PositiveInfinity)
+          struct(
+            when(allNan, l2(sub, element_at(cents, 1)))
+              .otherwise(a.getField("d")).as("d"),
+            a.getField("code").as("code"))
+        })
     })
   }
 
@@ -209,15 +253,24 @@ object Pq {
                   iters: Int = 2): DataFrame = {
     val e = asDouble(embeddings, "embedding")
     val cb = train(embeddings, m, subDim, k, iters)
-    val a = assign(subvectors(e, m, subDim), cb)
-    val aggs = (0 until m).flatMap(s => Seq(
-      max(when(col("sub") === s, col("code"))).cast("int").as(s"c$s"),
-      max(when(col("sub") === s, col("d"))).as(s"d$s")))
-    val piv = a.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+    // Per-row fold carrying the (d, code) struct per subspace (r15 deferred
+    // item 1, guide §2.4): the previous shape exploded the corpus m ways,
+    // broadcast-joined the codebook, and PIVOTED back on vec_id — one
+    // corpus-sized hashpartitioning(vec_id) exchange for a computation that
+    // is per-row once the codebook is broadcast. [[codesDistExpr]] keeps the
+    // per-subspace distances the audit's MSE needs, so nothing re-derives;
+    // the decision rule, the 6-dp distances, and the MSE arithmetic
+    // (Σ_s d_s·d_s in subspace order / (m·subDim), rounded to 8) are the
+    // assign→pivot path's exactly.
+    val enc = e.join(broadcast(codebookArray(cb)), lit(true))
+      .withColumn("cd", codesDistExpr(col("cb"), col("embedding")))
+    def dAt(s: Int): Column = element_at(col("cd"), s + 1).getField("d")
+    val codeCols = (0 until m).map(s =>
+      element_at(col("cd"), s + 1).getField("code").as(s"c$s"))
     val mse = round(
-      (0 until m).map(s => col(s"d$s") * col(s"d$s")).reduce(_ + _) /
+      (0 until m).map(s => dAt(s) * dAt(s)).reduce(_ + _) /
         lit(m * subDim), 8).as("mse")
-    piv.select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) :+ mse: _*)
+    enc.select(col("vec_id") +: codeCols :+ mse: _*)
   }
 
   /** The full IVFADC probe (Jégou et al. §IV): route each query to its
@@ -297,12 +350,14 @@ object Pq {
     // m-ways, broadcast-joined the codebook, regrouped by vec_id (one
     // corpus-sized exchange), and re-joined the cluster column (a second
     // exchange). [[codesExpr]] reproduces assign()'s exact argmin/tie rule
-    // per row — zero exchanges between scan and write. baseRows rides the
+    // per row; the single remaining exchange is the cluster-keyed layout
+    // shuffle ([[Ann.clusterKeyed]], r16) that writes one healthy file per
+    // cluster instead of one per (task × cluster). baseRows rides the
     // write as an observed metric instead of a third full source pass.
     val obs = org.apache.spark.sql.Observation()
-    e.join(broadcast(codebookArray(cb)), lit(true))
-      .select(col("vec_id"), col(clusterCol).cast("long").as("cluster"),
-        codesExpr(col("cb"), col("embedding")).as("codes"))
+    Ann.clusterKeyed(e.join(broadcast(codebookArray(cb)), lit(true))
+        .select(col("vec_id"), col(clusterCol).cast("long").as("cluster"),
+          codesExpr(col("cb"), col("embedding")).as("codes")))
       .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/codes")
     Ann.centroids(embeddings, clusterCol)
@@ -372,14 +427,21 @@ object Pq {
         (acc, c) => {
           val d = round(call_function("cosine_sim",
             col("embedding"), c.getField("centroid")), 6)
-          when(d > acc.getField("ccos"),
+          // NaN-is-largest displacement, same rationale and rule as
+          // [[Ann.appendIvf]]'s fold: a NaN-cosine row routes to the lowest
+          // cluster (the old window's order) instead of the -1 sentinel
+          when((isnan(d) && !isnan(acc.getField("ccos"))) ||
+              (!isnan(d) && !isnan(acc.getField("ccos")) &&
+                d > acc.getField("ccos")),
             struct(d.as("ccos"), c.getField("cluster").as("cluster")))
             .otherwise(acc)
         }))
       .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
         codesExpr(col("cb"), col("embedding")).as("codes"))
+    // clusterKeyed: one O(batch) exchange → one file per touched cluster
+    // per append (guide §6; same rationale as [[Ann.appendIvf]])
     val obs = org.apache.spark.sql.Observation()
-    val observed = assigned.observe(obs, count(lit(1)).as("rows"))
+    val observed = Ann.clusterKeyed(assigned).observe(obs, count(lit(1)).as("rows"))
     batchId match {
       case None =>
         observed.write.mode("append").partitionBy("cluster").parquet(s"$indexDir/codes")
