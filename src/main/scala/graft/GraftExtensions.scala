@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeBroadcasts, BpeTokenCount, ChunkFps, CosineSim, DistinctNGrams, L2Dist, LatestK, NGramSpans, SpanDigests}
+import graft.functions.{BpeBroadcasts, BpeTokenCount, ChunkFps, CosineSim, DistinctNGrams, L2Dist, LatestK, NGramSpans, SpanDigests, VecSum}
 
 /** The library's `SparkSessionExtensions` hook — the supported way to make
   * graft's native expressions visible to SQL and `call_function` on any
@@ -100,6 +100,12 @@ object GraftExtensions {
           LatestK(es.head, n).toAggregateExpression()
         case other => throw new IllegalArgumentException(
           s"latest_k(col, k): k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (es: Seq[Expression]) => {
+        arity("vec_sum", es, 1)
+        VecSum(es.head).toAggregateExpression()
       }),
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime-filter optimizer but does not register them for users; expose
